@@ -1,0 +1,676 @@
+"""Tier-X relational operator surface (SURVEY.md §2.2, X1-X18).
+
+Each public ``q_*`` function is a query witness: ``(spark, sf_dir) ->
+DataFrame``. ``ORACLES`` maps the query name (function name minus ``q_``)
+to the equivalent DuckDB SQL. Column aliases match on both sides because
+the driver's differential check sorts columns by name before hashing.
+
+Determinism rules applied throughout:
+- every float aggregate is ``round``-ed identically on both sides so
+  summation-order differences between engines can't flip the value hash;
+- every window ``ORDER BY`` carries a unique tiebreak key;
+- event timestamps are compared at second granularity (parquet stores ns,
+  both engines truncate to µs — we stay clear of the edge entirely).
+
+Scale notes (100 TB target) are inline per operator; the common themes:
+joins against ``DIM_TABLES`` take an explicit ``broadcast()`` hint, fact
+joins stay sort-merge on their natural keys, and all aggregations are
+plain hash aggregates with map-side partial aggregation (Catalyst default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from gasket_rs_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Flagship (X1-X5, X10, X17 in one plan)
+# ---------------------------------------------------------------------------
+
+def q_flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region for 1996 shipments.
+
+    lineitem ⋈ orders (sort-merge on orderkey) ⋈ customer ⋈ nation ⋈ region
+    (all broadcast — dims are tiny at any SF). The shipdate filter is pushed
+    to the parquet scan; only 4 lineitem columns are read.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        lineitem
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1-X3: scan / projection / filters
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with pushed-down predicate + column pruning."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+def q_filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + BETWEEN + LIKE + null-safe predicate in one filter."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000.0, 200000.0)
+            & F.col("o_orderstatus").like("F%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4-X8: joins
+# ---------------------------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join lineitem ⋈ part, aggregated by brand.
+
+    At scale: lineitem is the 100 TB side; part is broadcast (it grows with
+    SF but stays orders of magnitude smaller; if it outgrew the broadcast
+    threshold AQE falls back to shuffled hash join).
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        lineitem.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: customer ⋈ broadcast(nation)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an extra join-side predicate (null-producing)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 350000.0)
+    return (
+        customer.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_big"),
+        )
+    )
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between per-nation customer and supplier rollups."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk_c")).agg(F.count("*").alias("n_customers"))
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk_s")).agg(F.count("*").alias("n_suppliers"))
+    return (
+        c.join(s, F.col("nk_c") == F.col("nk_s"), "full")
+        .select(
+            F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+            "n_customers",
+            "n_suppliers",
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one 'F' order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    f_orders = orders.where(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 300k."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000.0)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two small dims (both broadcastable)."""
+    region = load(spark, sf_dir, "region")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        region.crossJoin(broadcast(supplier))
+        .select(
+            "r_name",
+            "s_name",
+            F.concat_ws("/", "r_name", "s_name").alias("pair"),
+        )
+    )
+
+
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped >1 year after order date.
+
+    The equi part (orderkey) drives the shuffle; the range predicate is
+    evaluated post-match, so this stays a sort-merge join at any scale.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    return (
+        lineitem.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_late"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the latest click by the same
+    user at-or-before the purchase (second granularity).
+
+    Implemented scale-first with the union+window trick (one shuffle on
+    user_id, no pairwise blow-up): tag clicks/purchases, sort within user
+    by (ts, kind, event_id), carry the last click forward with
+    ``last(..., ignorenulls=True)``. This is O(n log n) per key versus the
+    O(clicks × purchases) range-join formulation the oracle uses.
+    """
+    events = load(spark, sf_dir, "events")
+    base = events.withColumn("ts_sec", F.expr("unix_millis(ts) div 1000"))
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts_sec"),
+            F.lit(0).alias("kind"),
+            F.struct(F.col("ts_sec").alias("click_sec"), F.col("event_id").alias("click_id")).alias("click"),
+            F.lit(None).cast("bigint").alias("purchase_id"),
+        )
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts_sec"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("struct<click_sec:bigint,click_id:bigint>").alias("click"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "kind", F.coalesce("purchase_id", F.col("click.click_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts_sec").alias("purchase_sec"),
+            F.col("last_click.click_id").alias("click_id"),
+            F.col("last_click.click_sec").alias("click_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10-X13: aggregation
+# ---------------------------------------------------------------------------
+
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (hash agg, map-side partials)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/count per group over orders."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct counts (two-phase partial-distinct aggregation)."""
+    return load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (no oracle — sketch values are
+    engine-specific; the driver records a rows-only check)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) totals over customer accounts."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        customer
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus) over lineitem quantities."""
+    return load(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X14-X17: window functions, sort/limit/top-k
+# ---------------------------------------------------------------------------
+
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per market segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first over customer order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        )
+    )
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + moving average frames over the events stream."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-3, Window.currentRow)
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(F.sum("value").over(running), 4).alias("running_sum"),
+            F.round(F.avg("value").over(moving), 4).alias("moving_avg4"),
+        )
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price (TakeOrderedAndProject — no full sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via ranked window (single shuffle)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X18: set operations
+# ---------------------------------------------------------------------------
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of customer and supplier nation keys (tagged)."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
+    return c.unionByName(s)
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of nation keys with customers vs suppliers."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): orders with no lineitems."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        orders.select(F.col("o_orderkey").alias("orderkey"))
+        .subtract(lineitem.select(F.col("l_orderkey").alias("orderkey")))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "flagship_revenue_by_region": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY r_name
+    """,
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               l_extendedprice * (1 - l_discount) AS net_price
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_returnflag = 'R'
+    """,
+    "filter_in_between_like": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 1000.0 AND 200000.0
+          AND o_orderstatus LIKE 'F%'
+          AND o_custkey IS NOT NULL
+    """,
+    "join_inner": """
+        SELECT p_brand, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "join_broadcast": """
+        SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "join_left": """
+        SELECT c_custkey,
+               count(o_orderkey) AS n_big_orders,
+               round(sum(o_totalprice), 2) AS sum_big
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 350000.0
+        GROUP BY c_custkey
+    """,
+    "join_full": """
+        SELECT coalesce(nk_c, nk_s) AS nationkey, n_customers, n_suppliers
+        FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers FROM customer GROUP BY 1) c
+        FULL JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+          ON nk_c = nk_s
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+    "join_cross": """
+        SELECT r_name, s_name, r_name || '/' || s_name AS pair
+        FROM region CROSS JOIN supplier
+    """,
+    "join_theta_range": """
+        SELECT o_orderpriority, count(*) AS n_late, round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+        GROUP BY o_orderpriority
+    """,
+    "asof_join": """
+        WITH c AS (
+            SELECT user_id, epoch_ms(ts) // 1000 AS click_sec, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, epoch_ms(ts) // 1000 AS purchase_sec, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT purchase_id, user_id, purchase_sec, click_id, click_sec
+        FROM (
+            SELECT p.purchase_id, p.user_id, p.purchase_sec, c.click_id, c.click_sec,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY c.click_sec DESC, c.click_id DESC) AS rn
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.click_sec <= p.purchase_sec
+        ) t
+        WHERE rn = 1
+    """,
+    "agg_hash": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_minmax": """
+        SELECT o_orderstatus,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 2) AS avg_price,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "distinct_count": """
+        SELECT count(DISTINCT o_custkey) AS n_cust,
+               count(DISTINCT o_orderpriority) AS n_prio,
+               count(*) AS n_orders
+        FROM orders
+    """,
+    "distinct_rows": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "rollup_agg": """
+        SELECT r_name, n_name,
+               round(sum(c_acctbal), 2) AS sum_acctbal,
+               count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "window_ranking": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4)     OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    "window_analytic": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               round(lag(o_totalprice, 1)  OVER w, 2) AS prev_price,
+               round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window_frames": """
+        SELECT event_id, user_id, value,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+        FROM events
+    """,
+    "sort_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "topk_per_group": """
+        SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) t
+        WHERE rn <= 3
+    """,
+    "set_union": """
+        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT o_orderkey AS orderkey FROM orders
+        EXCEPT
+        SELECT l_orderkey AS orderkey FROM lineitem
+    """,
+}
+
+# Names with no oracle entry get the driver's rows-only check.
+ROWS_ONLY: frozenset[str] = frozenset({"approx_count_distinct"})
+
+
+def queries() -> dict[str, object]:
+    return {
+        name[len("q_"):]: fn
+        for name, fn in globals().items()
+        if name.startswith("q_") and callable(fn)
+    }

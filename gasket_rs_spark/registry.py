@@ -1,0 +1,45 @@
+"""Central query catalog.
+
+Aggregates every operator module's query witnesses and DuckDB oracles into
+the two dicts ``__spark_entry__.py`` exposes to the driver. Adding a module:
+implement ``q_*`` functions + an ``ORACLES`` dict, then list the module here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "gasket_rs_spark.operators.relational",
+)
+
+
+def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        mod = import_module(modname)
+        for attr, fn in vars(mod).items():
+            if attr.startswith("q_") and callable(fn):
+                name = attr[len("q_"):]
+                if name in queries:
+                    raise ValueError(f"duplicate query name {name!r} from {modname}")
+                queries[name] = fn
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name not in queries:
+                raise ValueError(f"oracle {name!r} in {modname} has no matching q_ function")
+            oracles[name] = sql
+    return queries, oracles
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _collect()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _collect()[1]

@@ -1,0 +1,39 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The driver hands us its own session for ``queries()``; this builder is used
+by tests and ``bench.py``. Settings are chosen for the 100 TB design target
+(AQE on, skew-join handling, sane shuffle parallelism) while remaining
+correct on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Deterministic timestamp semantics for the DuckDB differential oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime join-strategy switch, partition coalescing, skew splits.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle parallelism sized to local cores; on a real cluster this
+        # would be ~2-3x total executor cores and AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # Arrow for the pandas-UDF paths (vectorized Python interchange).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dimension tables (region/nation/customer/supplier/part at test SF)
+        # stay under this; fact-fact joins still sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
