@@ -1,0 +1,173 @@
+"""Tier-X scalar function surface (SURVEY.md §2.2, X19-X23).
+
+String, date/time, math, array (higher-order), and JSON functions — all
+JVM-side ``pyspark.sql.functions`` so every expression stays inside
+whole-stage codegen; no Python UDFs anywhere on this path.
+
+Cross-engine notes (Spark vs the DuckDB oracle):
+- ``ceil``/``floor`` return BIGINT in Spark but DOUBLE in DuckDB — both
+  sides cast to BIGINT explicitly.
+- day-of-week numbering differs between engines — avoided; ``year/month/
+  day/quarter`` agree.
+- array elements are float32 in parquet; both sides cast to double
+  *before* reducing so the accumulation precision matches, and results are
+  rounded identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.tables import load
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/substr/length/concat/split/regexp/replace/trim/position."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 4).alias("name_pre4"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
+            F.instr("p_name", "e").cast("bigint").alias("first_e"),
+            F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+        )
+    )
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract / trunc / diff / interval arithmetic over order dates."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("days_to_y2k"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("plus_1m"),
+        )
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/power/mod over lineitem."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+            F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+            F.round(F.pow("l_quantity", F.lit(2.0)), 2).alias("qty_sq"),
+            (F.col("l_linenumber") % 3).alias("ln_mod3"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+        )
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element access / higher-order reduce over embedding vectors.
+
+    ``F.aggregate`` (fold) and ``F.transform`` run as Catalyst higher-order
+    functions — JVM-side, no UDF — so this scales like any projection.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sum_expr = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    sumsq_expr = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(as_double, 1), 6).alias("first_elem"),
+        F.round(sum_expr, 4).alias("vec_sum"),
+        F.round(F.sqrt(sumsq_expr), 4).alias("vec_norm"),
+        F.round(F.array_max(as_double), 6).alias("vec_max"),
+    )
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        )
+        .where(F.col("k_val").isNotNull() & (F.col("k_val") >= 50))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "string_funcs": """
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               substr(p_name, 1, 4) AS name_pre4,
+               length(p_name) AS name_len,
+               p_brand || '|' || p_type AS brand_type,
+               len(string_split(p_name, ' ')) AS n_words,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+               regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+               strpos(p_name, 'e') AS first_e,
+               trim(lpad(p_brand, 12, ' ')) AS brand_trim
+        FROM part
+    """,
+    "datetime_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dy,
+               quarter(o_orderdate) AS qtr,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS days_to_y2k,
+               o_orderdate + INTERVAL 1 MONTH AS plus_1m
+        FROM orders
+    """,
+    "math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS price_r1,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               round(sqrt(l_extendedprice), 6) AS price_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               round(pow(l_quantity, 2.0), 2) AS qty_sq,
+               l_linenumber % 3 AS ln_mod3,
+               CAST(l_quantity AS INT) AS qty_int
+        FROM lineitem
+    """,
+    "array_funcs": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+               round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm,
+               round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max
+        FROM embeddings
+    """,
+    "json_funcs": """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+          AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+}

@@ -1,0 +1,269 @@
+"""Deduplication operators (SURVEY.md §2.2 X24-X25 plus the mandated
+near-dup family: MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine).
+
+Scale design (the point of this module at 100 TB):
+- exact dedup = hash-partitioned groupBy on the dedup key — one shuffle,
+  map-side partial aggregation;
+- MinHash+LSH is the scale path for near-dup: signatures are one
+  explode+agg pass, banding turns the O(n²) pair search into equi-joins on
+  (band_id, band_hash) buckets, and only bucket-mates are verified;
+- the exact all-pairs Jaccard / cosine variants are correctness witnesses
+  (oracle-checkable) and intentionally quadratic — they are what LSH is
+  benchmarked against, not what runs at scale.
+
+Determinism: every "keep one of the duplicates" choice is min(doc_id);
+every pair output is (left < right); MinHash permutations are fixed
+(a_i, b_i) constants derived from a seeded generator at import time.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.tables import load
+
+# --- MinHash parameters (fixed across runs: seeded) -----------------------
+# 31-bit Mersenne prime: a*h + b stays well inside int64 (Spark 4 runs in
+# ANSI mode, so a 61-bit prime would overflow-error on the multiply).
+_MERSENNE = (1 << 31) - 1
+_N_HASHES = 32
+_BANDS = 8
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+_rng = random.Random(42)
+_MINHASH_AB = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for _ in range(_N_HASHES)]
+
+_JACCARD_THRESHOLD = 0.5
+_SHINGLE_K = 3
+
+
+def _shingles(col: str = "text"):
+    """Token 3-shingles as an array<string> (JVM higher-order fns only).
+
+    Guarded for <k-token docs: Spark's ``sequence(0, n)`` descends when
+    n < 0, which would fabricate bogus shingles.
+    """
+    toks = F.split(F.col(col), " ")
+    return F.when(
+        F.size(toks) >= _SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _SHINGLE_K),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _SHINGLE_K)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on document text: keep the lowest doc_id per text."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by composite key over events: earliest event per
+    (user_id, event_type) — dropDuplicates with a deterministic keeper."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: token-3-shingle Jaccard >= 0.5 (all-pairs).
+
+    Correctness witness for the LSH path: shingle-explode → self-join on
+    shingle → per-pair intersection counts → Jaccard via |A|+|B|-|A∩B|.
+    Quadratic in the worst case — see q_dedup_minhash_lsh for scale.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh"), F.size(_shingles()).alias("n_sh")
+    )
+    ex = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return pairs.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the 100 TB-scale path.
+
+    shingle → xxhash64 → 32 affine min-hashes (one explode + one agg pass)
+    → 8 bands × 4 rows → equi-join on (band, band-signature) buckets →
+    verify candidates with exact shingle Jaccard. Output matches
+    q_dedup_ngram_jaccard up to LSH recall (no oracle: hash values are
+    engine-specific, driver records rows-only).
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh"), F.size(_shingles()).alias("n_sh")
+    )
+    ex = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle")).withColumn(
+        "h", F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)
+    )
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    sigs = ex.groupBy("doc_id", "n_sh").agg(*sig_aggs)
+    band_rows = []
+    for band in range(_BANDS):
+        cols = [f"mh{band * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                "n_sh",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "band", "bucket"
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard: join the (small) candidate set
+    # back to the shingle arrays and intersect JVM-side.
+    docs_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_arr_a"))
+    docs_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_arr_b"))
+    common = (
+        candidates.join(docs_a, "doc_a")
+        .join(docs_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_arr_a", "sh_arr_b")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return common.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets: 16-bit token-level SimHash per doc, pairs
+    with identical signatures. Rows-only (xxhash64 is engine-specific)."""
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    ex = ex.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(16)
+    ]
+    sigs = ex.groupBy("doc_id").agg(*bit_sums)
+    sim_expr = None
+    for bit in range(16):
+        term = F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        sim_expr = term if sim_expr is None else (sim_expr + term)
+    sigs = sigs.select("doc_id", sim_expr.cast("bigint").alias("simhash"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash"))
+    return (
+        a.join(b, "simhash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "simhash")
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine similarity >= 0.4 (all-pairs
+    witness; the ANN/LSH scale path lives in operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
+    v = emb.select("vec_id", as_double.alias("vec"), norm.alias("norm"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+    "dedup_first_per_key": """
+        SELECT user_id, event_type,
+               min(event_id) AS first_event_id,
+               count(*) AS n_dups
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingles
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_common,
+               round(count(*) * 1.0 / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        HAVING round(count(*) * 1.0 / (a.n_sh + b.n_sh - count(*)), 6) >= 0.5
+    """,
+    "dedup_embedding_cosine": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+}

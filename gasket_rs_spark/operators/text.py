@@ -1,0 +1,210 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.2 X27
+plus the mandated training-data-pipeline text ops: language-ID, quality
+scoring, token counting, document fingerprinting).
+
+All tokenization is ``F.split`` + ``explode``/higher-order functions —
+JVM-side, codegen-friendly. Nothing here leaves the JVM; at 100 TB these are
+narrow projections plus one hash-partitioned aggregation each.
+
+The driver's documents corpus is whitespace-tokenized lowercase text, so
+``split(text, ' ')`` IS the tokenizer; the BPE-ish regex counter shows the
+regex path used for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.tables import load
+
+# Marker tokens for the heuristic language scorer: English function words.
+# (The synthetic corpus shares one vocabulary across langs; the witness
+# demonstrates deterministic marker-ratio scoring, not real lang-ID.)
+_EN_MARKERS = ("the", "a")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequencies: tokenize → explode → hash-agg count."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token stats: counts, distinct, type-token ratio."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+def q_text_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus breakdown by language label."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(_tokens())), 4).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: ratio of English marker tokens per doc."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    markers = F.filter(toks, lambda t: t.isin(*_EN_MARKERS))
+    ratio = F.size(markers) / F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("marker_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio → score.
+
+    Mirrors the usual pretraining-corpus filters (length bounds, symbol /
+    stopword ratios) with a deterministic arithmetic combination.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS))) / n_tokens
+    mean_tok_len = (F.length("text") - (n_tokens - 1)) / n_tokens
+    score = (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(stop_ratio * 4.0, F.lit(1.0))) * 0.3
+        + F.least(mean_tok_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def q_text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digits / other runs)."""
+    docs = load(spark, sf_dir, "documents")
+    pat = "[a-z]+|[0-9]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint").alias("n_regex_tokens"),
+        F.size(_tokens()).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling-hash document fingerprint.
+
+    fp = sum_i( i * (31*len(tok_i) + unicode(tok_i[0])) ) mod 2^31-1, with
+    i 1-based. Cheap, deterministic, order-sensitive — and expressible in
+    both engines (posexplode ↔ generate_subscripts), so the oracle checks
+    values exactly. Real deployments would swap in xxhash64 per token; the
+    shape (explode → weighted sum → mod) is identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    term = (F.col("pos") + 1) * (
+        F.length("tok") * 31 + F.ascii(F.substring("tok", 1, 1))
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(term.cast("bigint")) % F.lit(2147483647)).alias("fingerprint"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "text_token_counts": """
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    "text_doc_stats": """
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS ttr,
+               length(text) AS n_chars_computed
+        FROM documents
+    """,
+    "text_stats_per_lang": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    "text_lang_id": """
+        SELECT doc_id, lang,
+               round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS marker_ratio,
+               CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+                         / len(string_split(text, ' ')) >= 0.08
+                    THEN 'en' ELSE 'other' END AS pred_lang
+        FROM documents
+    """,
+    "text_quality_score": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+                       / len(string_split(text, ' ')) AS stop_ratio,
+                   (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                       / len(string_split(text, ' ')) AS mean_tok_len
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(mean_tok_len, 6) AS mean_tok_len,
+               round(least(n_tokens / 50.0, 1.0) * 0.5
+                     + (1.0 - least(stop_ratio * 4.0, 1.0)) * 0.3
+                     + least(mean_tok_len / 8.0, 1.0) * 0.2, 6) AS quality_score,
+               (least(n_tokens / 50.0, 1.0) * 0.5
+                     + (1.0 - least(stop_ratio * 4.0, 1.0)) * 0.3
+                     + least(mean_tok_len / 8.0, 1.0) * 0.2) >= 0.5 AS keep
+        FROM t
+    """,
+    "text_token_regex_count": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_regex_tokens,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               sum(pos * (31 * length(tok) + unicode(tok[1]))) % 2147483647 AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ) t
+        GROUP BY doc_id
+    """,
+}

@@ -16,6 +16,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "gasket_rs_spark.operators.relational",
+    "gasket_rs_spark.functions.scalar",
+    "gasket_rs_spark.operators.text",
+    "gasket_rs_spark.operators.dedup",
 )
 
 
