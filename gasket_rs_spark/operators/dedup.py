@@ -94,9 +94,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ex.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
     )
+    # Size-ratio prune (sound for J >= 0.5): the intersection can't exceed
+    # the smaller set, and J >= t forces |smaller| >= t * |larger| — so
+    # pairs with a >2x shingle-count ratio can never reach the threshold.
     pairs = (
         a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") <= 2 * F.col("n_b"))
+            & (F.col("n_b") <= 2 * F.col("n_a"))
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
         .withColumn(
@@ -130,20 +137,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(_MINHASH_AB)
     ]
     sigs = ex.groupBy("doc_id", "n_sh").agg(*sig_aggs)
-    band_rows = []
-    for band in range(_BANDS):
-        cols = [f"mh{band * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                "n_sh",
-                F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    # Single-pass banding: build all band buckets as one array and
+    # posexplode — an 8-way union of selects over `sigs` would re-run the
+    # signature aggregation once per band.
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{band * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)])
+            for band in range(_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "n_sh", F.posexplode(bucket_arr).alias("band", "bucket")
+    )
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "band", "bucket"
     )

@@ -1,0 +1,162 @@
+"""Multimodal column handling (SURVEY.md tier-X mandate: image/audio/video
+as opaque binary columns with typed metadata).
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(``decode_payload`` raises ``NotImplementedError`` unless the deterministic
+fake decoder is selected) — but everything Spark-side is real and tested:
+the binary column, the metadata struct schema, the Arrow-batched
+``mapInPandas`` plumbing, batch shapes, and partitioning.
+
+Witnesses:
+- ``q_multimodal_meta``: pure-SQL metadata extraction over synthesized
+  binary payloads (oracle-checked EXACT);
+- ``q_multimodal_features``: the ``mapInPandas`` feature-extraction path
+  with the fake decoder — byte-level stats computed in pandas, and still
+  oracle-checked EXACT because the fake features are arithmetic on the
+  payload bytes (DuckDB recomputes them from the source text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gasket_rs_spark.tables import load
+
+_MODALITIES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", LongType()),
+        StructField("last_byte", LongType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def decode_payload(payload: bytes, modality: str, fake: bool = False) -> bytes:
+    """Decode an opaque media payload.
+
+    Real decoders (PIL/librosa/ffmpeg) are not in this container — the
+    Spark plumbing around this stub is the deliverable. ``fake=True``
+    returns the payload unchanged (deterministic pass-through "decode").
+    """
+    if fake:
+        return payload
+    raise NotImplementedError(
+        f"no {modality} codec in this environment; use fake=True for the "
+        "deterministic pass-through decoder"
+    )
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata a media table has.
+
+    Payload is the utf-8 encoding of ``text`` (deterministic stand-in for
+    real media bytes); modality cycles by doc_id.
+    """
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return df.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        modality.alias("modality"),
+        F.struct(
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            (F.col("n_chars") % 1280).cast("bigint").alias("width"),
+            (F.col("n_chars") % 720).cast("bigint").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payload columns, grouped by modality."""
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.round(F.avg(F.col("meta.width")), 4).alias("avg_width"),
+            F.round(F.avg(F.col("meta.height")), 4).alias("avg_height"),
+            F.max(F.length("payload")).cast("bigint").alias("max_payload"),
+        )
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    The pattern that matters at 100 TB: payloads stay partitioned, each
+    Arrow batch is decoded in-process, and only the (tiny) feature vectors
+    come back. The fake decoder keeps values deterministic so the oracle
+    can recompute them from the source text.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_payload(p, m, fake=True)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(b) for b in decoded],
+                    "first_byte": [b[0] if b else None for b in decoded],
+                    "last_byte": [b[-1] if b else None for b in decoded],
+                    "mean_byte": [
+                        round(sum(b) / len(b), 6) if b else None for b in decoded
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+ORACLES: dict[str, str] = {
+    "multimodal_meta": """
+        WITH t AS (
+            SELECT doc_id, text, n_chars,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality
+            FROM documents
+        )
+        SELECT modality,
+               count(*) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               round(avg(n_chars % 1280), 4) AS avg_width,
+               round(avg(n_chars % 720), 4) AS avg_height,
+               max(octet_length(encode(text))) AS max_payload
+        FROM t
+        GROUP BY modality
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               unicode(substr(text, 1, 1)) AS first_byte,
+               unicode(substr(text, length(text), 1)) AS last_byte,
+               round(list_avg(list_transform(string_split(text, ''),
+                                             c -> unicode(c))), 6) AS mean_byte
+        FROM documents
+    """,
+}

@@ -1,0 +1,190 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.2 X26).
+
+Two paths, per the survey's risk register:
+- ``q_similarity_topk``: brute-force cosine top-k — the correctness witness
+  (oracle-checkable). Quadratic: query-set × corpus. Fine when the query
+  set is small (it is: a broadcastable dimension side), wrong as an
+  all-pairs primitive at 100 TB.
+- ``q_similarity_ann_lsh``: random-hyperplane (SimHash) LSH — the scale
+  path. Each vector gets a bucket from the sign pattern of 8 fixed random
+  projections; candidate generation is an equi-join on the bucket id, so
+  the cross product never materializes. Multi-probe (Hamming-1 neighbors)
+  keeps recall high. Rows-only check (bucketing is seed-specific), but the
+  per-pair cosines it emits are exact.
+
+All vector math is Catalyst higher-order functions (``zip_with`` +
+``aggregate`` folds) — JVM-side, no UDF, vectorized parquet input.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from gasket_rs_spark.tables import load
+
+_DIM = 64
+_N_PLANES = 8
+_TOP_K = 5
+
+# Fixed random hyperplanes (seeded — identical across sessions/executors).
+_rng = random.Random(1234)
+_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(_as_double(col), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _with_vec(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        "label",
+        _as_double(F.col("embedding")).alias("vec"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 100th vector.
+
+    The (small) query side is broadcast against the corpus — one pass over
+    the corpus per batch of queries, no shuffle of the big side.
+    """
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine", "label")
+    )
+
+
+def _bucket_expr(vec_col):
+    """Sign-pattern bucket id from the fixed hyperplanes (0..2^planes-1)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_PLANES):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        proj = _dot(lit_plane, vec_col)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via random-hyperplane LSH with Hamming-1 multi-probe.
+
+    Corpus vectors land in 1 bucket each; each query probes its own bucket
+    plus the 8 single-bit-flip neighbors. Candidate generation is an
+    equi-join on bucket — scales as O(n · bucket_occupancy), not O(n²).
+    """
+    emb = _with_vec(load(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket_expr(F.col("vec"))
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        emb.join(broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+def q_similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms — vector aggregation via posexplode + re-agg
+    (the distributed pattern for computing centroids at any scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.count("*").alias("n_dims"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "similarity_topk": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM v
+            WHERE vec_id % 100 = 0
+        ), scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id, v.label,
+                   round(list_dot_product(q.qvec, v.vec) / (q.qnrm * v.nrm), 6) AS cosine
+            FROM q JOIN v ON v.vec_id <> q.query_id
+        )
+        SELECT query_id, rk, neighbor_id, cosine, label
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM scored
+        ) t
+        WHERE rk <= 5
+    """,
+    "similarity_label_centroids": """
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim, avg(v) AS c FROM ex GROUP BY label, dim
+        )
+        SELECT label,
+               round(sqrt(sum(c * c)), 6) AS centroid_norm,
+               count(*) AS n_dims
+        FROM cent
+        GROUP BY label
+    """,
+}

@@ -1,0 +1,91 @@
+"""True Structured Streaming demos (SURVEY.md §2.2 X29-X33 streaming side).
+
+These run real ``readStream``/``writeStream`` queries — rate source or a
+file-replay of the events table — with watermarks and stateful dedup.
+They're exercised by the pytest streaming smoke tests (the driver's
+oracle gate can't replay a stream, so correctness of the *semantics* is
+carried by the batch twins in ``windows.py``).
+
+Reference parity (SURVEY §2.1): a streaming query here is one running
+stage (R18/R19); ``Trigger.AvailableNow`` reproduces WorkSchedule::Done
+(R3); source rate limits reproduce channel-capacity backpressure (R9).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Interval tick source — the reference's TimerPort (messaging.rs:151-209)
+    maps to Spark's rate source: a stream of (timestamp, value) ticks."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay the events table as a bounded file stream.
+
+    ``maxFilesPerTrigger`` is the backpressure bound — the analogue of the
+    reference's bounded channel capacity (messaging.rs:384-391). The file
+    source needs a *directory*, so the parquet file is staged into a
+    scratch dir via symlink (the source data stays read-only).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage_dir = tempfile.mkdtemp(prefix="gasket-stream-src-")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts with watermark — the streaming twin of
+    ``windows.q_stream_tumbling`` plus late-data drop (X29+X31)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup within the watermark (X32)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """Run a streaming query to completion (AvailableNow) into a named
+    in-memory table — WorkSchedule::Done semantics (framework.rs:81-88):
+    process everything available, then stop."""
+    with tempfile.TemporaryDirectory(prefix="gasket-ckpt-") as ckpt:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise TimeoutError(f"streaming query {query_name} exceeded {timeout_sec}s")

@@ -1,0 +1,211 @@
+"""Event-time windowing operators (SURVEY.md §2.2 X29-X32), batch-verified.
+
+Each query runs the *same event-time semantics* Structured Streaming would
+apply, expressed in batch mode so the DuckDB oracle can value-check it
+(per SURVEY §5: write the oracle first, make Spark match). The true
+``readStream`` versions — identical expressions over a streaming source,
+with watermarks — live in ``gasket_rs_spark/streaming/stream.py`` and are
+exercised by the pytest streaming smoke tests.
+
+Alignment notes:
+- Spark's ``F.window`` buckets are epoch-aligned; oracles reproduce them
+  with integer arithmetic on epoch seconds rather than relying on any
+  engine's ``time_bucket`` origin convention.
+- Watermark / stateful-dedup semantics are simulated with arrival order
+  := event_id (the generator emits events in arrival order), which makes
+  the streaming drop/keep decision a deterministic window function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.tables import load
+
+_TUMBLE_SEC = 600
+_SLIDE_SEC = 300
+_SESSION_GAP = "30 minutes"
+
+
+def _events_with_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("unix_millis(ts) div 1000")
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type."""
+    events = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{_TUMBLE_SEC} seconds")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min width, 5 min slide): each event lands in 2."""
+    events = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{_TUMBLE_SEC} seconds", f"{_SLIDE_SEC} seconds")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # floor(x*1e4+0.5)/1e4 instead of round(): both engines follow
+            # IEEE double semantics for this exact expression tree, whereas
+            # round() implementations disagree on .5-boundary doubles.
+            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-minute inactivity gap).
+
+    Batch ``F.session_window`` — identical gap-merge semantics to the
+    streaming stateful operator: session end = last event + gap.
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", _SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_watermark_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, simulated deterministically in batch.
+
+    Streaming semantics: with ``withWatermark("ts", "1 hour")``, an event
+    is dropped if its event time is more than 1h behind the max event time
+    seen so far in arrival order. Arrival order := event_id. The running
+    max over arrival order reproduces the watermark exactly, so the oracle
+    can check which rows survive.
+    """
+    events = _events_with_sec(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("max_seen", F.max("ts_sec").over(w))
+        .where(F.col("ts_sec") >= F.col("max_seen") - 3600)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_stream_dedup_watermark_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup (dropDuplicatesWithinWatermark analogue).
+
+    Keep an event iff the previous event with the same (user_id,
+    event_type) key — in arrival order — is more than 30 event-time
+    minutes older (or absent). Deterministic, oracle-checkable stand-in
+    for the streaming state-store dedup.
+    """
+    events = _events_with_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        events.withColumn("prev_sec", F.lag("ts_sec").over(w))
+        .where(F.col("prev_sec").isNull() | (F.col("ts_sec") - F.col("prev_sec") > 1800))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "stream_tumbling": """
+        SELECT CAST(to_timestamp((epoch_ms(ts) // 1000) // 600 * 600) AS TIMESTAMP) AS window_start,
+               CAST(to_timestamp((epoch_ms(ts) // 1000) // 600 * 600 + 600) AS TIMESTAMP) AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "stream_sliding": """
+        WITH starts AS (
+            SELECT value AS v,
+                   CAST(to_timestamp(((epoch_ms(ts) // 1000) // 300 * 300) - off) AS TIMESTAMP) AS window_start
+            FROM events, (SELECT unnest([0, 300]) AS off)
+            WHERE (epoch_ms(ts) // 1000) - (((epoch_ms(ts) // 1000) // 300 * 300) - off) < 600
+        )
+        SELECT window_start, count(*) AS n_events,
+               floor(avg(v) * 10000 + 0.5) / 10000 AS avg_value
+        FROM starts
+        GROUP BY window_start
+    """,
+    "stream_session": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    "stream_watermark_sim": """
+        WITH t AS (
+            SELECT event_type, value,
+                   epoch_ms(ts) // 1000 AS ts_sec,
+                   max(epoch_ms(ts) // 1000) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_seen
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_kept, round(sum(value), 4) AS sum_value
+        FROM t
+        WHERE ts_sec >= max_seen - 3600
+        GROUP BY event_type
+    """,
+    "stream_dedup_watermark_sim": """
+        WITH t AS (
+            SELECT user_id, event_type,
+                   epoch_ms(ts) // 1000 AS ts_sec,
+                   lag(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY event_id) AS prev_sec
+            FROM events
+        )
+        SELECT user_id, event_type, count(*) AS n_kept
+        FROM t
+        WHERE prev_sec IS NULL OR ts_sec - prev_sec > 1800
+        GROUP BY user_id, event_type
+    """,
+}

@@ -1,0 +1,126 @@
+"""Port/wiring tests mirroring gasket/src/messaging.rs semantics and the
+compare_inbound_sequence helper (testing.rs:3-27)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from gasket_rs_spark.pipeline.messaging import (
+    Fanout,
+    InputPort,
+    Message,
+    NotConnected,
+    OutputPort,
+    PortTypeMismatch,
+    SinkAdapter,
+    TimerPort,
+    broadcast_port,
+    connect_ports,
+    funnel_ports,
+)
+
+
+def compare_inbound_sequence(port: InputPort, expected: list) -> None:
+    """testing.rs:3-12: assert the port yields exactly this sequence."""
+    for want in expected:
+        msg = port.recv(timeout=2.0)
+        assert msg is not None, f"stream ended early; expected {want!r}"
+        assert msg.payload == want
+
+
+def test_connect_send_recv_roundtrip():
+    out, inp = OutputPort(), InputPort()
+    connect_ports(out, inp, cap=4)
+    for i in range(3):
+        out.send(i)
+    compare_inbound_sequence(inp, [0, 1, 2])
+
+
+def test_send_unconnected_errors():
+    with pytest.raises(NotConnected):
+        OutputPort().send(1)
+    with pytest.raises(NotConnected):
+        InputPort().recv(timeout=0.1)
+
+
+def test_type_checked_wiring():
+    out, inp = OutputPort(schema="int"), InputPort(schema="str")
+    with pytest.raises(PortTypeMismatch):
+        connect_ports(out, inp, cap=1)
+
+
+def test_backpressure_blocks_producer():
+    """messaging.rs:384-391: a full bounded channel suspends send()."""
+    out, inp = OutputPort(), InputPort()
+    connect_ports(out, inp, cap=2)
+    out.send(1)
+    out.send(2)
+    done = threading.Event()
+
+    def producer():
+        out.send(3)  # must block until a recv frees space
+        done.set()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    assert not done.wait(0.2), "send should have blocked on full channel"
+    assert inp.recv(timeout=1).payload == 1
+    assert done.wait(2), "send should complete after recv drained one slot"
+
+
+def test_funnel_merges_all_producers():
+    """messaging.rs:413-423: N:1 unordered merge, one shared channel."""
+    o1, o2, inp = OutputPort(), OutputPort(), InputPort()
+    funnel_ports([o1, o2], inp, cap=8)
+    o1.send("a")
+    o2.send("b")
+    o1.send("c")
+    got = sorted(inp.recv(timeout=1).payload for _ in range(3))
+    assert got == ["a", "b", "c"]
+
+
+def test_funnel_end_of_stream_waits_for_all():
+    o1, o2, inp = OutputPort(), OutputPort(), InputPort()
+    funnel_ports([o1, o2], inp, cap=8)
+    o1.send(1)
+    o1.close()
+    o2.send(2)
+    o2.close()
+    assert {inp.recv(timeout=1).payload, inp.recv(timeout=1).payload} == {1, 2}
+    assert inp.recv(timeout=1) is None  # both producers closed → Done
+
+
+def test_broadcast_every_consumer_sees_everything():
+    """messaging.rs:425-436."""
+    out, i1, i2 = OutputPort(), InputPort(), InputPort()
+    broadcast_port(out, [i1, i2], cap=8)
+    out.send("x")
+    out.send("y")
+    compare_inbound_sequence(i1, ["x", "y"])
+    compare_inbound_sequence(i2, ["x", "y"])
+
+
+def test_fanout_requires_ports():
+    """messaging.rs:85-87: Fanout with zero outputs errors."""
+    with pytest.raises(NotConnected):
+        Fanout().send(1)
+
+
+def test_sink_adapter_keeps_oldest():
+    """messaging.rs:224-229: overflow drops the NEWEST (keeps oldest cap)."""
+    sink = SinkAdapter(cap=3)
+    for i in range(6):
+        sink.send(Message(i))
+    assert sink.drain() == [0, 1, 2]
+    assert sink.drain() == []
+
+
+def test_timer_port_ticks_and_stops():
+    """messaging.rs:151-209: lazy start, periodic ticks, stop() cancels."""
+    timer = TimerPort(interval=0.02)
+    first = timer.recv(timeout=1.0).payload
+    second = timer.recv(timeout=1.0).payload
+    assert second >= first
+    timer.stop()

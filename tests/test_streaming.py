@@ -1,0 +1,70 @@
+"""True Structured Streaming smoke tests (X29-X33): file-replay source,
+windowed agg with watermark, stateful dedup, AvailableNow termination
+(WorkSchedule::Done parity), and batch/stream result agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.streaming.stream import (
+    deduped_stream,
+    events_file_stream,
+    run_to_memory_sink,
+    windowed_counts_stream,
+)
+from gasket_rs_spark.streaming.windows import q_stream_tumbling
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir):
+    """The streaming tumbling-window counts (complete run over a bounded
+    replay) must equal the batch twin's counts."""
+    stream = windowed_counts_stream(events_file_stream(spark, sf_dir))
+    run_to_memory_sink(stream, "win_counts", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in q_stream_tumbling(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    stream = deduped_stream(events_file_stream(spark, sf_dir))
+    run_to_memory_sink(stream, "deduped", output_mode="append")
+    out = spark.table("deduped")
+    keys = out.groupBy("user_id", "event_type").count().collect()
+    assert all(r["count"] == 1 for r in keys)
+    assert out.count() == len(keys)
+
+
+def test_rate_source_ticks(spark):
+    """TimerPort parity (messaging.rs:151-209): the rate source produces
+    monotonically increasing tick values."""
+    from gasket_rs_spark.streaming.stream import rate_source, run_to_memory_sink as run
+
+    ticks = rate_source(spark, rows_per_second=50).select("timestamp", "value")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            ticks.writeStream.format("memory")
+            .queryName("ticks")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            import time
+
+            time.sleep(1.5)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    vals = [r["value"] for r in spark.table("ticks").collect()]
+    # ticks are partitioned, so collect order isn't global — but the tick
+    # counter must be dense and gapless from 0
+    assert len(vals) > 0
+    assert set(vals) == set(range(len(vals)))
