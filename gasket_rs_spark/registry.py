@@ -23,6 +23,7 @@ _MODULES = (
     "gasket_rs_spark.operators.multimodal",
     "gasket_rs_spark.streaming.windows",
     "gasket_rs_spark.pipeline.witnesses",
+    "gasket_rs_spark.functions.udf",
 )
 
 

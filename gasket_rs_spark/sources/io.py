@@ -1,0 +1,109 @@
+"""Sources & sinks (SURVEY §2.1 R4 source pattern, R14 sink, X1 scan;
+plus the reference's retry-wrapped execution applied to streaming writes —
+R17/X33).
+
+Batch: parquet/csv/json readers with explicit schemas (schema-on-read is
+banned at 100 TB — a schema drift should fail analysis, not silently
+rescan), and a partitioned parquet writer (hive layout → partition pruning
+on read).
+
+Streaming: ``RetryingForeachBatchWriter`` is the reference work loop
+(runtime.rs:244-289) applied to microbatches: each batch is a unit,
+retried with backoff, idempotent via batchId markers so a retried batch
+never double-writes (SURVEY §7 risk register: "sink must be idempotent
+per batchId"), and dismissible to skip a poison batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from gasket_rs_spark.pipeline.metrics import Registry
+from gasket_rs_spark.pipeline.retries import RetryPolicy, retry_call
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = True) -> DataFrame:
+    """CSV with a mandatory explicit schema (no inference pass)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines with a mandatory explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet layout: readers filtering on the partition
+    columns prune directories before touching data — the base layout for
+    any 100 TB fact table."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+class RetryingForeachBatchWriter:
+    """foreachBatch body with reference retry semantics + idempotence.
+
+    - each microbatch = one work unit (framework.rs:114-125);
+    - retried ``max_retries+1`` times with exponential backoff
+      (retries.rs:74-78, runtime.rs:627-659);
+    - a ``_batch_<id>.done`` marker makes re-delivery after restart a
+      no-op (retry the same unit idempotently);
+    - ``dismissible`` skips a poison batch instead of failing the query
+      (runtime.rs:272-274).
+    """
+
+    def __init__(
+        self,
+        write_fn,
+        marker_dir: str,
+        policy: RetryPolicy | None = None,
+        metrics: Registry | None = None,
+    ):
+        self.write_fn = write_fn
+        self.marker_dir = marker_dir
+        self.policy = policy or RetryPolicy()
+        self.metrics = metrics or Registry()
+        self.batches = self.metrics.track_counter("batches_committed")
+        self.skipped = self.metrics.track_counter("batches_dismissed")
+        self.attempts = self.metrics.track_counter("write_attempts")
+        os.makedirs(marker_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.marker_dir, f"_batch_{batch_id}.done")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return  # already committed: idempotent replay
+
+        def attempt():
+            self.attempts.inc()
+            self.write_fn(batch_df, batch_id)
+
+        def dismissed():
+            self.skipped.inc()
+
+        retry_call(attempt, self.policy, on_dismiss=dismissed)
+        # marker written even for a dismissed batch: a restart must not
+        # re-attempt a poison unit that was already skipped
+        with open(self._marker(batch_id), "w") as f:
+            f.write("done")
+        self.batches.inc()
+
+    def reset(self) -> None:
+        shutil.rmtree(self.marker_dir, ignore_errors=True)
+        os.makedirs(self.marker_dir, exist_ok=True)

@@ -1,0 +1,1 @@
+"""Subpackage of gasket_rs_spark."""

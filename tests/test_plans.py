@@ -1,0 +1,70 @@
+"""Scale-property assertions on physical plans: pushdown, pruning,
+broadcast selection, fusion. These are the 100 TB design invariants —
+if one regresses, a small-SF correctness run would never notice, but a
+cluster run would fall over."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.operators.relational import (
+    q_flagship_revenue_by_region,
+    q_join_broadcast,
+    q_scan_filter_project,
+    q_sort_limit,
+)
+from gasket_rs_spark.plans.inspect import (
+    assert_broadcasts,
+    assert_no_cartesian,
+    count_operator,
+    pushed_filters,
+    scan_column_counts,
+)
+from gasket_rs_spark.tables import load
+
+
+def test_flagship_pushdown_and_broadcasts(spark, sf_dir):
+    df = q_flagship_revenue_by_region(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in filters)
+    assert_broadcasts(df, at_least=3)  # customer, nation, region at minimum
+    assert_no_cartesian(df)
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = q_scan_filter_project(spark, sf_dir)
+    counts = scan_column_counts(df)
+    # lineitem has 11 columns; the query needs 6 (4 projected + 2 filtered)
+    assert counts and max(counts) <= 6, counts
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    df = q_join_broadcast(spark, sf_dir)
+    assert count_operator(df, "BroadcastHashJoin") >= 1
+    assert count_operator(df, "SortMergeJoin") == 0
+
+
+def test_sort_limit_is_topk_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a global
+    sort of a 100 TB table for a top-10 would be catastrophic."""
+    df = q_sort_limit(spark, sf_dir)
+    assert count_operator(df, "TakeOrderedAndProject") == 1
+    assert count_operator(df, "Sort") == 0
+
+
+def test_narrow_chain_fuses_without_exchange(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 5)
+        .select("l_orderkey", (F.col("l_extendedprice") * 2).alias("x"))
+        .where(F.col("x") > 100)
+    )
+    assert count_operator(df, "Exchange") == 0
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    """groupBy must plan map-side partial agg (HashAggregate appears both
+    below and above the exchange)."""
+    df = load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert count_operator(df, "HashAggregate") >= 2
+    assert count_operator(df, "Exchange") >= 1
