@@ -1,0 +1,137 @@
+"""Sampling & statistics operators — training-data-pipeline extensions
+(deterministic sampling / splits, exact percentiles, correlation, pivot).
+
+Sampling at 100 TB must be (a) a narrow map — no shuffle, no count-first
+pass — and (b) reproducible across runs and engines. Both are satisfied by
+salted-hash bucketing: ``md5(key)`` is identical everywhere, so "bucket <
+k of 16" is a stable property of the row, the sample composes with
+incremental data, and the DuckDB oracle reproduces it bit-for-bit.
+(``rand(seed)`` is partition-order dependent in Spark — unusable.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.tables import load
+
+
+def _md5_bucket(key_col, buckets: int = 16):
+    """Deterministic bucket 0..buckets-1 from the first hex digit(s) of
+    md5(key) — engine-independent."""
+    return F.conv(F.substring(F.md5(key_col.cast("string")), 1, 2), 16, 10).cast("bigint") % buckets
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/4 deterministic sample of documents via md5 bucketing."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", _md5_bucket(F.col("doc_id")))
+        .where(F.col("bucket") < 4)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/25 train/test split, summarized per language —
+    the reproducible-split primitive every training pipeline needs."""
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(_md5_bucket(F.col("doc_id")) < 12, F.lit("train")).otherwise(F.lit("test"))
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per status.
+
+    ``percentile`` (exact) needs the full group sorted — fine for bounded
+    group counts; at 100 TB with huge groups switch to
+    ``approx_percentile`` (t-digest, mergeable map-side).
+    """
+    orders = load(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75, 0.95]))
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+        F.round(F.element_at(pct, 4), 4).alias("p95"),
+    )
+
+
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev per group (co-moment aggregates —
+    single-pass, mergeable, scale-safe)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across event-type columns."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "sample_hash": """
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS BIGINT) AS bucket
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 < 4
+    """,
+    "train_test_split": """
+        WITH t AS (
+            SELECT lang, n_chars,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 < 12
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM t
+        GROUP BY lang, split
+    """,
+    "stats_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "stats_corr": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+               round(stddev_samp(l_quantity), 6) AS std_qty,
+               round(var_samp(l_discount), 6) AS var_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "pivot_event_types": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'view') AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'error') AS error
+        FROM events
+        GROUP BY user_id
+    """,
+}

@@ -24,6 +24,7 @@ _MODULES = (
     "gasket_rs_spark.streaming.windows",
     "gasket_rs_spark.pipeline.witnesses",
     "gasket_rs_spark.functions.udf",
+    "gasket_rs_spark.operators.stats",
 )
 
 
