@@ -85,9 +85,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quadratic in the worst case — see q_dedup_minhash_lsh for scale.
     """
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh"), F.size(_shingles()).alias("n_sh")
-    )
-    ex = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        "doc_id", _shingles().alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    # Join on xxhash64(shingle), not the string: an 8-byte shuffle key and
+    # integer comparisons instead of ~20-byte strings (collision odds at
+    # 64 bits are negligible against the corpus shingle count).
+    ex = docs.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle_str")
+    ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
     a = ex.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )

@@ -9,6 +9,7 @@ correct on local[N].
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,5 +36,8 @@ def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> S
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Managed-table warehouse (bucketed tables in tests) goes to scratch,
+        # never into the repo working tree.
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="gasket-warehouse-"))
     )
     return builder.getOrCreate()
