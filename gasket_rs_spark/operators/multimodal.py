@@ -107,7 +107,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     come back. The fake decoder keeps values deterministic so the oracle
     can recompute them from the source text.
     """
-    docs = with_payload(load(spark, sf_dir, "documents"))
+    # Project to exactly the columns the extractor needs BEFORE the Arrow
+    # boundary — the metadata struct would otherwise ride along in every
+    # batch (payload bytes dominate; don't double the transfer).
+    docs = with_payload(load(spark, sf_dir, "documents")).select(
+        "doc_id", "payload", "modality"
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -25,6 +25,7 @@ _MODULES = (
     "gasket_rs_spark.pipeline.witnesses",
     "gasket_rs_spark.functions.udf",
     "gasket_rs_spark.operators.stats",
+    "gasket_rs_spark.operators.skew",
 )
 
 

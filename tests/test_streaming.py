@@ -40,6 +40,42 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert out.count() == len(keys)
 
 
+def test_foreachbatch_stream_with_retrying_writer(spark, sf_dir):
+    """X33 end-to-end: a real writeStream.foreachBatch driving the
+    retrying idempotent sink — transient failures on the first batch are
+    retried, every batch commits exactly once."""
+    import tempfile
+
+    from gasket_rs_spark.pipeline.retries import RetryPolicy
+    from gasket_rs_spark.sources.io import RetryingForeachBatchWriter
+
+    collected: list[int] = []
+    fail_once = {"armed": True}
+
+    def write(batch_df, batch_id):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("transient sink failure")
+        collected.append(batch_df.count())
+
+    with tempfile.TemporaryDirectory() as markers, tempfile.TemporaryDirectory() as ckpt:
+        writer = RetryingForeachBatchWriter(
+            write, marker_dir=markers, policy=RetryPolicy(max_retries=3, backoff_unit=0.001)
+        )
+        events = events_file_stream(spark, sf_dir)
+        q = (
+            events.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    readings = writer.metrics.collect_readings()
+    assert readings["batches_committed"] >= 1
+    assert readings["write_attempts"] == readings["batches_committed"] + 1  # one retry
+    assert sum(collected) == 1000  # every event delivered exactly once
+
+
 def test_rate_source_ticks(spark):
     """TimerPort parity (messaging.rs:151-209): the rate source produces
     monotonically increasing tick values."""
