@@ -146,6 +146,21 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: all parts kept, matched against big lineitems."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    big = lineitem.where(F.col("l_quantity") > 45)
+    return (
+        big.join(part, F.col("l_partkey") == F.col("p_partkey"), "right")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("n_big_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_big_qty"),
+        )
+    )
+
+
 def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join between per-nation customer and supplier rollups."""
     customer = load(spark, sf_dir, "customer")
@@ -524,6 +539,14 @@ ORACLES: dict[str, str] = {
         FROM customer
         LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 350000.0
         GROUP BY c_custkey
+    """,
+    "join_right": """
+        SELECT p_partkey,
+               count(l_orderkey) AS n_big_lines,
+               round(sum(l_quantity), 2) AS sum_big_qty
+        FROM (SELECT * FROM lineitem WHERE l_quantity > 45) li
+        RIGHT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey
     """,
     "join_full": """
         SELECT coalesce(nk_c, nk_s) AS nationkey, n_customers, n_suppliers
