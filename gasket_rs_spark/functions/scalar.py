@@ -115,7 +115,72 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → typed struct column → field access + struct building
+    (the schema-on-read path for semi-structured payload columns)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    events = load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = events.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            F.struct(
+                F.col("event_type").alias("typ"), F.col("p.k").alias("kk")
+            ).alias("nested"),
+        )
+        .where(F.col("k").isNotNull())
+        .select(
+            "event_id",
+            "k",
+            F.col("nested.typ").alias("typ"),
+            (F.col("nested.kk") * 2).cast("bigint").alias("k2"),
+        )
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: per user, sum of values in the
+    trailing 10 minutes (event-time range, not row count)."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("unix_millis(ts) div 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.round(F.sum("value").over(w), 4).alias("sum_10min"),
+        F.count("*").over(w).alias("n_10min"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "json_struct": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               event_type AS typ,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    "window_range_frame": """
+        SELECT event_id, user_id,
+               epoch_ms(ts) // 1000 AS ts_sec,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS sum_10min,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
+        FROM events
+    """,
     "string_funcs": """
         SELECT p_partkey,
                lower(p_name) AS name_lower,

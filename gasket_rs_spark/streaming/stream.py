@@ -68,6 +68,38 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def interval_join_streams(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase joined to
+    same-user clicks within the preceding hour. Both sides carry
+    watermarks so join state is bounded by the interval + watermark —
+    the streaming face of the as-of/range join family (X8/X9).
+    """
+    c = (
+        clicks.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond).select("purchase_id", "click_id", "p_user")
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from gasket_rs_spark.streaming.stream import (
     deduped_stream,
     events_file_stream,
+    interval_join_streams,
     run_to_memory_sink,
     windowed_counts_stream,
 )
@@ -38,6 +39,39 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     keys = out.groupBy("user_id", "event_type").count().collect()
     assert all(r["count"] == 1 for r in keys)
     assert out.count() == len(keys)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join over a bounded replay must
+    produce exactly the pairs the equivalent batch join produces."""
+    clicks = events_file_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    joined = interval_join_streams(clicks, purchases)
+    run_to_memory_sink(joined, "ss_join", output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table("ss_join").collect()
+    }
+
+    from gasket_rs_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
 
 
 def test_foreachbatch_stream_with_retrying_writer(spark, sf_dir):
