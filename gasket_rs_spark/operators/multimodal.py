@@ -136,7 +136,85 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+_N_FRAMES = 4
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: split each payload into N equal-size frames and
+    emit per-frame metadata — the video-pipeline shape (sample k frames
+    per asset, process each independently, keep the asset key).
+
+    Uses binary slicing JVM-side (substring on the payload) + posexplode;
+    a real decoder would replace the slicer inside the same plan shape.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        F.col("modality") == "video"
+    )
+    plen = F.length("payload")
+    frame_len = F.ceil(plen / _N_FRAMES).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_FRAMES - 1)),
+        # Column.substr accepts Column offsets (F.substring wants literals)
+        lambda i: F.col("payload").substr((i * frame_len + 1).cast("int"), frame_len),
+    )
+    ex = docs.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame"))
+    return (
+        ex.where(F.length("frame") > 0)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.length("frame").cast("bigint").alias("frame_bytes"),
+            F.ascii(F.substring(F.col("frame").cast("string"), 1, 1)).cast("bigint").alias("first_byte"),
+        )
+    )
+
+
+def q_multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize as a metadata transform: target box fit (max 224x224)
+    preserving aspect ratio — the bookkeeping half of an image resize
+    (the pixel half is the stubbed decoder)."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(F.col("modality") == "image")
+    w = F.greatest(F.col("meta.width"), F.lit(1))
+    h = F.greatest(F.col("meta.height"), F.lit(1))
+    scale = F.least(F.lit(224.0) / w, F.lit(224.0) / h, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.floor(w * scale).cast("bigint").alias("new_width"),
+        F.floor(h * scale).cast("bigint").alias("new_height"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "multimodal_frame_sample": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS plen,
+                   CAST(ceil(octet_length(encode(text)) / 4.0) AS INT) AS flen
+            FROM documents
+            WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id, i AS frame_idx,
+               length(substr(text, i * flen + 1, flen)) AS frame_bytes,
+               unicode(substr(text, i * flen + 1, 1)) AS first_byte
+        FROM t, (SELECT unnest([0, 1, 2, 3]) AS i)
+        WHERE length(substr(text, i * flen + 1, flen)) > 0
+    """,
+    "multimodal_resize_meta": """
+        WITH t AS (
+            SELECT doc_id,
+                   n_chars % 1280 AS width,
+                   n_chars % 720 AS height,
+                   greatest(n_chars % 1280, 1) AS w,
+                   greatest(n_chars % 720, 1) AS h
+            FROM documents
+            WHERE doc_id % 3 = 0
+        )
+        SELECT doc_id, width, height,
+               CAST(floor(w * least(224.0 / w, 224.0 / h, 1.0)) AS BIGINT) AS new_width,
+               CAST(floor(h * least(224.0 / w, 224.0 / h, 1.0)) AS BIGINT) AS new_height
+        FROM t
+    """,
     "multimodal_meta": """
         WITH t AS (
             SELECT doc_id, text, n_chars,
