@@ -231,7 +231,84 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: connected components over the
+    Jaccard>=0.5 pair graph, labeling every doc with the min doc_id of its
+    component (singletons label themselves).
+
+    The iterative min-label propagation (Pregel-lite) runs as a driver
+    loop over lazy plans with localCheckpoint per round to cut lineage —
+    the standard Spark pattern for iterative algorithms; rounds needed =
+    graph diameter (tiny for dedup clusters). This is the step that turns
+    pairwise near-dup output into actionable "keep one per cluster".
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nb_min", "component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 ORACLES: dict[str, str] = {
+    "dedup_components": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingles
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING round(count(*) * 1.0 / (a.n_sh + b.n_sh - count(*)), 6) >= 0.5
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            WITH RECURSIVE r(id, target) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.doc_a, r.target FROM r JOIN edges e ON e.doc_b = r.id
+            )
+            SELECT * FROM r
+        )
+        SELECT id AS doc_id, min(target) AS component
+        FROM reach
+        GROUP BY id
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents

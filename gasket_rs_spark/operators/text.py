@@ -137,7 +137,56 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-scoring token per document.
+
+    tf = in-doc count, idf = ln(N / df) with df = docs containing the
+    token. Two hash aggregations plus a broadcast-sized idf join — the
+    canonical distributed TF-IDF shape (token stats are vocabulary-sized,
+    always broadcastable).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar (metadata-cheap); embedded as a literal
+    tokens = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tokens.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_tfidf_top": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token), n
+        )
+        SELECT doc_id, token, tf, df, tfidf
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token) AS rk
+            FROM scored
+        ) t
+        WHERE rk = 1
+    """,
     "text_token_counts": """
         SELECT token, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

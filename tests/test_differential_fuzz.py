@@ -121,10 +121,59 @@ def _canon(v):
 @pytest.fixture(scope="module")
 def ddb(sf_dir):
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
     return con
+
+
+def _gen_join_spec(rng: random.Random) -> dict:
+    return {
+        "o_pred": ("o_totalprice", round(rng.uniform(50000.0, 400000.0), 2)),
+        "l_pred": ("l_quantity", rng.randint(5, 45)),
+        "group": rng.choice(["o_orderstatus", "o_orderpriority", "l_returnflag"]),
+        "jtype": rng.choice(["inner", "left"]),
+    }
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_join_spec_matches_duckdb(spark, sf_dir, ddb, seed):
+    rng = random.Random(9000 + seed)
+    spec = _gen_join_spec(rng)
+    ocol, oval = spec["o_pred"]
+    lcol, lval = spec["l_pred"]
+    orders = load(spark, sf_dir, "orders").where(F.col(ocol) < oval)
+    lineitem = load(spark, sf_dir, "lineitem").where(F.col(lcol) > lval)
+    sdf = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), spec["jtype"])
+        .groupBy(spec["group"])
+        .agg(
+            F.count("l_linenumber").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("s_qty"),
+        )
+    )
+    join_kw = "JOIN" if spec["jtype"] == "inner" else "LEFT JOIN"
+    sql = f"""
+        SELECT {spec['group']}, count(l_linenumber) AS n_lines,
+               round(sum(l_quantity), 4) AS s_qty
+        FROM (SELECT * FROM orders WHERE {ocol} < {oval}) o
+        {join_kw} (SELECT * FROM lineitem WHERE {lcol} > {lval}) l
+          ON o_orderkey = l_orderkey
+        GROUP BY {spec['group']}
+    """
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(_canon(r[c]) for c in scols) for r in sdf.collect()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    rel = ddb.execute(sql)
+    order = sorted(range(len(rel.description)), key=lambda i: rel.description[i][0])
+    drows = sorted(
+        [tuple(_canon(r[i]) for i in order) for r in rel.fetchall()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    assert srows == drows, f"join spec {spec} diverged"
 
 
 @pytest.mark.parametrize("seed", range(25))

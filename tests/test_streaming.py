@@ -41,6 +41,30 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert out.count() == len(keys)
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """Stateful session windows under a real stream (complete replay) must
+    merge to the same sessions as the batch twin."""
+    from gasket_rs_spark.streaming.windows import q_stream_session
+
+    events = events_file_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    run_to_memory_sink(sessions, "sess_stream", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in q_stream_session(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     """Watermarked stream-stream interval join over a bounded replay must
     produce exactly the pairs the equivalent batch join produces."""
