@@ -101,6 +101,23 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array manipulation depth: sort / slice / contains / position /
+    distinct-count over tokenized text (arrays built in-plan)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sorted_toks = F.array_sort(toks)
+    return docs.select(
+        "doc_id",
+        F.element_at(sorted_toks, 1).alias("first_sorted"),
+        F.element_at(sorted_toks, -1).alias("last_sorted"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").cast("bigint").alias("the_pos"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )
+
+
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload column."""
     events = load(spark, sf_dir, "events")
@@ -227,6 +244,16 @@ ORACLES: dict[str, str] = {
                round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm,
                round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max
         FROM embeddings
+    """,
+    "array_ops": """
+        SELECT doc_id,
+               list_sort(string_split(text, ' '))[1] AS first_sorted,
+               list_sort(string_split(text, ' '))[-1] AS last_sorted,
+               string_split(text, ' ')[1:3] AS first3,
+               list_contains(string_split(text, ' '), 'the') AS has_the,
+               CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS the_pos,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        FROM documents
     """,
     "json_funcs": """
         SELECT event_id, event_type,
