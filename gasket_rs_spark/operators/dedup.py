@@ -231,6 +231,27 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id % 5 == 4) is
+    deduped (a) within itself (keep min doc_id per text) and (b) against
+    the existing corpus via broadcast-able anti-join on the text hash —
+    the every-batch shape of a continually-ingesting training pipeline.
+    At scale the corpus side is a bucketed table of text hashes, so the
+    anti-join is hash-key sized, never full-text sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 5 == 4)
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    within = (
+        incoming.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = within.join(
+        corpus.select("text").distinct(), "text", "left_anti"
+    )
+    return survivors.select("doc_id")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: connected components over the
     Jaccard>=0.5 pair graph, labeling every doc with the min doc_id of its
@@ -276,6 +297,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "dedup_incremental": """
+        WITH incoming AS (
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 4
+            GROUP BY text
+        )
+        SELECT doc_id FROM incoming
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents c
+            WHERE c.doc_id % 5 <> 4 AND c.text = incoming.text
+        )
+    """,
     "dedup_components": """
         WITH sh AS (
             SELECT doc_id,

@@ -26,6 +26,7 @@ _MODULES = (
     "gasket_rs_spark.functions.udf",
     "gasket_rs_spark.operators.stats",
     "gasket_rs_spark.operators.skew",
+    "gasket_rs_spark.operators.profile",
 )
 
 
