@@ -176,6 +176,60 @@ def test_random_join_spec_matches_duckdb(spark, sf_dir, ddb, seed):
     assert srows == drows, f"join spec {spec} diverged"
 
 
+def _gen_window_spec(rng: random.Random) -> dict:
+    return {
+        "part": rng.choice(["o_orderstatus", "o_orderpriority"]),
+        "order_col": rng.choice(["o_totalprice", "o_orderdate"]),
+        "desc": rng.choice([True, False]),
+        "fn": rng.choice(["row_number", "rank", "lag", "running_sum"]),
+        "frame_rows": rng.randint(1, 5),
+    }
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_window_spec_matches_duckdb(spark, sf_dir, ddb, seed):
+    from pyspark.sql import Window
+
+    rng = random.Random(7000 + seed)
+    spec = _gen_window_spec(rng)
+    oc, direction = spec["order_col"], ("DESC" if spec["desc"] else "ASC")
+    # o_orderkey tiebreak keeps every ordering total ⇒ deterministic
+    w = Window.partitionBy(spec["part"]).orderBy(
+        F.col(oc).desc() if spec["desc"] else F.col(oc).asc(), F.col("o_orderkey")
+    )
+    if spec["fn"] == "row_number":
+        expr, sql_expr = F.row_number().over(w), "row_number() OVER w"
+    elif spec["fn"] == "rank":
+        expr, sql_expr = F.rank().over(w), "rank() OVER w"
+    elif spec["fn"] == "lag":
+        expr = F.lag("o_totalprice", spec["frame_rows"]).over(w)
+        sql_expr = f"lag(o_totalprice, {spec['frame_rows']}) OVER w"
+    else:
+        fw = w.rowsBetween(-spec["frame_rows"], Window.currentRow)
+        expr = F.round(F.sum("o_totalprice").over(fw), 4)
+        sql_expr = (
+            f"round(sum(o_totalprice) OVER (PARTITION BY {spec['part']} "
+            f"ORDER BY {oc} {direction}, o_orderkey "
+            f"ROWS BETWEEN {spec['frame_rows']} PRECEDING AND CURRENT ROW), 4)"
+        )
+    sdf = load(spark, sf_dir, "orders").select(
+        "o_orderkey", expr.alias("wv")
+    )
+    sql = f"""
+        SELECT o_orderkey, {sql_expr} AS wv FROM orders
+        WINDOW w AS (PARTITION BY {spec['part']} ORDER BY {oc} {direction}, o_orderkey)
+    """
+    srows = sorted(
+        [tuple(_canon(r[c]) for c in ["o_orderkey", "wv"]) for r in sdf.collect()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    drows = sorted(
+        [tuple(_canon(v) for v in r) for r in ddb.execute(sql).fetchall()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    assert srows == drows, f"window spec {spec} diverged"
+
+
 @pytest.mark.parametrize("seed", range(25))
 def test_random_spec_matches_duckdb(spark, sf_dir, ddb, seed):
     rng = random.Random(1000 + seed)
