@@ -180,7 +180,54 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map in-plan, then keys/size/element_at.
+
+    Output stays scalar (map-derived values) because map *rendering*
+    differs between engines' client layers even when semantics agree.
+    """
+    events = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return events.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "k").cast("bigint").alias("m_k"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
+    )
+
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with a NULL element
+    (the OutputMap/splitter edge case — R6/R7 null path)."""
+    docs = load(spark, sf_dir, "documents")
+    rare = F.filter(F.split("text", " "), lambda t: t.startswith("v"))
+    ex = docs.select("doc_id", F.explode_outer(rare).alias("vtoken"))
+    return ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count("vtoken").alias("n_tokens"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "map_funcs": """
+        SELECT event_id,
+               event_type AS m_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS m_k,
+               CAST(2 AS BIGINT) AS m_size,
+               'k,type' AS m_keys
+        FROM events
+    """,
+    "explode_outer": """
+        SELECT doc_id, count(*) AS n_rows, count(u.vtoken) AS n_tokens
+        FROM documents t
+        LEFT JOIN LATERAL unnest(list_filter(string_split(t.text, ' '),
+                                             x -> x LIKE 'v%')) u(vtoken) ON true
+        GROUP BY doc_id
+    """,
     "json_struct": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k,
