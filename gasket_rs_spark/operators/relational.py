@@ -354,6 +354,53 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X10-X13: aggregation
 # ---------------------------------------------------------------------------
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming interval join: purchases × same-user
+    clicks within the preceding hour (second granularity). The streaming
+    version (watermark-bounded state) is `streaming.stream.
+    interval_join_streams`, asserted equal to this in test_streaming."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("unix_millis(ts) div 1000")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_sec").alias("click_sec"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_sec").alias("purchase_sec"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("click_sec") <= F.col("purchase_sec"))
+        & (F.col("click_sec") >= F.col("purchase_sec") - 3600)
+    )
+    return p.join(c, cond).select(
+        "purchase_id", "click_id", F.col("pu").alias("user_id"),
+        (F.col("purchase_sec") - F.col("click_sec")).alias("gap_sec"),
+    )
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style, mergeable map-side) — the scale
+    path behind q_stats_percentiles' exact sort-based variant. Rows-only:
+    sketch results are engine-specific by construction."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("approx_p"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("approx_p", 1), 2).alias("p50"),
+            F.round(F.element_at("approx_p", 2), 2).alias("p95"),
+        )
+    )
+
+
 def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (hash agg, map-side partials)."""
     return (
@@ -466,6 +513,8 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
 
@@ -697,6 +746,20 @@ ORACLES: dict[str, str] = {
         ORDER BY lost_revenue DESC, c_custkey
         LIMIT 20
     """,
+    "interval_join": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        )
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id,
+               p.ts_sec - c.ts_sec AS gap_sec
+        FROM e p JOIN e c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.user_id = p.user_id
+         AND c.ts_sec <= p.ts_sec
+         AND c.ts_sec >= p.ts_sec - 3600
+    """,
     "agg_hash": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -756,7 +819,9 @@ ORACLES: dict[str, str] = {
                row_number() OVER w AS rn,
                rank()       OVER w AS rnk,
                dense_rank() OVER w AS drnk,
-               ntile(4)     OVER w AS quartile
+               ntile(4)     OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     """,
