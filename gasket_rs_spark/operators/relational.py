@@ -126,7 +126,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
         )
     )
 
@@ -426,7 +426,7 @@ def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
@@ -642,7 +642,7 @@ ORACLES: dict[str, str] = {
         GROUP BY p_brand
     """,
     "join_broadcast": """
-        SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+        SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
@@ -776,7 +776,7 @@ ORACLES: dict[str, str] = {
         SELECT o_orderstatus,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price,
-               round(avg(o_totalprice), 2) AS avg_price,
+               round(avg(o_totalprice), 6) AS avg_price,
                count(*) AS n_orders,
                count(DISTINCT o_custkey) AS n_custs
         FROM orders
