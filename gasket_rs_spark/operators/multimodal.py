@@ -18,6 +18,7 @@ Witnesses:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -128,7 +129,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "first_byte": [b[0] if b else None for b in decoded],
                     "last_byte": [b[-1] if b else None for b in decoded],
                     "mean_byte": [
-                        round(sum(b) / len(b), 6) if b else None for b in decoded
+                        # floor(x*1e6+0.5)/1e6: same IEEE expression the
+                        # oracle uses (round() impls disagree on half-grid)
+                        math.floor(sum(b) / len(b) * 1000000 + 0.5) / 1000000
+                        if b else None
+                        for b in decoded
                     ],
                 }
             )
@@ -238,8 +243,8 @@ ORACLES: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes,
                unicode(substr(text, 1, 1)) AS first_byte,
                unicode(substr(text, length(text), 1)) AS last_byte,
-               round(list_avg(list_transform(string_split(text, ''),
-                                             c -> unicode(c))), 6) AS mean_byte
+               floor(list_avg(list_transform(string_split(text, ''),
+                                             c -> unicode(c))) * 1000000 + 0.5) / 1000000 AS mean_byte
         FROM documents
     """,
 }

@@ -513,8 +513,8 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
         )
     )
 
@@ -820,8 +820,8 @@ ORACLES: dict[str, str] = {
                rank()       OVER w AS rnk,
                dense_rank() OVER w AS drnk,
                ntile(4)     OVER w AS quartile,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     """,

@@ -47,7 +47,7 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        (F.floor(F.size(F.array_distinct(toks)) / F.size(toks) * 1000000 + 0.5) / 1000000).alias("ttr"),
         F.length("text").cast("bigint").alias("n_chars_computed"),
     )
 
@@ -75,7 +75,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.round(ratio, 6).alias("marker_ratio"),
+        (F.floor(ratio * 1000000 + 0.5) / 1000000).alias("marker_ratio"),
         F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
     )
 
@@ -99,9 +99,9 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
-        F.round(score, 6).alias("quality_score"),
+        (F.floor(stop_ratio * 1000000 + 0.5) / 1000000).alias("stop_ratio"),
+        (F.floor(mean_tok_len * 1000000 + 0.5) / 1000000).alias("mean_tok_len"),
+        (F.floor(score * 1000000 + 0.5) / 1000000).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
 
@@ -196,8 +196,8 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang,
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_distinct,
-               round(len(list_distinct(string_split(text, ' '))) * 1.0
-                     / len(string_split(text, ' ')), 6) AS ttr,
+               floor(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000 AS ttr,
                length(text) AS n_chars_computed
         FROM documents
     """,
@@ -211,8 +211,8 @@ ORACLES: dict[str, str] = {
     """,
     "text_lang_id": """
         SELECT doc_id, lang,
-               round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
-                     / len(string_split(text, ' ')), 6) AS marker_ratio,
+               floor(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+                     / len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000 AS marker_ratio,
                CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
                          / len(string_split(text, ' ')) >= 0.08
                     THEN 'en' ELSE 'other' END AS pred_lang
@@ -229,11 +229,11 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
         SELECT doc_id, n_tokens,
-               round(stop_ratio, 6) AS stop_ratio,
-               round(mean_tok_len, 6) AS mean_tok_len,
-               round(least(n_tokens / 50.0, 1.0) * 0.5
+               floor(stop_ratio * 1000000 + 0.5) / 1000000 AS stop_ratio,
+               floor(mean_tok_len * 1000000 + 0.5) / 1000000 AS mean_tok_len,
+               floor((least(n_tokens / 50.0, 1.0) * 0.5
                      + (1.0 - least(stop_ratio * 4.0, 1.0)) * 0.3
-                     + least(mean_tok_len / 8.0, 1.0) * 0.2, 6) AS quality_score,
+                     + least(mean_tok_len / 8.0, 1.0) * 0.2) * 1000000 + 0.5) / 1000000 AS quality_score,
                (least(n_tokens / 50.0, 1.0) * 0.5
                      + (1.0 - least(stop_ratio * 4.0, 1.0)) * 0.3
                      + least(mean_tok_len / 8.0, 1.0) * 0.2) >= 0.5 AS keep
