@@ -175,7 +175,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_sec",
-        F.round(F.sum("value").over(w), 4).alias("sum_10min"),
+        (F.floor(F.sum("value").over(w) * 10000 + 0.5) / 10000).alias("sum_10min"),
         F.count("*").over(w).alias("n_10min"),
     )
 
@@ -239,8 +239,8 @@ ORACLES: dict[str, str] = {
     "window_range_frame": """
         SELECT event_id, user_id,
                epoch_ms(ts) // 1000 AS ts_sec,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
-                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS sum_10min,
+               floor(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS sum_10min,
                count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
         FROM events

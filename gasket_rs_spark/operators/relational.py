@@ -548,8 +548,8 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            F.round(F.sum("value").over(running), 4).alias("running_sum"),
-            F.round(F.avg("value").over(moving), 4).alias("moving_avg4"),
+            (F.floor(F.sum("value").over(running) * 10000 + 0.5) / 10000).alias("running_sum"),
+            (F.floor(F.avg("value").over(moving) * 10000 + 0.5) / 10000).alias("moving_avg4"),
         )
     )
 
@@ -838,10 +838,10 @@ ORACLES: dict[str, str] = {
     """,
     "window_frames": """
         SELECT event_id, user_id, value,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
-               round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+               floor(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS running_sum,
+               floor(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS moving_avg4
         FROM events
     """,
     "sort_limit": """

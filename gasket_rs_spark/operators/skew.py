@@ -37,11 +37,11 @@ def salted_agg(df: DataFrame, key: str, value: str, buckets: int = SALT_BUCKETS)
         F.max(value).alias("_max"),
     )
     return partial.groupBy(key).agg(
-        F.round(F.sum("_sum"), 4).alias("sum_value"),
+        (F.floor(F.sum("_sum") * 10000 + 0.5) / 10000).alias("sum_value"),
         F.sum("_cnt").alias("n_events"),
         F.round(F.min("_min"), 6).alias("min_value"),
         F.round(F.max("_max"), 6).alias("max_value"),
-        F.round(F.sum("_sum") / F.sum("_cnt"), 6).alias("avg_value"),
+        (F.floor(F.sum("_sum") / F.sum("_cnt") * 1000000 + 0.5) / 1000000).alias("avg_value"),
     )
 
 
@@ -53,11 +53,11 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "skew_salted_agg": """
         SELECT event_type,
-               round(sum(value), 4) AS sum_value,
+               floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value,
                count(*) AS n_events,
                round(min(value), 6) AS min_value,
                round(max(value), 6) AS max_value,
-               round(sum(value) / count(*), 6) AS avg_value
+               floor(sum(value) / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
         FROM events
         GROUP BY event_type
     """,

@@ -74,10 +74,10 @@ def q_r11_broadcast_tee(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_type, by_user = tee(
         events,
         lambda df: df.groupBy(F.col("event_type").alias("grp")).agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v")
+            F.count("*").alias("n"), (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("sum_v")
         ),
         lambda df: df.groupBy(F.col("user_id").cast("string").alias("grp")).agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v")
+            F.count("*").alias("n"), (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("sum_v")
         ),
     )
     return funnel(by_type, by_user)
@@ -130,10 +130,10 @@ ORACLES: dict[str, str] = {
         GROUP BY src
     """,
     "r11_broadcast_tee": """
-        SELECT event_type AS grp, count(*) AS n, round(sum(value), 4) AS sum_v
+        SELECT event_type AS grp, count(*) AS n, floor(sum(value) * 10000 + 0.5) / 10000 AS sum_v
         FROM events GROUP BY event_type
         UNION ALL
-        SELECT CAST(user_id AS VARCHAR) AS grp, count(*) AS n, round(sum(value), 4) AS sum_v
+        SELECT CAST(user_id AS VARCHAR) AS grp, count(*) AS n, floor(sum(value) * 10000 + 0.5) / 10000 AS sum_v
         FROM events GROUP BY user_id
     """,
     "r13_timer_buckets": """

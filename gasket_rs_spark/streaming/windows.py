@@ -42,7 +42,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -86,7 +86,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.session_window("ts", _SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -115,7 +115,7 @@ def q_stream_watermark_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_kept"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("sum_value"),
         )
     )
 
@@ -144,7 +144,7 @@ ORACLES: dict[str, str] = {
                CAST(to_timestamp((epoch_ms(ts) // 1000) // 600 * 600 + 600) AS TIMESTAMP) AS window_end,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
         FROM events
         GROUP BY 1, 2, 3
     """,
@@ -178,7 +178,7 @@ ORACLES: dict[str, str] = {
                min(ts) AS session_start,
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
         FROM sessions
         GROUP BY user_id, sid
     """,
@@ -190,7 +190,7 @@ ORACLES: dict[str, str] = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_seen
             FROM events
         )
-        SELECT event_type, count(*) AS n_kept, round(sum(value), 4) AS sum_value
+        SELECT event_type, count(*) AS n_kept, floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
         FROM t
         WHERE ts_sec >= max_seen - 3600
         GROUP BY event_type
