@@ -111,7 +111,7 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at(sorted_toks, 1).alias("first_sorted"),
         F.element_at(sorted_toks, -1).alias("last_sorted"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_position(toks, "the").cast("bigint").alias("the_pos"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
@@ -296,7 +296,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                list_sort(string_split(text, ' '))[1] AS first_sorted,
                list_sort(string_split(text, ' '))[-1] AS last_sorted,
-               string_split(text, ' ')[1:3] AS first3,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
                list_contains(string_split(text, ' '), 'the') AS has_the,
                CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS the_pos,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq

@@ -58,10 +58,17 @@ def _shingles(col: str = "text"):
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on document text: keep the lowest doc_id per text."""
+    """Exact dedup on document text: keep the lowest doc_id per text.
+
+    Groups on ``xxhash64(text)`` rather than the text itself so the
+    shuffle key is 8 bytes, not the document body — at corpus scale the
+    shuffle moves hashes, never full documents. 64-bit collisions are
+    negligible against any real corpus size (and the oracle, grouping by
+    full text, would catch one at test SF).
+    """
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.groupBy("text")
+        docs.groupBy(F.xxhash64("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
         .select("doc_id", "n_copies")
     )
@@ -185,30 +192,86 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets: 16-bit token-level SimHash per doc, pairs
-    with identical signatures. Rows-only (xxhash64 is engine-specific)."""
-    docs = load(spark, sf_dir, "documents")
+# --- SimHash parameters ---------------------------------------------------
+# 64-bit signature split into 4 bands of 16 bits. By pigeonhole, any pair
+# within Hamming distance <= 3 differs in at most 3 bands, so at least one
+# band matches exactly — per-band equi-joins on the band value find every
+# such pair without an all-pairs scan. 64 bits keep random collisions rare
+# (a 16-bit identical-signature join, the previous design, degenerates to
+# ~n²/65k candidate pairs at corpus scale).
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_bands(docs: DataFrame) -> DataFrame:
+    """Per-doc SimHash band values: (doc_id, band0..band3), each band a
+    16-bit chunk of the 64-bit token-level SimHash.
+
+    One explode + one agg pass builds all 64 weighted bit sums; band values
+    are assembled in-plan (no UDF). Chunked storage sidesteps int64
+    sign-overflow on bit 63 under ANSI mode and makes per-band joins and
+    ``bit_count``-based Hamming distance direct.
+    """
     ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     ex = ex.withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{bit}")
-        for bit in range(16)
+        for bit in range(_SIMHASH_BITS)
     ]
-    sigs = ex.groupBy("doc_id").agg(*bit_sums)
-    sim_expr = None
-    for bit in range(16):
-        term = F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-        sim_expr = term if sim_expr is None else (sim_expr + term)
-    sigs = sigs.select("doc_id", sim_expr.cast("bigint").alias("simhash"))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash"))
-    return (
-        a.join(b, "simhash")
+    sums = ex.groupBy("doc_id").agg(*bit_sums)
+    band_cols = []
+    for band in range(_SIMHASH_BANDS):
+        expr = None
+        for j in range(_SIMHASH_BAND_BITS):
+            bit = band * _SIMHASH_BAND_BITS + j
+            term = F.when(F.col(f"b{bit}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            expr = term if expr is None else (expr + term)
+        band_cols.append(expr.cast("bigint").alias(f"band{band}"))
+    return sums.select("doc_id", *band_cols)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — banded Hamming-distance search at scale.
+
+    64-bit token-level SimHash per doc, 4 bands x 16 bits; candidate pairs
+    share at least one exact band (complete for Hamming <= 3 by pigeonhole);
+    candidates verified with bit_count(XOR) per band. Rows-only oracle
+    (xxhash64 is engine-specific).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sigs = _simhash_bands(docs)
+    bucket_arr = F.array(*[F.col(f"band{b}") for b in range(_SIMHASH_BANDS)])
+    banded = sigs.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "simhash")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{b}").alias(f"a{b}") for b in range(_SIMHASH_BANDS)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{b}").alias(f"b{b}") for b in range(_SIMHASH_BANDS)],
+    )
+    hamming = None
+    for b in range(_SIMHASH_BANDS):
+        term = F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        hamming = term if hamming is None else (hamming + term)
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -242,33 +305,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     incoming = docs.where(F.col("doc_id") % 5 == 4)
     corpus = docs.where(F.col("doc_id") % 5 != 4)
+    # Hash-keyed throughout: the within-batch groupBy and the anti-join
+    # against the corpus both shuffle 8-byte xxhash64 keys, never text.
     within = (
-        incoming.groupBy("text")
+        incoming.groupBy(F.xxhash64("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
     )
     survivors = within.join(
-        corpus.select("text").distinct(), "text", "left_anti"
+        corpus.select(F.xxhash64("text").alias("_h")).distinct(), "_h", "left_anti"
     )
     return survivors.select("doc_id")
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster canonicalization: connected components over the
-    Jaccard>=0.5 pair graph, labeling every doc with the min doc_id of its
-    component (singletons label themselves).
+def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair graph: label every
+    doc with the min doc_id of its component (singletons label themselves).
 
     The iterative min-label propagation (Pregel-lite) runs as a driver
     loop over lazy plans with localCheckpoint per round to cut lineage —
     the standard Spark pattern for iterative algorithms; rounds needed =
     graph diameter (tiny for dedup clusters). This is the step that turns
     pairwise near-dup output into actionable "keep one per cluster".
+
+    Scale shape: the pair plan is evaluated ONCE (both edge directions
+    come from a single explode, then the edge set is checkpointed), and
+    the iteration runs only over edge endpoints — a near-dup graph's
+    vertex set is tiny next to the corpus, so singletons never enter the
+    loop; they are labeled in one final left join.
     """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("doc_a"), F.col("e.dst").alias("doc_b"))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint()
+    )
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -292,8 +374,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization over the *exact* Jaccard>=0.5 pair
+    graph (oracle-checkable against a recursive CTE). The identical
+    clustering over LSH-generated pairs — the shape that runs at scale —
+    is q_dedup_components_lsh."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _components(docs, pairs)
+
+
+def q_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path cluster canonicalization: connected components over the
+    MinHash-LSH candidate pairs (verified at Jaccard>=0.5). End-to-end this
+    is the 100 TB near-dup recipe — bucketed candidate generation, exact
+    verify on candidates only, then min-label clustering. Rows-only check
+    (LSH recall makes the edge set engine-specific)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _components(docs, pairs)
 
 
 ORACLES: dict[str, str] = {

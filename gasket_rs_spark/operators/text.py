@@ -143,10 +143,11 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = in-doc count, idf = ln(N / df) with df = docs containing the
     token. Two hash aggregations plus a broadcast-sized idf join — the
     canonical distributed TF-IDF shape (token stats are vocabulary-sized,
-    always broadcastable).
+    always broadcastable). N arrives via a broadcast 1-row count
+    aggregate folded into the plan — no separate driver-side count job.
     """
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar (metadata-cheap); embedded as a literal
+    n_df = docs.agg(F.count("*").alias("n_docs"))
     tokens = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tokens.distinct().groupBy("token").agg(F.count("*").alias("df"))
@@ -154,7 +155,11 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         tf.join(F.broadcast(df_), "token")
-        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (

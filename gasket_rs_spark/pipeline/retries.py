@@ -2,8 +2,9 @@
 retry semantics (gasket/src/retries.rs:5-78):
 
 - a unit is attempted ``max_retries + 1`` times total (runtime.rs:627-659);
-- delay before retry n (1-based) is ``backoff_unit * backoff_factor**(n-1)``
-  capped at ``max_backoff`` (retries.rs:74-78); the first attempt has no
+- delay before retry n (1-based) is ``backoff_unit * backoff_factor**n``
+  capped at ``max_backoff`` (retries.rs:74-78, compute_backoff_delay uses
+  ``factor.pow(retry)`` with the 1-based count); the first attempt has no
   delay (retries.rs:29-32);
 - ``dismissible: true`` means a maxed-out unit is skipped and work
   continues; otherwise the failure propagates (runtime.rs:272-275).
@@ -27,7 +28,7 @@ class RetryPolicy:
         """Delay before the given retry (1-based). retries.rs:74-78."""
         if retry <= 0:
             return 0.0
-        return min(self.backoff_unit * (self.backoff_factor ** (retry - 1)), self.max_backoff)
+        return min(self.backoff_unit * (self.backoff_factor ** retry), self.max_backoff)
 
 
 @dataclass

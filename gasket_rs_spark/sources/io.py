@@ -90,19 +90,32 @@ class RetryingForeachBatchWriter:
         if os.path.exists(self._marker(batch_id)):
             return  # already committed: idempotent replay
 
+        committed = False
+
         def attempt():
+            nonlocal committed
             self.attempts.inc()
             self.write_fn(batch_df, batch_id)
+            committed = True
 
         def dismissed():
             self.skipped.inc()
 
         retry_call(attempt, self.policy, on_dismiss=dismissed)
-        # marker written even for a dismissed batch: a restart must not
-        # re-attempt a poison unit that was already skipped
-        with open(self._marker(batch_id), "w") as f:
-            f.write("done")
-        self.batches.inc()
+        # Marker written for dismissed batches too: a restart must not
+        # re-attempt a poison unit that was already skipped. The marker is
+        # created atomically (temp + rename) so a crash never leaves a
+        # partial marker; a crash between sink commit and marker rename
+        # still re-runs the batch, so exactly-once additionally requires
+        # the sink itself to be idempotent per batchId (transactional
+        # sinks should fold the marker into the sink commit).
+        marker = self._marker(batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("done" if committed else "dismissed")
+        os.replace(tmp, marker)
+        if committed:
+            self.batches.inc()
 
     def reset(self) -> None:
         shutil.rmtree(self.marker_dir, ignore_errors=True)

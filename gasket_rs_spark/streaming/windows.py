@@ -164,7 +164,7 @@ ORACLES: dict[str, str] = {
         WITH marked AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -172,9 +172,10 @@ def test_tether_blocked_detection():
 
 @pytest.mark.parametrize(
     "retry_n,expected",
-    [(0, 0.0), (1, 0.001), (2, 0.002), (3, 0.004), (20, 0.05)],
+    [(0, 0.0), (1, 0.002), (2, 0.004), (3, 0.008), (20, 0.05)],
 )
 def test_backoff_schedule(retry_n, expected):
-    """retries.rs:74-78: unit × factor^(n-1), capped at max_backoff."""
+    """retries.rs:74-78: unit × factor^n (compute_backoff_delay uses the
+    1-based retry count as the exponent), capped at max_backoff."""
     p = RetryPolicy(max_retries=10, backoff_unit=0.001, backoff_factor=2.0, max_backoff=0.05)
     assert p.backoff_delay(retry_n) == pytest.approx(expected)
