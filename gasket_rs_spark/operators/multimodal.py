@@ -229,7 +229,11 @@ ORACLES: dict[str, str] = {
         )
         SELECT modality,
                count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               -- DuckDB sums BIGINT into HUGEINT (int128); the driver's
+               -- canonicalizer materializes HUGEINT as float64, which
+               -- hash-mismatches Spark's int64. Every integer sum in an
+               -- oracle gets CAST AS BIGINT (round-1 array lesson, pt 2).
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                round(avg(n_chars % 1280), 4) AS avg_width,
                round(avg(n_chars % 720), 4) AS avg_height,
                max(octet_length(encode(text))) AS max_payload

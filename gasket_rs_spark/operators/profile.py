@@ -1,8 +1,9 @@
 """Data-profiling operators — the inspection utilities an ingestion
 pipeline runs before/after every batch (null counts, cardinalities,
-ranges, histograms). All single-pass aggregates; the per-column profile
-is a union of narrow aggregations so the output shape is stable however
-many columns are profiled.
+ranges, histograms). All single-pass: the per-column profile computes
+every column's stats in ONE wide aggregation over a single table scan,
+then unpivots (`stack`) to the stable row-per-column shape — at 100 TB
+an N-column profile must not cost N scans.
 """
 
 from __future__ import annotations
@@ -15,23 +16,35 @@ from gasket_rs_spark.tables import load
 
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """One profile row per column: nulls, distincts, min/max as strings
-    (stringly-typed so heterogeneous columns stack in one DataFrame)."""
-    parts = []
+    (stringly-typed so heterogeneous columns stack in one DataFrame).
+
+    Single scan: all per-column stats are computed in one wide ``agg``
+    (the multiple count-distincts expand map-side, still one FileScan),
+    then unpivoted with ``stack`` into the row-per-column shape.
+    """
+    aggs = [F.count("*").alias("n_rows")]
     for c in columns:
-        parts.append(
-            df.agg(
-                F.lit(c).alias("column"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
-                F.min(c).cast("string").alias("min_val"),
-                F.max(c).cast("string").alias("max_val"),
-            )
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
+                F.countDistinct(c).alias(f"{c}__n_distinct"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n_null`, `{c}__n_distinct`, `{c}__min`, `{c}__max`"
+        for c in columns
+    )
+    unpivoted = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) "
+            "AS (column, n_null, n_distinct, min_val, max_val)"
+        ),
+    )
+    return unpivoted.select("column", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
 
 
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,33 +76,35 @@ def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "profile_columns": """
+        -- CAST on every integer sum: DuckDB sums into HUGEINT, which the
+        -- driver canonicalizes to float64 and hash-mismatches Spark int64.
         SELECT 'o_orderkey' AS column, count(*) AS n_rows,
-               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                count(DISTINCT o_orderkey) AS n_distinct,
                CAST(min(o_orderkey) AS VARCHAR) AS min_val,
                CAST(max(o_orderkey) AS VARCHAR) AS max_val
         FROM orders
         UNION ALL
         SELECT 'o_custkey', count(*),
-               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_custkey),
                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus', count(*),
-               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderstatus),
                CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_totalprice', count(*),
-               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_totalprice),
                CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', count(*),
-               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderpriority),
                CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         FROM orders

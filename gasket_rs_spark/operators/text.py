@@ -252,7 +252,10 @@ ORACLES: dict[str, str] = {
     """,
     "text_fingerprint": """
         SELECT doc_id,
-               sum(pos * (31 * length(tok) + unicode(tok[1]))) % 2147483647 AS fingerprint
+               -- CAST: DuckDB integer sum() yields HUGEINT, which the
+               -- driver canonicalizes to float64 and hash-mismatches
+               -- Spark's int64. Integer sums in oracles are always BIGINT.
+               CAST(sum(pos * (31 * length(tok) + unicode(tok[1]))) % 2147483647 AS BIGINT) AS fingerprint
         FROM (
             SELECT doc_id,
                    unnest(string_split(text, ' ')) AS tok,

