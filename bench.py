@@ -9,6 +9,12 @@ text, multimodal pandas-UDF, event-time streaming twins) — and measures
 only SCALE paths. The intentionally-quadratic correctness witnesses
 (all-pairs Jaccard / cosine) are excluded from the headline metric; run
 ``python bench.py --witnesses`` to time those separately.
+
+Cross-round comparability: the headline composition changed in round 2
+(the quadratic dedup_ngram_jaccard witness moved out; scale-path queries
+moved in), so every run ALSO times and emits the original round-1
+composition as ``headline_v1_total_sec`` — both series stay comparable
+across all rounds.
 """
 
 from __future__ import annotations
@@ -54,6 +60,30 @@ WITNESSES = [
     "dedup_components",
 ]
 
+# The round-1 headline composition, emitted every run as headline_v1 so
+# cross-round totals stay comparable despite the round-2 recomposition.
+HEADLINE_V1 = [
+    "flagship_revenue_by_region",
+    "agg_hash",
+    "join_theta_range",
+    "asof_join",
+    "rollup_agg",
+    "window_frames",
+    "topk_per_group",
+    "json_funcs",
+    "array_funcs",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "text_token_counts",
+    "text_quality_score",
+    "multimodal_features",
+    "stream_tumbling",
+    "stream_session",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,7 +98,9 @@ def main() -> None:
     # Warm the JVM/codegen path outside timing (tiny SF).
     queries["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001").collect()
 
-    names = WITNESSES if "--witnesses" in sys.argv[1:] else HEADLINE
+    witness_mode = "--witnesses" in sys.argv[1:]
+    # One timing pass covers both headline compositions (their union).
+    names = WITNESSES if witness_mode else list(dict.fromkeys(HEADLINE + HEADLINE_V1))
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
@@ -78,20 +110,28 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "witness_queries_total_sec"
-                if "--witnesses" in sys.argv[1:]
-                else "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    if witness_mode:
+        out = {
+            "metric": "witness_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
+    else:
+        out = {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings[n] for n in HEADLINE), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            # Round-1 composition, same run — keeps cross-round series
+            # comparable after the round-2 headline recomposition.
+            "headline_v1_total_sec": round(sum(timings[n] for n in HEADLINE_V1), 3),
+            "headline_queries": HEADLINE,
+            "headline_v1_queries": HEADLINE_V1,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -28,9 +28,16 @@ from gasket_rs_spark.tables import load
 # --- MinHash parameters (fixed across runs: seeded) -----------------------
 # 31-bit Mersenne prime: a*h + b stays well inside int64 (Spark 4 runs in
 # ANSI mode, so a 61-bit prime would overflow-error on the multiply).
+#
+# 128 permutations as 32 bands x 4 rows: the LSH s-curve midpoint is
+# (1/bands)^(1/rows) = (1/32)^(1/4) ~= 0.42, comfortably below the module's
+# advertised J >= 0.5 threshold, giving ~87% single-band recall at exactly
+# J = 0.5 (the earlier 8x4 layout had its midpoint at 0.59 — only ~40%
+# recall at the threshold). Precision stays 1.0 via the exact-Jaccard
+# verify step; tests/test_dedup_recall.py pins the recall floor.
 _MERSENNE = (1 << 31) - 1
-_N_HASHES = 32
-_BANDS = 8
+_N_HASHES = 128
+_BANDS = 32
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 _rng = random.Random(42)
 _MINHASH_AB = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for _ in range(_N_HASHES)]
@@ -323,15 +330,21 @@ def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
     The iterative min-label propagation (Pregel-lite) runs as a driver
     loop over lazy plans with localCheckpoint per round to cut lineage —
-    the standard Spark pattern for iterative algorithms; rounds needed =
-    graph diameter (tiny for dedup clusters). This is the step that turns
-    pairwise near-dup output into actionable "keep one per cluster".
+    the standard Spark pattern for iterative algorithms. Each round does
+    (a) neighbor-min propagation along edges and (b) one pointer-jumping
+    shortcut (label := label's label), so convergence needs only
+    O(log diameter) rounds instead of O(diameter) — a 1M-link chain
+    resolves in ~20 rounds, not 1M. This is the step that turns pairwise
+    near-dup output into actionable "keep one per cluster".
 
     Scale shape: the pair plan is evaluated ONCE (both edge directions
     come from a single explode, then the edge set is checkpointed), and
     the iteration runs only over edge endpoints — a near-dup graph's
     vertex set is tiny next to the corpus, so singletons never enter the
     loop; they are labeled in one final left join.
+
+    Raises ``RuntimeError`` if the label set has not converged within the
+    round cap — unconverged labels would silently split components.
     """
     edges = (
         pairs.select(
@@ -351,18 +364,28 @@ def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(20):
+    max_rounds = 30
+    changed = -1
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("nb_min"))
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("component"), F.coalesce("nb_min", "component")).alias("component"),
+        )
+        # Pointer jumping: replace each label with its label's label. A
+        # label is always the id of a vertex in the same component, so the
+        # self-join always hits and labels stay component members while
+        # the effective propagation distance doubles every round.
+        jumped = propagated.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("grand")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce("nb_min", "component")).alias("component"),
-            )
+            propagated.join(jumped, "component", "left")
+            .select("doc_id", F.coalesce("grand", "component").alias("component"))
             .localCheckpoint()
         )
         changed = (
@@ -374,6 +397,11 @@ def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge within {max_rounds} rounds "
+            f"({changed} labels still changing) — pathological graph diameter"
+        )
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )

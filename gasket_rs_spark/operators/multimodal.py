@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,19 +122,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 decode_payload(p, m, fake=True)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
+            # Byte statistics via numpy views over the payload buffers —
+            # no interpreter loop over individual bytes (at 100 TB the
+            # per-byte Python loop this replaces IS the job's runtime).
+            arrays = [np.frombuffer(b, dtype=np.uint8) for b in decoded]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(b) for b in decoded],
-                    "first_byte": [b[0] if b else None for b in decoded],
-                    "last_byte": [b[-1] if b else None for b in decoded],
+                    "n_bytes": [a.size for a in arrays],
+                    "first_byte": [int(a[0]) if a.size else None for a in arrays],
+                    "last_byte": [int(a[-1]) if a.size else None for a in arrays],
                     "mean_byte": [
                         # floor(x*1e6+0.5)/1e6: same IEEE expression the
-                        # oracle uses (round() impls disagree on half-grid)
-                        math.floor(sum(b) / len(b) * 1000000 + 0.5) / 1000000
-                        if b else None
-                        for b in decoded
+                        # oracle uses (round() impls disagree on half-grid).
+                        # int(a.sum())/size (not a.mean()): pairwise-
+                        # summation float differs from the oracle's exact
+                        # integer-sum-then-divide on low-order bits.
+                        math.floor(int(a.sum()) / a.size * 1000000 + 0.5) / 1000000
+                        if a.size else None
+                        for a in arrays
                     ],
                 }
             )

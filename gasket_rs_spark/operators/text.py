@@ -141,10 +141,14 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-scoring token per document.
 
     tf = in-doc count, idf = ln(N / df) with df = docs containing the
-    token. Two hash aggregations plus a broadcast-sized idf join — the
-    canonical distributed TF-IDF shape (token stats are vocabulary-sized,
-    always broadcastable). N arrives via a broadcast 1-row count
-    aggregate folded into the plan — no separate driver-side count job.
+    token. Two hash aggregations plus an idf join. The idf side is NOT
+    force-broadcast: a web-scale corpus's vocabulary (typos, numbers,
+    code) can exceed any broadcast threshold, so the join strategy is
+    left to AQE — it picks broadcast when the measured df table is small
+    (asserted at test SF in tests/test_plans.py) and degrades to a
+    shuffle join instead of OOMing when it isn't. N arrives via a
+    broadcast 1-row count aggregate folded into the plan — no separate
+    driver-side count job.
     """
     docs = load(spark, sf_dir, "documents")
     n_df = docs.agg(F.count("*").alias("n_docs"))
@@ -154,7 +158,7 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_df))
         .withColumn(
             "tfidf",

@@ -24,6 +24,15 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_adaptive_plan(df: DataFrame) -> str:
+    """Plan string AFTER executing under AQE — runtime join-strategy
+    switches (e.g. shuffle join -> broadcast once the build side's true
+    size is known) only appear in the adaptive final plan, not in the
+    static explain."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def count_operator(df: DataFrame, operator: str) -> int:
     """Occurrences of a physical operator node (e.g. 'BroadcastHashJoin',
     'SortMergeJoin', 'Exchange') in the plan node list."""

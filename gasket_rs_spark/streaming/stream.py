@@ -51,13 +51,20 @@ def events_file_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Tumbling-window counts with watermark — the streaming twin of
-    ``windows.q_stream_tumbling`` plus late-data drop (X29+X31)."""
+    """Tumbling-window counts + value sums with watermark — the streaming
+    twin of ``windows.q_stream_tumbling`` plus late-data drop (X29+X31).
+    Emits the same aggregate columns (same floor-rounding) so the pytest
+    equivalence check is frame-equal, not count-only."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
     )
 
 

@@ -98,6 +98,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WM_BUCKETS = 1024
+
+
 def q_stream_watermark_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data drop, simulated deterministically in batch.
 
@@ -106,11 +109,45 @@ def q_stream_watermark_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen so far in arrival order. Arrival order := event_id. The running
     max over arrival order reproduces the watermark exactly, so the oracle
     can check which rows survive.
+
+    Scale shape — two-pass prefix max, NO global sort: arrival order is
+    range-bucketed on event_id into a bounded number of buckets; pass 1
+    aggregates each bucket's max event time, a broadcast triangular join
+    over the (tiny) bucket table yields each bucket's strict-predecessor
+    running max, and pass 2 computes the within-bucket running max with a
+    window PARTITIONED by bucket. Every window here is partitioned; the
+    single-task global ``Window.orderBy`` this replaces would wedge at
+    100x scale.
     """
     events = _events_with_sec(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds = events.agg(
+        F.min("event_id").alias("lo"),
+        (
+            F.ceil((F.max("event_id") - F.min("event_id") + 1) / F.lit(_WM_BUCKETS))
+        ).cast("bigint").alias("bwidth"),
+    )
+    ev = events.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", ((F.col("event_id") - F.col("lo")) / F.col("bwidth")).cast("bigint")
+    )
+    bstats = ev.groupBy("bucket").agg(F.max("ts_sec").alias("bmax"))
+    prev = (
+        bstats.alias("a")
+        .join(F.broadcast(bstats.alias("b")), F.col("b.bucket") < F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max("b.bmax").alias("prev_max"))
+    )
+    w = Window.partitionBy("bucket").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return (
-        events.withColumn("max_seen", F.max("ts_sec").over(w))
+        ev.join(F.broadcast(prev), "bucket", "left")
+        .withColumn(
+            "max_seen",
+            F.greatest(
+                F.max("ts_sec").over(w),
+                F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
+            ),
+        )
         .where(F.col("ts_sec") >= F.col("max_seen") - 3600)
         .groupBy("event_type")
         .agg(

@@ -62,6 +62,19 @@ def test_narrow_chain_fuses_without_exchange(spark, sf_dir):
     assert count_operator(df, "Exchange") == 0
 
 
+def test_tfidf_df_join_broadcasts_under_aqe(spark, sf_dir):
+    """The idf join carries no broadcast hint (an unbounded vocabulary
+    must be allowed to fall back to a shuffle join) — but at test SF the
+    measured df table is tiny, so AQE's final plan must still pick a
+    broadcast join. Guards both halves of the design."""
+    from gasket_rs_spark.operators.text import q_text_tfidf_top
+    from gasket_rs_spark.plans.inspect import final_adaptive_plan
+
+    plan = final_adaptive_plan(q_text_tfidf_top(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_profile_columns_single_scan(spark, sf_dir):
     """The N-column profile must read the table ONCE (wide agg + stack),
     not once per column — at 100 TB a 5-column profile must not be 5× IO."""

@@ -17,28 +17,42 @@ from gasket_rs_spark.streaming.windows import q_stream_tumbling
 
 
 def test_windowed_stream_matches_batch(spark, sf_dir):
-    """The streaming tumbling-window counts (complete run over a bounded
-    replay) must equal the batch twin's counts."""
+    """The streaming tumbling-window aggregates (complete run over a
+    bounded replay) must be frame-equal to the oracle-checked batch twin —
+    counts AND value sums, window bounds included."""
     stream = windowed_counts_stream(events_file_stream(spark, sf_dir))
     run_to_memory_sink(stream, "win_counts", output_mode="complete")
     got = {
-        (r["window_start"], r["event_type"]): r["n_events"]
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in spark.table("win_counts").collect()
     }
     want = {
-        (r["window_start"], r["event_type"]): r["n_events"]
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in q_stream_tumbling(spark, sf_dir).collect()
     }
     assert got == want
 
 
 def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a bounded replay: exactly one
+    survivor per key, the surviving key set equals the batch-distinct key
+    set, and every survivor is a real source event."""
+    from gasket_rs_spark.tables import load
+
     stream = deduped_stream(events_file_stream(spark, sf_dir))
     run_to_memory_sink(stream, "deduped", output_mode="append")
     out = spark.table("deduped")
     keys = out.groupBy("user_id", "event_type").count().collect()
     assert all(r["count"] == 1 for r in keys)
     assert out.count() == len(keys)
+    ev = load(spark, sf_dir, "events")
+    want_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert {(r["user_id"], r["event_type"]) for r in keys} == want_keys
+    src_ids = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert {r["event_id"] for r in out.select("event_id").collect()} <= src_ids
 
 
 def test_streaming_session_window_matches_batch(spark, sf_dir):
