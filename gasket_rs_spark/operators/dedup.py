@@ -385,6 +385,45 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+def build_corpus_hash_index(
+    corpus: DataFrame, table_name: str, n_buckets: int = 32
+) -> None:
+    """Materialize the corpus dedup index as a BUCKETED table of text
+    hashes — the layout lever that makes every future ingest batch's
+    anti-join shuffle-free on the corpus side.
+
+    The index holds only distinct ``xxhash64(text)`` values (8 bytes per
+    unique document), bucketed and sorted by the hash. A 100 TB corpus's
+    index is ~tens of GB, written once and appended per batch; the
+    per-batch anti-join then shuffles just the incoming batch into bucket
+    alignment while the corpus side is read bucket-local with zero
+    Exchange (same mechanism test_bucketed_join.py proves for fact-fact
+    joins).
+    """
+    (
+        corpus.select(F.xxhash64("text").alias("_h"))
+        .distinct()
+        .write.bucketBy(n_buckets, "_h")
+        .sortBy("_h")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def incremental_dedup_against_index(
+    spark: SparkSession, batch: DataFrame, table_name: str
+) -> DataFrame:
+    """Per-batch ingest dedup against a bucketed corpus hash index:
+    dedup the batch within itself (keep min doc_id per text), then
+    anti-join the (tiny) batch against the bucketed index — the corpus
+    side never shuffles. Returns surviving (doc_id) rows, the same
+    contract as q_dedup_incremental."""
+    within = batch.groupBy(F.xxhash64("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return within.join(spark.table(table_name), "_h", "left_anti").select("doc_id")
+
+
 def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Connected components over a (doc_a, doc_b) pair graph: label every
     doc with the min doc_id of its component (singletons label themselves).

@@ -200,8 +200,14 @@ ORACLES: dict[str, str] = {
     "stream_session": """
         WITH marked AS (
             SELECT user_id, ts, value,
+                   -- Strictly-greater boundary: Spark's session_window
+                   -- MERGES an event at exactly prev+gap (window ends are
+                   -- extended to latest_input+gap and a new event whose
+                   -- start equals the current end still merges — verified
+                   -- empirically, pinned by
+                   -- tests/test_streaming.py::test_session_window_boundary_exact).
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -56,3 +56,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_bucketed_incremental_dedup_corpus_side_no_exchange(spark, sf_dir):
+    """The per-batch ingest anti-join against the bucketed corpus hash
+    index must not shuffle the corpus side, and must keep exactly the
+    survivors the plain (shuffling) incremental dedup keeps."""
+    from gasket_rs_spark.operators.dedup import (
+        build_corpus_hash_index,
+        incremental_dedup_against_index,
+        q_dedup_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    spark.sql("DROP TABLE IF EXISTS corpus_hash_idx")
+    build_corpus_hash_index(corpus, "corpus_hash_idx")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        survivors = incremental_dedup_against_index(spark, batch, "corpus_hash_idx")
+        # Exchanges allowed: batch-side agg + batch-side bucket alignment.
+        # The corpus scan feeds the join with no Exchange above it.
+        assert count_operator(survivors, "Exchange") <= 2
+        plan = survivors._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        got = {r["doc_id"] for r in survivors.collect()}
+        want = {r["doc_id"] for r in q_dedup_incremental(spark, sf_dir).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS corpus_hash_idx")

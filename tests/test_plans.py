@@ -90,3 +90,22 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     df = load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity"))
     assert count_operator(df, "HashAggregate") >= 2
     assert count_operator(df, "Exchange") >= 1
+
+
+def test_no_unpartitioned_window_in_source():
+    """Every window function in the package must be partitioned — a bare
+    Window.orderBy is a single-task global sort that wedges at scale (the
+    round-2 stream_watermark_sim defect, fixed via bucketed prefix-max)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "gasket_rs_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"Window\.orderBy\(", src):
+            # allow mentions inside comments/docstrings, not code
+            line = src[: m.start()].rsplit("\n", 1)[-1] + "Window.orderBy("
+            if not line.lstrip().startswith("#") and '"' not in line.split("Window")[0]:
+                offenders.append(f"{py.name}: {line.strip()}")
+    assert not offenders, f"unpartitioned windows: {offenders}"

@@ -237,3 +237,35 @@ def test_rate_source_ticks(spark):
     # counter must be dense and gapless from 0
     assert len(vals) > 0
     assert set(vals) == set(range(len(vals)))
+
+
+def test_session_window_boundary_exact(spark):
+    """Pins Spark session_window's boundary semantics empirically: an
+    event at EXACTLY prev+gap still MERGES (the session end is extended
+    to latest_input+gap, and a new event whose start equals the current
+    end joins it); only a strictly-greater gap opens a new session. The
+    stream_session oracle therefore breaks sessions on
+    ``ts - lag(ts) > gap`` — '>' not '>=' (round 2 flipped this the wrong
+    way; no data row sat on the boundary so the gate never caught it)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        (1, t0),
+        (1, t0 + gap),                                  # exactly at the gap -> merges
+        (2, t0),
+        (2, t0 + gap + datetime.timedelta(seconds=1)),  # past the gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in sessions:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user[1] == [2], "boundary event must merge into the session"
+    assert sorted(per_user[2]) == [1, 1], "past-gap event must open a new session"
