@@ -277,29 +277,51 @@ def _simhash_bands(docs: DataFrame) -> DataFrame:
     """Per-doc SimHash band values: (doc_id, band0..band3), each band a
     16-bit chunk of the 64-bit token-level SimHash.
 
-    One explode + one agg pass builds all 64 weighted bit sums; band values
-    are assembled in-plan (no UDF). Chunked storage sidesteps int64
-    sign-overflow on bit 63 under ANSI mode and makes per-band joins and
-    ``bit_count``-based Hamming distance direct.
+    One Arrow-batched ``mapInPandas`` pass: 64-bit token hashes from two
+    salted CRC32s, the 64 weighted bit sums as a single vectorized
+    (n_tokens × 64) matrix reduction, sign-thresholded and packed into
+    four 16-bit bands. Replaces an explode + 64-conditional-sum aggregate
+    that (like the MinHash permutation sweep) pays ~64 interpreted ops
+    per token and was computed once per consumer branch — the dense bit
+    kernel is numpy's home turf. Hash values are engine-internal; every
+    property (pigeonhole completeness, Hamming verify, candidate volume)
+    is pinned by tests/test_dedup_simhash.py.
     """
-    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    ex = ex.withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{bit}")
-        for bit in range(_SIMHASH_BITS)
-    ]
-    sums = ex.groupBy("doc_id").agg(*bit_sums)
-    band_cols = []
-    for band in range(_SIMHASH_BANDS):
-        expr = None
-        for j in range(_SIMHASH_BAND_BITS):
-            bit = band * _SIMHASH_BAND_BITS + j
-            term = F.when(F.col(f"b{bit}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            expr = term if expr is None else (expr + term)
-        band_cols.append(expr.cast("bigint").alias(f"band{band}"))
-    return sums.select("doc_id", *band_cols)
+    bit_cols = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    band_weights = 1 << np.arange(_SIMHASH_BAND_BITS, dtype=np.uint64)
+
+    def _splitmix64(x: np.ndarray) -> np.ndarray:
+        # Standard splitmix64 finalizer: expands the 32-bit CRC into 64
+        # independent-looking bits (two raw CRCs are linearly related for
+        # equal-length tokens, which collapses SimHash bit independence).
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def band_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": []}
+            for b in range(_SIMHASH_BANDS):
+                out[f"band{b}"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                th = _splitmix64(
+                    np.array([crc32(t.encode()) for t in toks], dtype=np.uint64)
+                )
+                bits = (th[:, None] >> bit_cols[None, :]) & np.uint64(1)
+                sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig_bits = (sums > 0).astype(np.uint64)
+                out["doc_id"].append(doc_id)
+                for b in range(_SIMHASH_BANDS):
+                    chunk = sig_bits[b * _SIMHASH_BAND_BITS : (b + 1) * _SIMHASH_BAND_BITS]
+                    out[f"band{b}"].append(int((chunk * band_weights).sum()))
+            yield pd.DataFrame(out)
+
+    schema = "doc_id bigint, " + ", ".join(
+        f"band{b} bigint" for b in range(_SIMHASH_BANDS)
+    )
+    return docs.select("doc_id", "text").mapInPandas(band_batches, schema)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,8 +332,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates verified with bit_count(XOR) per band. Rows-only oracle
     (xxhash64 is engine-specific).
     """
-    docs = load(spark, sf_dir, "documents")
-    sigs = _simhash_bands(docs)
+    from pyspark import StorageLevel
+
+    # Repartition for the same single-file-input reason as _minhash_base;
+    # persist because banding and both verify branches consume the sigs.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = _simhash_bands(docs).persist(StorageLevel.MEMORY_AND_DISK)
     bucket_arr = F.array(*[F.col(f"band{b}") for b in range(_SIMHASH_BANDS)])
     banded = sigs.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
