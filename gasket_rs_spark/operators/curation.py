@@ -1,0 +1,135 @@
+"""End-to-end training-data curation pipeline (north-star composite).
+
+One query chaining the stages a 100 TB corpus actually goes through
+before training: quality gate → exact dedup → near-dup clustering →
+canonical-document selection → corpus stats. Every stage is the
+oracle-checked building block from its home module (text filters, hash
+dedup, Jaccard pair graph, min-label components), composed into a single
+lazy plan so Catalyst sees the whole thing (filters push into the scan;
+the expensive pair stage runs only on the filtered+deduped survivor set).
+
+Scale notes: the quality gate and exact dedup shrink the corpus before
+any pairwise work; the pair stage here is the exact-Jaccard witness so
+the driver can value-check the composite end to end — the LSH swap-in
+(q_dedup_components_lsh) is the 100 TB path and is verified separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.operators.dedup import (
+    _JACCARD_THRESHOLD,
+    _components,
+    _shingles,
+)
+from gasket_rs_spark.tables import load
+
+_MIN_CHARS = 100
+_MIN_TOKENS = 20
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quality filter → exact dedup → near-dup canonicalize →
+    per-language corpus stats of the surviving training set."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.where(
+        (F.length("text") >= _MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= _MIN_TOKENS)
+    )
+    # Exact dedup: min doc_id per text (hash-keyed shuffle, text never moves).
+    exact_keep = (
+        kept.groupBy(F.xxhash64("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = kept.join(exact_keep, "doc_id")
+    # Near-dup clustering on the (already shrunken) survivor set: exact
+    # Jaccard pair graph → min-label components → keep cluster minimum.
+    sh = survivors.select("doc_id", _shingles().alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle_str")
+    ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            )
+            >= _JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = _components(survivors.select("doc_id"), pairs)
+    canonical = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    final = survivors.join(canonical, "doc_id")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.floor(F.avg(F.length("text")) * 10000 + 0.5) / 10000).alias("avg_len"),
+        )
+        .select("lang", "n_docs", "total_chars", "avg_len")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "curation_pipeline": """
+        WITH kept AS (
+            SELECT doc_id, text, lang, n_chars
+            FROM documents
+            WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+        ), exact_keep AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+        ), survivors AS (
+            SELECT k.* FROM kept k JOIN exact_keep e ON k.doc_id = e.doc_id
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingles
+            FROM survivors
+        ), ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING round(count(*) * 1.0 / (a.n_sh + b.n_sh - count(*)), 6) >= 0.5
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            WITH RECURSIVE r(id, target) AS (
+                SELECT doc_id, doc_id FROM survivors
+                UNION
+                SELECT e.doc_a, r.target FROM r JOIN edges e ON e.doc_b = r.id
+            )
+            SELECT * FROM r
+        ), comp AS (
+            SELECT id AS doc_id, min(target) AS component FROM reach GROUP BY id
+        ), final AS (
+            SELECT s.* FROM survivors s JOIN comp c
+              ON s.doc_id = c.doc_id AND s.doc_id = c.component
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               floor(avg(length(text)) * 10000 + 0.5) / 10000 AS avg_len
+        FROM final
+        GROUP BY lang
+    """,
+}

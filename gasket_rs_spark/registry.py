@@ -30,6 +30,7 @@ _MODULES = (
     "gasket_rs_spark.functions.scalar",
     "gasket_rs_spark.operators.text",
     "gasket_rs_spark.operators.dedup",
+    "gasket_rs_spark.operators.curation",
     "gasket_rs_spark.operators.similarity",
     "gasket_rs_spark.operators.multimodal",
     "gasket_rs_spark.streaming.windows",
