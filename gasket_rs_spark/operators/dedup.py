@@ -391,6 +391,90 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Embedding-LSH parameters --------------------------------------------
+# 8 random hyperplanes -> 256 sign-pattern buckets; candidate pairs share a
+# bucket directly or across one bit flip (Hamming<=1 multi-probe). For the
+# pairs that matter to dedup — true duplicates with cosine -> 1 — the
+# per-plane agreement probability 1 - theta/pi approaches 1, so capture
+# probability is high (~0.8 at cos 0.95, ~1 at cos 0.99); recall at the
+# witness's 0.4 threshold is intentionally modest (those are not
+# duplicates). tests/test_dedup_embedding_lsh.py pins both properties.
+_EMB_PLANES_N = 8
+_EMB_DIM = 64
+_emb_rng = random.Random(77)
+_EMB_PLANES = [
+    [_emb_rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)] for _ in range(_EMB_PLANES_N)
+]
+_EMB_COSINE_THRESHOLD = 0.4
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane LSH — the scale path whose
+    exact twin is q_dedup_embedding_cosine (all-pairs witness).
+
+    Each vector gets a 8-bit sign-pattern bucket (one narrow map over the
+    corpus); candidate pairs share a bucket under Hamming<=1 multi-probe
+    (one side explodes its 9 probe buckets, the other keeps its home
+    bucket); candidates are cosine-verified at the witness threshold.
+    O(n · bucket occupancy · probes), never O(n²). Rows-only check (LSH
+    recall makes the pair set parameter-specific); subset-of-witness and
+    duplicate-capture floors are pytest-pinned.
+    """
+    from gasket_rs_spark.operators.similarity import _as_double, _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    bucket = F.lit(0)
+    for i, plane in enumerate(_EMB_PLANES):
+        proj = _dot(F.array(*[F.lit(v) for v in plane]), F.col("vec"))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    from pyspark import StorageLevel
+
+    vecs = emb.withColumn("bucket", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    probes = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_EMB_PLANES_N)],
+            )
+        ).alias("bucket"),
+    )
+    candidates = (
+        probes.join(vecs.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= _EMB_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: an incoming batch (doc_id % 5 == 4) is
     deduped (a) within itself (keep min doc_id per text) and (b) against

@@ -1,0 +1,50 @@
+"""Embedding-LSH dedup properties (the scale twin of the all-pairs
+cosine witness): precision via subset-of-witness on real data, and the
+property that actually matters for dedup — near-identical vectors
+(cosine ≈ 1) are captured with high probability."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from gasket_rs_spark.operators import dedup as D
+
+
+def test_lsh_pairs_subset_of_exact_witness(spark, sf_dir):
+    exact = {
+        (r.vec_a, r.vec_b) for r in D.q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b) for r in D.q_dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    # Precision 1.0 by construction: every emitted pair passed the exact
+    # cosine verify at the same threshold as the witness.
+    assert lsh <= exact, f"LSH emitted non-witness pairs: {sorted(lsh - exact)[:5]}"
+
+
+def test_true_duplicates_are_captured(spark, tmp_path_factory):
+    """Vectors plus tiny-noise copies (cosine > 0.99) must pair up — the
+    duplicate-grade recall the operator exists for."""
+    rng = random.Random(7)
+    rows = []
+    n_dups = 40
+    for i in range(n_dups):
+        v = [rng.gauss(0.0, 1.0) for _ in range(D._EMB_DIM)]
+        noisy = [x + rng.gauss(0.0, 0.01) for x in v]
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((1000 + i, [float(x) for x in noisy], 0))
+    # unrelated filler
+    for i in range(2000, 2100):
+        rows.append((i, [float(rng.gauss(0.0, 1.0)) for _ in range(D._EMB_DIM)], 1))
+    d = str(tmp_path_factory.mktemp("emb"))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    pairs = {(r.vec_a, r.vec_b) for r in D.q_dedup_embedding_lsh(spark, d).collect()}
+    captured = sum(1 for i in range(n_dups) if (i, 1000 + i) in pairs)
+    # Hamming<=1 multi-probe at cosine ~0.99 captures ~97% per the sign-
+    # agreement bound; 0.85 leaves slack for the seeded planes.
+    assert captured / n_dups >= 0.85, f"captured only {captured}/{n_dups} duplicates"
