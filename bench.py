@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "dedup_components_lsh",
     "similarity_topk",
     "similarity_ann_lsh",
