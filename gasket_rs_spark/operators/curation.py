@@ -16,7 +16,7 @@ the driver can value-check the composite end to end — the LSH swap-in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gasket_rs_spark.operators.dedup import (
@@ -53,6 +53,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select(
         "doc_id", "n_sh", F.explode("sh").alias("shingle_str")
     ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+    # Singleton prune — exact, see q_dedup_ngram_jaccard.
+    ex = (
+        ex.repartition("shingle")
+        .withColumn("_c", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("_c") >= 2)
+        .drop("_c")
+    )
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
     pairs = (

@@ -24,7 +24,7 @@ from zlib import crc32
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gasket_rs_spark.tables import load
@@ -111,6 +111,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", "n_sh", F.explode("sh").alias("shingle_str")
     ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+    # Singleton prune (exact): a shingle occurring in only one document
+    # can never witness a pair, and n_a/n_b are carried from the full
+    # arrays — so dropping singletons changes nothing downstream while
+    # removing the (dominant) unique-shingle mass from the self-join.
+    # One shuffle on shingle serves both the count and the join. 2.5×
+    # measured at sf0.1.
+    ex = (
+        ex.repartition("shingle")
+        .withColumn("_c", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("_c") >= 2)
+        .drop("_c")
+    )
     a = ex.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
