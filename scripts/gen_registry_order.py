@@ -2,16 +2,26 @@
 
 Policy (mechanical — no hand-picked names): external correctness checks
 may cover only a prefix of the catalog, so the catalog is emitted in
-*evidence-staleness* order to maximize the information each round's check
+*evidence-validity* order to maximize the information each round's check
 produces and to guarantee full-catalog rotation across rounds:
 
-1. primary key: the round each query was last checked in (never-checked
-   first, then oldest round → newest);
-2. within the same round cohort: queries whose last check was NOT green
-   (hash mismatch) first, then green queries whose implementing module
-   file has changed since that round's snapshot commit (their evidence is
-   stale), then green-and-unchanged;
+1. primary key — current evidence validity:
+   - 0: last check FAILED (hash mismatch) — re-verify first;
+   - 1: no currently-valid evidence — never checked, or green but the
+     implementing module file changed since the checked snapshot commit
+     (a green row for code that no longer exists proves nothing);
+   - 2: green AND unchanged — the old evidence still holds verbatim.
+2. within a validity class: last-checked round, oldest first
+   (never-checked sorts before round 1) — this is the rotation that ages
+   out even valid evidence over time;
 3. ties: query name (deterministic).
+
+Rationale for validity-before-age (changed from age-before-validity
+after round 2): a query whose code changed since its green check has NO
+standing evidence and must outrank a green-unchanged query whose older
+evidence is still literally valid — otherwise a prefix-limited checker
+spends its budget re-proving what is already proven while changed code
+goes unchecked.
 
 Inputs are all committed artifacts: ``CORRECTNESS_r*.json`` (driver
 output) and git history (module content at each round's snapshot commit).
@@ -115,7 +125,8 @@ def main() -> None:
 
     order = sorted(
         queries,
-        key=lambda n: (last_checked.get(n, -1), cohort_rank(n), n),
+        key=lambda n: (cohort_rank(n) if n in last_checked else 1,
+                       last_checked.get(n, -1), n),
     )
 
     lines = [
