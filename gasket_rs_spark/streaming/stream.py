@@ -107,6 +107,41 @@ def interval_join_streams(
     return p.join(c, cond).select("purchase_id", "click_id", "p_user")
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running event counter whose state survives across
+    microbatches — the general escape hatch when no built-in stateful
+    operator (window agg / dropDuplicates / session) expresses the
+    semantics.
+
+    Reference parity: this is the worker-with-state stage shape
+    (``framework.rs:91-135`` — bootstrap once, accumulate across units);
+    the state store plays the role of the worker's fields, partitioned by
+    key and checkpointed. Emits (user_id, n_events) after every batch
+    that touches the key; the latest row per key is the running total,
+    asserted frame-equal to the batch groupBy count in
+    tests/test_streaming.py.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id bigint, n_events bigint",
+        "n bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

@@ -269,3 +269,37 @@ def test_session_window_boundary_exact(spark):
         per_user.setdefault(r["user_id"], []).append(r["n"])
     assert per_user[1] == [2], "boundary event must merge into the session"
     assert sorted(per_user[2]) == [1, 1], "past-gap event must open a new session"
+
+
+def test_stateful_custom_operator_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running counter: state must accumulate
+    across microbatches (4-file replay = 4 batches), and the final
+    per-user total must equal the batch groupBy count."""
+    import os
+    import tempfile
+
+    from gasket_rs_spark.streaming.stream import stateful_user_counts
+    from gasket_rs_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="gasket-state-src-")
+    src = os.path.join(scratch, "src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory_sink(stateful_user_counts(stream), "user_counts", output_mode="update")
+    out = spark.table("user_counts")
+    # multiple batches must actually have run (state exercised across them)
+    assert out.count() > out.select("user_id").distinct().count()
+    got = {
+        r["user_id"]: r["mx"]
+        for r in out.groupBy("user_id").agg(F.max("n_events").alias("mx")).collect()
+    }
+    want = {
+        r["user_id"]: r["count"]
+        for r in events.groupBy("user_id").count().collect()
+    }
+    assert got == want
