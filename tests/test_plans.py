@@ -109,3 +109,15 @@ def test_no_unpartitioned_window_in_source():
             if not line.lstrip().startswith("#") and '"' not in line.split("Window")[0]:
                 offenders.append(f"{py.name}: {line.strip()}")
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_new_scale_paths_have_no_cartesian(spark, sf_dir):
+    """The curation composite and the embedding-LSH dedup must generate
+    candidates via equi-joins — a CartesianProduct anywhere means the
+    bucketing/prefilter failed to reach the physical plan."""
+    from gasket_rs_spark.operators.curation import q_curation_pipeline
+    from gasket_rs_spark.operators.dedup import q_dedup_embedding_lsh
+    from gasket_rs_spark.plans.inspect import assert_no_cartesian
+
+    assert_no_cartesian(q_curation_pipeline(spark, sf_dir))
+    assert_no_cartesian(q_dedup_embedding_lsh(spark, sf_dir))
