@@ -96,8 +96,11 @@ def main() -> None:
     spark = get_session("gasket-bench")
     queries = all_queries()
 
-    # Warm the JVM/codegen path outside timing (tiny SF).
+    # Warm the JVM/codegen path AND the Python/Arrow worker pool outside
+    # timing (tiny SF): the first pandas-UDF query in a session otherwise
+    # pays ~2s of worker spin-up inside its measurement.
     queries["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001").collect()
+    queries["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").collect()
 
     witness_mode = "--witnesses" in sys.argv[1:]
     # One timing pass covers both headline compositions (their union).
