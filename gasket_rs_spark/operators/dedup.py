@@ -273,34 +273,43 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash parameters ---------------------------------------------------
-# 64-bit signature split into 4 bands of 16 bits. By pigeonhole, any pair
-# within Hamming distance <= 3 differs in at most 3 bands, so at least one
-# band matches exactly — per-band equi-joins on the band value find every
-# such pair without an all-pairs scan. 64 bits keep random collisions rare
-# (a 16-bit identical-signature join, the previous design, degenerates to
-# ~n²/65k candidate pairs at corpus scale).
+# 64-bit signature split into 6 blocks (11,11,11,11,10,10 bits), candidates
+# joined on every C(6,3) = 20 block-TRIPLE key (Manku/Jain/Sarma, WWW'07
+# block-permutation scheme). Completeness for Hamming <= 3 by pigeonhole:
+# the <= 3 differing bits touch at most 3 of the 6 blocks, so at least 3
+# blocks match exactly — i.e. some triple of blocks agrees, and that
+# triple's join finds the pair. Each triple key carries ~32 signature bits,
+# so random-collision candidate volume is ~20·n²/2³² (per-key occupancy
+# n/2³²) — versus the previous 4×16-bit single-band layout whose 65,536-key
+# space degenerates to ~4·n²/65k candidate pairs at corpus scale.
+from itertools import combinations as _combinations
+
 _SIMHASH_BITS = 64
-_SIMHASH_BANDS = 4
-_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_SIMHASH_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+_SIMHASH_BLOCKS = len(_SIMHASH_BLOCK_BITS)
+_SIMHASH_TRIPLES = tuple(_combinations(range(_SIMHASH_BLOCKS), 3))
 _SIMHASH_MAX_HAMMING = 3
 
 
-def _simhash_bands(docs: DataFrame) -> DataFrame:
-    """Per-doc SimHash band values: (doc_id, band0..band3), each band a
-    16-bit chunk of the 64-bit token-level SimHash.
+def _simhash_blocks(docs: DataFrame) -> DataFrame:
+    """Per-doc SimHash block values: (doc_id, block0..block5), the 64-bit
+    token-level SimHash split on the _SIMHASH_BLOCK_BITS boundaries.
 
-    One Arrow-batched ``mapInPandas`` pass: 64-bit token hashes from two
-    salted CRC32s, the 64 weighted bit sums as a single vectorized
-    (n_tokens × 64) matrix reduction, sign-thresholded and packed into
-    four 16-bit bands. Replaces an explode + 64-conditional-sum aggregate
-    that (like the MinHash permutation sweep) pays ~64 interpreted ops
-    per token and was computed once per consumer branch — the dense bit
-    kernel is numpy's home turf. Hash values are engine-internal; every
-    property (pigeonhole completeness, Hamming verify, candidate volume)
-    is pinned by tests/test_dedup_simhash.py.
+    One Arrow-batched ``mapInPandas`` pass: 64-bit token hashes from a
+    splitmix64-finalized CRC32, the 64 weighted bit sums as a single
+    vectorized (n_tokens × 64) matrix reduction, sign-thresholded and
+    packed into six blocks. Replaces an explode + 64-conditional-sum
+    aggregate that (like the MinHash permutation sweep) pays ~64
+    interpreted ops per token and was computed once per consumer branch —
+    the dense bit kernel is numpy's home turf. Hash values are
+    engine-internal; every property (pigeonhole completeness, Hamming
+    verify, candidate volume) is pinned by tests/test_dedup_simhash.py.
     """
     bit_cols = np.arange(_SIMHASH_BITS, dtype=np.uint64)
-    band_weights = 1 << np.arange(_SIMHASH_BAND_BITS, dtype=np.uint64)
+    offsets = np.cumsum((0,) + _SIMHASH_BLOCK_BITS)
+    block_weights = [
+        1 << np.arange(w, dtype=np.uint64) for w in _SIMHASH_BLOCK_BITS
+    ]
 
     def _splitmix64(x: np.ndarray) -> np.ndarray:
         # Standard splitmix64 finalizer: expands the 32-bit CRC into 64
@@ -311,11 +320,11 @@ def _simhash_bands(docs: DataFrame) -> DataFrame:
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
 
-    def band_batches(batches):
+    def block_batches(batches):
         for pdf in batches:
             out = {"doc_id": []}
-            for b in range(_SIMHASH_BANDS):
-                out[f"band{b}"] = []
+            for b in range(_SIMHASH_BLOCKS):
+                out[f"block{b}"] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.split(" ")
                 th = _splitmix64(
@@ -325,24 +334,50 @@ def _simhash_bands(docs: DataFrame) -> DataFrame:
                 sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
                 sig_bits = (sums > 0).astype(np.uint64)
                 out["doc_id"].append(doc_id)
-                for b in range(_SIMHASH_BANDS):
-                    chunk = sig_bits[b * _SIMHASH_BAND_BITS : (b + 1) * _SIMHASH_BAND_BITS]
-                    out[f"band{b}"].append(int((chunk * band_weights).sum()))
+                for b in range(_SIMHASH_BLOCKS):
+                    chunk = sig_bits[offsets[b] : offsets[b + 1]]
+                    out[f"block{b}"].append(int((chunk * block_weights[b]).sum()))
             yield pd.DataFrame(out)
 
     schema = "doc_id bigint, " + ", ".join(
-        f"band{b} bigint" for b in range(_SIMHASH_BANDS)
+        f"block{b} bigint" for b in range(_SIMHASH_BLOCKS)
     )
-    return docs.select("doc_id", "text").mapInPandas(band_batches, schema)
+    return docs.select("doc_id", "text").mapInPandas(block_batches, schema)
+
+
+def _simhash_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from block-permutation joins: one
+    64-bit key per block-TRIPLE (xxhash64 of the triple id + its three
+    block values), equi-joined. Complete for Hamming <= 3 (pigeonhole over
+    6 blocks); per-key occupancy n/2³² since each key carries ~32
+    signature bits — bucket joins stay near-linear at corpus scale."""
+    key_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(t), F.col(f"block{i}"), F.col(f"block{j}"), F.col(f"block{k}")
+            )
+            for t, (i, j, k) in enumerate(_SIMHASH_TRIPLES)
+        ]
+    )
+    keyed = sigs.select("doc_id", F.explode(key_arr).alias("tkey"))
+    left = keyed.select(F.col("doc_id").alias("doc_a"), "tkey")
+    right = keyed.select(F.col("doc_id").alias("doc_b"), "tkey")
+    return (
+        left.join(right, "tkey")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — banded Hamming-distance search at scale.
+    """SimHash near-dup pairs — block-permutation Hamming search at scale.
 
-    64-bit token-level SimHash per doc, 4 bands x 16 bits; candidate pairs
-    share at least one exact band (complete for Hamming <= 3 by pigeonhole);
-    candidates verified with bit_count(XOR) per band. Rows-only oracle
-    (xxhash64 is engine-specific).
+    64-bit token-level SimHash per doc, split into 6 blocks; candidate
+    pairs share at least one of the C(6,3)=20 block-triple keys (complete
+    for Hamming <= 3 by pigeonhole — see _simhash_candidates); candidates
+    verified with bit_count(XOR) per block. Rows-only oracle (xxhash64 is
+    engine-specific).
     """
     from pyspark import StorageLevel
 
@@ -352,27 +387,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sigs = _simhash_bands(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    bucket_arr = F.array(*[F.col(f"band{b}") for b in range(_SIMHASH_BANDS)])
-    banded = sigs.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    sigs = _simhash_blocks(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = _simhash_candidates(sigs)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"band{b}").alias(f"a{b}") for b in range(_SIMHASH_BANDS)],
+        *[F.col(f"block{b}").alias(f"a{b}") for b in range(_SIMHASH_BLOCKS)],
     )
     sig_b = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"band{b}").alias(f"b{b}") for b in range(_SIMHASH_BANDS)],
+        *[F.col(f"block{b}").alias(f"b{b}") for b in range(_SIMHASH_BLOCKS)],
     )
     hamming = None
-    for b in range(_SIMHASH_BANDS):
+    for b in range(_SIMHASH_BLOCKS):
         term = F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
         hamming = term if hamming is None else (hamming + term)
     return (
@@ -404,63 +430,112 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Embedding-LSH parameters --------------------------------------------
-# 8 random hyperplanes -> 256 sign-pattern buckets; candidate pairs share a
-# bucket directly or across one bit flip (Hamming<=1 multi-probe). For the
-# pairs that matter to dedup — true duplicates with cosine -> 1 — the
-# per-plane agreement probability 1 - theta/pi approaches 1, so capture
-# probability is high (~0.8 at cos 0.95, ~1 at cos 0.99); recall at the
-# witness's 0.4 threshold is intentionally modest (those are not
-# duplicates). tests/test_dedup_embedding_lsh.py pins both properties.
-_EMB_PLANES_N = 8
+# 2 independent bands × 16 random hyperplanes: each band maps a vector to a
+# 16-bit sign-pattern bucket (65,536-key space), candidate pairs share a
+# bucket in ANY band directly or across one bit flip (Hamming<=1
+# multi-probe, 17 probe keys per band). Band-OR recall at duplicate-grade
+# cosine: per-plane agreement p = 1 - theta/pi, per-band capture
+# q = p^16 + 16·p^15·(1-p), overall 1-(1-q)^2 — ~0.97 at cos 0.99, ~1 at
+# cos 0.999. Candidate volume on unrelated vectors is ~2·17·n²/65,536
+# (per-key occupancy n/65,536) — versus the previous single 8-plane table
+# whose 256-bucket self-join was n²/256 ×9 probes, quadratic-in-disguise
+# at corpus scale. Recall at the witness's 0.4 threshold stays
+# intentionally modest (those are not duplicates).
+# tests/test_dedup_embedding_lsh.py pins precision, duplicate capture, and
+# candidate volume.
+_EMB_BANDS_N = 2
+_EMB_PLANES_N = 16  # hyperplanes per band
 _EMB_DIM = 64
 _emb_rng = random.Random(77)
 _EMB_PLANES = [
-    [_emb_rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)] for _ in range(_EMB_PLANES_N)
+    [[_emb_rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)] for _ in range(_EMB_PLANES_N)]
+    for _ in range(_EMB_BANDS_N)
 ]
 _EMB_COSINE_THRESHOLD = 0.4
+
+
+def _emb_buckets(emb: DataFrame) -> DataFrame:
+    """Add per-band sign-pattern buckets (bucket0..bucket{B-1}) to a
+    (vec_id, vec, nrm) frame — one narrow JVM-side map over the corpus."""
+    from gasket_rs_spark.operators.similarity import _dot
+
+    out = emb
+    for band, planes in enumerate(_EMB_PLANES):
+        bucket = F.lit(0)
+        for i, plane in enumerate(planes):
+            proj = _dot(F.array(*[F.lit(v) for v in plane]), F.col("vec"))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = out.withColumn(f"bucket{band}", bucket)
+    return out
+
+
+def _emb_candidates(vecs: DataFrame) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs: equi-join on band-tagged bucket
+    keys, probe side exploding home + 16 one-bit-flip buckets per band
+    (Hamming<=1 multi-probe), home side exploding its one home key per
+    band. Band-OR via distinct over the unioned key matches."""
+    probe_keys = F.array(
+        *[
+            F.xxhash64(F.lit(band), probe)
+            for band in range(_EMB_BANDS_N)
+            for probe in (
+                F.col(f"bucket{band}"),
+                *[
+                    F.col(f"bucket{band}").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_EMB_PLANES_N)
+                ],
+            )
+        ]
+    )
+    home_keys = F.array(
+        *[F.xxhash64(F.lit(band), F.col(f"bucket{band}")) for band in range(_EMB_BANDS_N)]
+    )
+    probes = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.explode(probe_keys).alias("bkey")
+    )
+    homes = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.explode(home_keys).alias("bkey")
+    )
+    return (
+        probes.join(homes, "bkey")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane LSH — the scale path whose
     exact twin is q_dedup_embedding_cosine (all-pairs witness).
 
-    Each vector gets a 8-bit sign-pattern bucket (one narrow map over the
-    corpus); candidate pairs share a bucket under Hamming<=1 multi-probe
-    (one side explodes its 9 probe buckets, the other keeps its home
-    bucket); candidates are cosine-verified at the witness threshold.
-    O(n · bucket occupancy · probes), never O(n²). Rows-only check (LSH
-    recall makes the pair set parameter-specific); subset-of-witness and
-    duplicate-capture floors are pytest-pinned.
+    Each vector gets a 16-bit sign-pattern bucket per band (2 bands, one
+    narrow map over the corpus); candidate pairs share a bucket in any
+    band under Hamming<=1 multi-probe (see _emb_candidates); candidates
+    are cosine-verified at the witness threshold. O(n · bucket occupancy
+    · probes) with occupancy n/65,536 per key, never O(n²). Rows-only
+    check (LSH recall makes the pair set parameter-specific);
+    subset-of-witness, duplicate-capture, and candidate-volume floors are
+    pytest-pinned.
+
+    Expected behavior on dup-free corpora: the synthetic test tables hold
+    no duplicate-grade vectors (all witness pairs at sf0.01 sit at cosine
+    0.40-0.51), so an occupancy-bounded table rightly emits ~0 rows there
+    — capture at cosine→1 (the operator's job) is what
+    tests/test_dedup_embedding_lsh.py::test_true_duplicates_are_captured
+    pins. The previous 8-plane/256-bucket layout "found" low-cosine pairs
+    only because its candidate coverage was near-quadratic.
     """
-    from gasket_rs_spark.operators.similarity import _as_double, _dot, _norm
+    from gasket_rs_spark.operators.similarity import _as_double, _norm
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         _as_double(F.col("embedding")).alias("vec"),
         _norm(F.col("embedding")).alias("nrm"),
     )
-    bucket = F.lit(0)
-    for i, plane in enumerate(_EMB_PLANES):
-        proj = _dot(F.array(*[F.lit(v) for v in plane]), F.col("vec"))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     from pyspark import StorageLevel
 
-    vecs = emb.withColumn("bucket", bucket).persist(StorageLevel.MEMORY_AND_DISK)
-    probes = vecs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_EMB_PLANES_N)],
-            )
-        ).alias("bucket"),
-    )
-    candidates = (
-        probes.join(vecs.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    vecs = _emb_buckets(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = _emb_candidates(vecs)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
     )

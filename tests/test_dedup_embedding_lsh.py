@@ -45,6 +45,27 @@ def test_true_duplicates_are_captured(spark, tmp_path_factory):
     ).write.parquet(os.path.join(d, "embeddings.parquet"))
     pairs = {(r.vec_a, r.vec_b) for r in D.q_dedup_embedding_lsh(spark, d).collect()}
     captured = sum(1 for i in range(n_dups) if (i, 1000 + i) in pairs)
-    # Hamming<=1 multi-probe at cosine ~0.99 captures ~97% per the sign-
-    # agreement bound; 0.85 leaves slack for the seeded planes.
+    # Band-OR of 2×16-plane tables with Hamming<=1 multi-probe captures
+    # ~1 at cosine ~0.9999 (per-band q = p^16 + 16 p^15 (1-p) with
+    # p = 1 - acos(c)/pi ≈ 0.997); 0.85 leaves slack for seeded planes.
     assert captured / n_dups >= 0.85, f"captured only {captured}/{n_dups} duplicates"
+
+
+def test_candidate_volume_stays_subquadratic(spark):
+    """On unrelated random vectors (cosine concentrates near 0, so buckets
+    are ~uniform), candidate volume runs at ~2 bands × 17 probes / 2^16 of
+    all pairs — far from the n²/256-bucket self-join this layout replaced."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 500
+    vecs = rng.standard_normal((n, D._EMB_DIM))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], float(np.sqrt(vecs[i] @ vecs[i]))) for i in range(n)],
+        "vec_id bigint, vec array<double>, nrm double",
+    )
+    n_candidates = D._emb_candidates(D._emb_buckets(df)).count()
+    all_pairs = n * (n - 1) // 2  # 124,750; expected candidates ~ 34/65536 of it ≈ 65
+    assert n_candidates < 0.01 * all_pairs, (
+        f"{n_candidates} candidates on {n} unrelated vectors — occupancy unbounded"
+    )

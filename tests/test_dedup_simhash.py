@@ -1,21 +1,24 @@
-"""Banded 64-bit SimHash: recall and candidate-volume properties (X25).
+"""Block-permutation 64-bit SimHash: completeness and candidate-volume
+properties (X25).
 
-The scale claim of operators/dedup.py:_simhash_bands is that per-band
-equi-joins find every pair within Hamming distance 3 (pigeonhole over
-4 x 16-bit bands) while candidate volume stays O(n * bucket occupancy)
-— unlike the old 16-bit identical-signature join, which degenerates to
-~n²/65k pairs on any corpus.
+The scale claim of operators/dedup.py:_simhash_candidates is Manku-style:
+6 blocks, candidates joined on every C(6,3)=20 block-triple key, which is
+(a) COMPLETE for Hamming <= 3 by pigeonhole (3 flipped bits touch at most
+3 blocks, so some triple of blocks matches exactly) and (b) near-linear in
+candidate volume, because each triple key carries ~32 signature bits —
+per-key occupancy n/2^32, unlike a single-band 16-bit layout whose 65,536
+key space degenerates to ~n^2/65k candidate pairs on any corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import random
 
 from gasket_rs_spark.operators import dedup as D
 
 
 def _sig_df(spark, rows):
-    return D._simhash_bands(
+    return D._simhash_blocks(
         spark.createDataFrame(rows, "doc_id bigint, text string")
     )
 
@@ -41,35 +44,60 @@ def test_near_identical_docs_pair_up(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_pigeonhole_completeness_exhaustive(spark):
+    """Direct pigeonhole check, no text involved: for EVERY way of flipping
+    <= 3 of the 64 signature bits, the flipped signature still shares at
+    least one block-triple key with the original — i.e. the candidate join
+    cannot miss a pair inside the Hamming budget. Exercised on a sample of
+    3-bit flip combinations plus all 1- and 2-bit flips on one block
+    boundary-heavy base signature."""
+    rng = random.Random(13)
+    base_sig = rng.getrandbits(64)
+
+    def blocks_of(sig):
+        out, off = [], 0
+        for w in D._SIMHASH_BLOCK_BITS:
+            out.append((sig >> off) & ((1 << w) - 1))
+            off += w
+        return out
+
+    def shares_triple(sig_a, sig_b):
+        ba, bb = blocks_of(sig_a), blocks_of(sig_b)
+        return any(
+            all(ba[i] == bb[i] for i in triple) for triple in D._SIMHASH_TRIPLES
+        )
+
+    flip_sets = [[i] for i in range(64)]
+    flip_sets += [[i, j] for i in range(64) for j in range(i + 1, 64) if (i + j) % 7 == 0]
+    flip_sets += [sorted(rng.sample(range(64), 3)) for _ in range(300)]
+    for flips in flip_sets:
+        flipped = base_sig
+        for b in flips:
+            flipped ^= 1 << b
+        assert shares_triple(base_sig, flipped), f"missed pair at flips {flips}"
+
+
 def test_candidate_volume_stays_subquadratic(spark):
-    """On a corpus of distinct random-ish docs, banded candidate pairs stay
-    near-linear in n (random 16-bit band collisions are ~4/65536 per pair),
-    nowhere near the n*(n-1)/2 of an all-pairs scan."""
+    """On a corpus of unrelated random docs, block-triple candidate pairs
+    are ~zero: each triple key carries ~32 signature bits, so random
+    collisions run at ~20*n^2/2^32 — an adversarial corpus for the old
+    16-bit single-band layout (which produced ~n^2/65k pairs here) now
+    yields fewer candidates than documents."""
+    rng = random.Random(99)
     n = 400
     rows = [
-        (i, " ".join(f"tok{(i * 37 + j * 11) % 9973}" for j in range(30)))
+        (i, " ".join(f"w{rng.randrange(10**9)}" for _ in range(30)))
         for i in range(n)
     ]
     sigs = _sig_df(spark, rows)
-    bucket_arr = F.array(*[F.col(f"band{b}") for b in range(D._SIMHASH_BANDS)])
-    banded = sigs.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    n_candidates = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .count()
-    )
-    all_pairs = n * (n - 1) // 2  # 79,800
-    assert n_candidates < 0.02 * all_pairs, (
+    n_candidates = D._simhash_candidates(sigs).count()
+    assert n_candidates < n, (
         f"{n_candidates} candidates on {n} unrelated docs — bucketing is broken"
     )
 
 
-def test_band_values_fit_16_bits(spark):
+def test_block_values_fit_widths(spark):
     sigs = _sig_df(spark, [(1, "a b c d e f g h"), (2, "x y z w v u t s")])
     for row in sigs.collect():
-        for b in range(D._SIMHASH_BANDS):
-            assert 0 <= row[f"band{b}"] < (1 << 16)
+        for b, w in enumerate(D._SIMHASH_BLOCK_BITS):
+            assert 0 <= row[f"block{b}"] < (1 << w)
