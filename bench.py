@@ -3,6 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+Timings are per-query MEDIANS over 3 passes (caches cleared between
+passes so persisted sketch bases don't turn later passes into warm-cache
+reads); per-query minima ride along as "queries_min". Rationale: round
+4's no-change round was an A/A experiment — identical code swung ±33%
+per query under single-pass timing, so medians are the floor for any
+cross-round performance claim.
+
 The headline set spans every operator family (relational, windows, as-of,
 dedup incl. MinHash-LSH + banded SimHash + LSH-fed components, similarity,
 text, multimodal pandas-UDF, event-time streaming twins) — and measures
@@ -105,14 +112,29 @@ def main() -> None:
     witness_mode = "--witnesses" in sys.argv[1:]
     # One timing pass covers both headline compositions (their union).
     names = WITNESSES if witness_mode else list(dict.fromkeys(HEADLINE + HEADLINE_V1))
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        # noop sink: evaluates the complete plan (count() would let
-        # Catalyst prune projections and under-measure).
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median-of-3: round 4's A/A experiment (identical code, ±33% per-query
+    # swings) proved single-pass timings are session noise — no cross-round
+    # per-query delta is interpretable without a robust estimator. Witness
+    # mode stays single-pass (quadratic queries, excluded from all claims).
+    passes = 1 if witness_mode else 3
+    from gasket_rs_spark.session import clear_caches
+
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(passes):
+        # Sketch bases persist per invocation and Spark's CacheManager
+        # dedups identical plans — without this, passes 2-3 would time
+        # warm cache reads, not the query.
+        clear_caches(spark)
+        for name in names:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            # noop sink: evaluates the complete plan (count() would let
+            # Catalyst prune projections and under-measure).
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
+    timings_min = {n: round(min(ts), 3) for n, ts in samples.items()}
 
     if witness_mode:
         out = {
@@ -128,6 +150,8 @@ def main() -> None:
             "value": round(sum(timings[n] for n in HEADLINE), 3),
             "unit": "sec",
             "queries": timings,
+            "queries_min": timings_min,
+            "passes": passes,
             "sf": float(sf),
             # Round-1 composition, same run — keeps cross-round series
             # comparable after the round-2 headline recomposition.

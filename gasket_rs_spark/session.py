@@ -41,3 +41,19 @@ def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> S
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="gasket-warehouse-"))
     )
     return builder.getOrCreate()
+
+
+def clear_caches(spark: SparkSession) -> None:
+    """Drop every persisted DataFrame in the session.
+
+    The sketch operators (MinHash/SimHash signature bases, embedding-LSH
+    bucket tables) persist their compact per-doc bases because multiple
+    plan branches consume them; the persists are plan-keyed, so Spark's
+    CacheManager both dedups repeat invocations and keeps the blocks
+    alive for the session. In a long multi-query session (the driver's
+    50-query gate, bench passes) call this between independent units of
+    work to return executor storage memory — at 100 TB the equivalent
+    lever is an explicit unpersist policy per pipeline stage, not
+    session-lifetime LRU. See SCALE.md "Cache lifetime".
+    """
+    spark.catalog.clearCache()
