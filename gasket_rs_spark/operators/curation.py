@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from gasket_rs_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
     _components,
+    _minhash_pairs,
+    _minhash_sigs,
     _shingles,
 )
 from gasket_rs_spark.tables import load
@@ -75,6 +77,54 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    comp = _components(survivors.select("doc_id"), pairs)
+    canonical = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    final = survivors.join(canonical, "doc_id")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.floor(F.avg(F.length("text")) * 10000 + 0.5) / 10000).alias("avg_len"),
+        )
+        .select("lang", "n_docs", "total_chars", "avg_len")
+    )
+
+
+def q_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal 100 TB curation recipe, end to end in one lazy plan:
+    quality gate → exact dedup → MinHash-LSH near-dup components →
+    canonical keep → per-language corpus stats.
+
+    Identical staging to q_curation_pipeline except the near-dup pair
+    graph comes from the bucketed MinHash-LSH generator (signatures in one
+    Arrow/numpy pass, 32×4 banding, exact-Jaccard verify on bucket-mates
+    only) instead of the quadratic all-pairs witness — O(n·sig +
+    Σ bucket²) where the witness is O(n²). Every LSH pair passes the same
+    Jaccard≥0.5 verify, so the pair graph is a SUBSET of the witness's:
+    components can only be finer, never merge docs the exact composite
+    keeps apart. Rows-only driver check (LSH recall is
+    parameter-specific); equality-modulo-recall vs the exact composite
+    plus a no-cartesian plan pin live in tests/test_curation_lsh.py.
+    """
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.where(
+        (F.length("text") >= _MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= _MIN_TOKENS)
+    )
+    exact_keep = (
+        kept.groupBy(F.xxhash64("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = kept.join(exact_keep, "doc_id")
+    pairs = _minhash_pairs(
+        _minhash_sigs(
+            survivors.select("doc_id", "text").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+    ).select("doc_a", "doc_b")
     comp = _components(survivors.select("doc_id"), pairs)
     canonical = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
     final = survivors.join(canonical, "doc_id")

@@ -152,8 +152,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
-def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc hashed shingle set + 128-permutation MinHash signature:
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """Per-doc hashed shingle set + 128-permutation MinHash signature over
+    an arbitrary (doc_id, text) frame:
     (doc_id, hs array<bigint>, sig array<bigint>, n_sh).
 
     Computed in ONE Arrow-batched ``mapInPandas`` pass with numpy: token
@@ -197,34 +198,36 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": out_id, "hs": out_hs, "sig": out_sig, "n_sh": out_n}
             )
 
-    # Local test data is a single parquet file = one input split; spread
-    # the docs so every core gets a batch. On a real cluster the 100 TB
-    # corpus arrives in thousands of splits and this repartition keeps the
-    # same cost profile (one shuffle of the text, amortized by the hash
-    # work it parallelizes); it is NOT load-bearing for correctness.
+    # Persisted because three plan branches consume it (banding,
+    # verify-left, verify-right) — ~8 bytes/shingle, spills cleanly.
+    return docs.select("doc_id", "text").mapInPandas(
+        sig_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>, n_sh int"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_minhash_sigs over the documents table.
+
+    Local test data is a single parquet file = one input split; the
+    repartition spreads the docs so every core gets a batch. On a real
+    cluster the 100 TB corpus arrives in thousands of splits and the
+    repartition keeps the same cost profile (one shuffle of the text,
+    amortized by the hash work it parallelizes); it is NOT load-bearing
+    for correctness.
+    """
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # Persisted because three plan branches consume it (banding,
-    # verify-left, verify-right) — ~8 bytes/shingle, spills cleanly.
-    return docs.mapInPandas(
-        sig_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>, n_sh int"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _minhash_sigs(docs)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs — the 100 TB-scale path.
-
-    token shingles → 128 affine min-hashes (one Arrow/numpy pass, see
-    ``_minhash_base``) → 32 bands × 4 rows → equi-join on (band,
-    band-signature) buckets → verify candidates with exact Jaccard over
-    the int64 hashed-shingle sets. Output matches q_dedup_ngram_jaccard
-    up to LSH recall (no oracle: hash values are engine-specific, driver
-    records rows-only).
-    """
-    base = _minhash_base(spark, sf_dir)
+def _minhash_pairs(base: DataFrame) -> DataFrame:
+    """Banding + verify over a _minhash_sigs frame: 32 bands × 4 rows →
+    equi-join on (band, band-signature) buckets → exact-Jaccard verify of
+    bucket-mates over the int64 hashed-shingle sets. Returns
+    (doc_a, doc_b, n_common, jaccard) at the module threshold."""
     bucket_arr = F.array(
         *[
             F.xxhash64(
@@ -270,6 +273,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
     return common.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the 100 TB-scale path.
+
+    token shingles → 128 affine min-hashes (one Arrow/numpy pass, see
+    ``_minhash_sigs``) → 32 bands × 4 rows → equi-join on (band,
+    band-signature) buckets → verify candidates with exact Jaccard over
+    the int64 hashed-shingle sets. Output matches q_dedup_ngram_jaccard
+    up to LSH recall (no oracle: hash values are engine-specific, driver
+    records rows-only).
+    """
+    return _minhash_pairs(_minhash_base(spark, sf_dir))
 
 
 # --- SimHash parameters ---------------------------------------------------

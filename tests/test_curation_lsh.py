@@ -1,0 +1,75 @@
+"""q_curation_pipeline_lsh — the end-to-end 100 TB curation recipe
+(quality gate → exact dedup → MinHash-LSH components → canonical keep →
+per-lang stats) — against its exact twin q_curation_pipeline.
+
+Equality-modulo-recall: every LSH pair passes the same Jaccard>=0.5
+verify as the witness, so the LSH pair graph is a SUBSET of the exact
+graph — components can only be finer. Therefore per language the LSH
+composite keeps AT LEAST as many canonical docs as the exact one, and
+the number of docs it removes by clustering must reach the pinned LSH
+recall floor (0.8, tests/test_dedup_recall.py) of what the exact
+composite removes. At full recall the two outputs are identical.
+"""
+
+from __future__ import annotations
+
+from gasket_rs_spark.operators.curation import (
+    q_curation_pipeline,
+    q_curation_pipeline_lsh,
+)
+
+
+def test_equality_modulo_recall(spark, sf_dir):
+    exact = {r.lang: r for r in q_curation_pipeline(spark, sf_dir).collect()}
+    lsh = {r.lang: r for r in q_curation_pipeline_lsh(spark, sf_dir).collect()}
+    assert set(lsh) == set(exact), "language sets diverge"
+    for lang, e in exact.items():
+        l = lsh[lang]
+        # Finer components => never fewer canonical docs per language.
+        assert l.n_docs >= e.n_docs, f"{lang}: LSH kept fewer docs than exact"
+
+    # Docs removed by near-dup clustering, summed over languages. The
+    # survivor count before clustering is identical on both sides, so the
+    # difference in kept docs is exactly the difference in removals.
+    exact_kept = sum(r.n_docs for r in exact.values())
+    lsh_kept = sum(r.n_docs for r in lsh.values())
+    # Survivor total = exact_kept + exact_removals; recover removals via a
+    # third run of the shared prefix would re-pay the pipeline, so bound
+    # using kept counts directly: lsh_kept - exact_kept is the number of
+    # near-dup docs LSH failed to cluster.
+    missed = lsh_kept - exact_kept
+    assert missed >= 0
+    # Exact removals at the test SFs are small; allow the 0.8 recall floor.
+    # Derive exact removals from the witness composite: survivors equal
+    # lsh_kept + lsh_removals = exact_kept + exact_removals; we don't have
+    # removals directly, but missed <= 0.2 * exact_removals is implied by
+    # recall >= 0.8 and exact_removals >= missed, so bound conservatively:
+    if exact_kept != lsh_kept:
+        # Any divergence must stay within 20% of the exact clustering work.
+        # exact_removals >= missed always; require removals large enough
+        # that missed/removals <= 0.2  <=>  removals >= 5 * missed.
+        # Recompute removals from the survivor set size.
+        from pyspark.sql import functions as F
+
+        from gasket_rs_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        kept = docs.where(
+            (F.length("text") >= 100) & (F.size(F.split("text", " ")) >= 20)
+        )
+        survivors = (
+            kept.groupBy(F.xxhash64("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .count()
+        )
+        exact_removals = survivors - exact_kept
+        assert missed <= 0.2 * exact_removals, (
+            f"LSH missed {missed} of {exact_removals} near-dup removals — "
+            "below the 0.8 recall floor"
+        )
+
+
+def test_no_cartesian_in_plan(spark, sf_dir):
+    from gasket_rs_spark.plans.inspect import assert_no_cartesian
+
+    assert_no_cartesian(q_curation_pipeline_lsh(spark, sf_dir))
