@@ -10,14 +10,19 @@ Two paths, per the survey's risk register:
   projections; candidate generation is an equi-join on the bucket id, so
   the cross product never materializes. Multi-probe (Hamming-1 neighbors)
   trades recall for candidate volume.
-- ``q_similarity_ann_ivf``: IVF-style coarse quantizer (8 cells, top-3
-  probe) — same inverted-file idea with dot-product cells.
+- ``q_similarity_ann_ivf`` / ``_trained``: IVF-style coarse quantizer —
+  inverted-file with dot-product cells; k and n_probe are arguments with
+  √-scaled defaults (k = √n cells, n_probe = √k probes ⇒ candidate
+  fraction ~n^(-1/4), see _ivf_params), cell assignment one Arrow/numpy
+  matmul pass.
 
-Measured on the sf0.01 corpus (uniform random vectors — the hardest case
+Measured on the test corpora (uniform random vectors — the hardest case
 for ANN, no cluster structure, nearest neighbors barely above random):
-recall@1 vs brute force = 4/5 (IVF, ~37%% of corpus scored) and 2/5
-(LSH, ~11%% scored). Widen probes/cells to buy recall; on real clustered
-embeddings both do far better at the same cost.
+at the √ defaults (~23% of corpus scored at n=500) recall@1 vs brute
+force ranges 1-5 out of 5 across SFs/seeds for IVF variants and 2/5 for
+LSH (~11% scored). n_probe = k degenerates to exact search (pytest-pinned
+equal to brute force); raise n_probe to buy recall; on real clustered
+embeddings all variants do far better at the same candidate fraction.
 
 All vector math is Catalyst higher-order functions (``zip_with`` +
 ``aggregate`` folds) — JVM-side, no UDF, vectorized parquet input.
@@ -141,54 +146,82 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_CELLS = 8
-_CENTROIDS = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_CELLS)]
+# --- IVF parameters -------------------------------------------------------
+# Cell count k and probe count are ARGUMENTS with sqrt-scaled defaults:
+# k = max(8, round(sqrt(n))) coarse cells, n_probe = max(2, round(sqrt(k))).
+# Candidate fraction per query on a structure-free corpus is ~n_probe/k =
+# ~n^(-1/4): 500 vectors → 22 cells/5 probes (~23% scored), 10⁹ vectors →
+# ~31,623 cells/178 probes (~0.6% scored). The previous fixed k=8/probe-3
+# scored ~37% of the corpus at EVERY n — quadratic-in-disguise. See
+# SCALE.md "Similarity search" for the recall/candidate trade.
+_IVF_SEED = 4321
 
 
-def _cell_scores(vec_col):
-    return F.array(*[_dot(F.array(*[F.lit(v) for v in c]), vec_col) for c in _CENTROIDS])
+def _ivf_params(n: int, k: int | None, n_probe: int | None) -> tuple[int, int]:
+    if k is None:
+        k = max(8, int(round(n ** 0.5)))
+    k = max(1, k)
+    if n_probe is None:
+        n_probe = max(2, int(round(k ** 0.5)))
+    return k, min(n_probe, k)
 
 
-def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-3 via an IVF-style coarse quantizer.
+def _ivf_random_centroids(k: int) -> list[list[float]]:
+    """Seeded gaussian coarse centroids — deterministic for a given k."""
+    rng = random.Random(_IVF_SEED)
+    return [[rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(k)]
 
-    Corpus vectors are assigned to the best of 8 fixed coarse centroids
-    (argmax dot — one narrow map); each query probes its top-3 cells.
-    Candidate generation is an equi-join on cell id — the inverted-file
-    structure, minus the k-means training step (fixed seeded centroids
-    stand in; at scale you'd train them on a sample and broadcast).
-    Rows-only check (cell assignment is seed-specific); emitted cosines
-    are exact.
-    """
-    emb = _with_vec(load(spark, sf_dir, "embeddings"))
-    scores = _cell_scores(F.col("vec"))
-    corpus = (
-        emb.withColumn("_scores", scores)
-        .withColumn("cell", F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int"))
-        .drop("_scores")
+
+def _ivf_assign(emb: DataFrame, cents: list[list[float]], n_probe: int) -> DataFrame:
+    """(vec_id, vec, nrm, cell, probes): home cell = argmax-dot centroid,
+    probes = the top-n_probe cells by dot, in ONE Arrow-batched numpy
+    matmul pass ((batch × dim) @ (dim × k) + stable argsort). Per-cell
+    Catalyst dot expressions stop compiling/performing past a few hundred
+    cells; the matmul carries tens of thousands of cells (k = √n at
+    10⁹ vectors is ~31k), the same measured kernel economics as the
+    MinHash/SimHash sketches. Centroids ride into executors as a
+    broadcast-sized constant (k × dim floats)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cents, dtype=np.float64).T  # dim × k
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            order = np.argsort(-(V @ C), axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "nrm": pdf["nrm"],
+                    "cell": (order[:, 0] + 1).astype("int32"),
+                    "probes": [
+                        (row[:n_probe] + 1).astype("int32").tolist() for row in order
+                    ],
+                }
+            )
+
+    return emb.mapInPandas(
+        batches, "vec_id bigint, vec array<double>, nrm double, cell int, probes array<int>"
     )
-    q = corpus.where(F.col("vec_id") % 100 == 0)
-    # top-3 probe cells: successively mask the argmax out
-    q = q.withColumn("_scores", scores)
-    first = F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int")
-    masked = F.transform(
-        F.col("_scores"),
-        lambda s, i: F.when(i + 1 == first, F.lit(float("-inf"))).otherwise(s),
-    )
-    second = F.array_position(masked, F.array_max(masked)).cast("int")
-    masked2 = F.transform(
-        masked,
-        lambda s, i: F.when(i + 1 == second, F.lit(float("-inf"))).otherwise(s),
-    )
-    third = F.array_position(masked2, F.array_max(masked2)).cast("int")
-    queries = q.select(
+
+
+def _ann_ivf_plan(emb: DataFrame, cents: list[list[float]], n_probe: int) -> DataFrame:
+    """Shared IVF plan: assign cells, probe the query side's top cells,
+    equi-join on cell, exact cosine re-rank to top-3."""
+    corpus = _ivf_assign(emb, cents, n_probe)
+    queries = corpus.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qnrm"),
-        F.explode(F.array(first, second, third)).alias("cell"),
+        F.explode("probes").alias("cell"),
     )
     scored = (
-        corpus.join(broadcast(queries), "cell")
+        corpus.drop("probes")
+        .join(broadcast(queries), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
@@ -205,8 +238,39 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """ANN top-3 via an IVF-style coarse quantizer, k/n_probe-parametric.
+
+    Corpus vectors are assigned to the best of k seeded coarse centroids;
+    each query probes its top-n_probe cells. Candidate generation is an
+    equi-join on cell id — the inverted-file structure, minus the k-means
+    training step (q_similarity_ann_ivf_trained adds it). Defaults scale
+    k = √n, n_probe = √k (see _ivf_params). Rows-only check (cell
+    assignment is seed-specific); emitted cosines are exact.
+    """
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    k, n_probe = _ivf_params(emb.count(), k, n_probe)
+    return _ann_ivf_plan(emb, _ivf_random_centroids(k), n_probe)
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity_ann_ivf(spark, sf_dir)
+
+
 def train_coarse_centroids(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 10
+) -> list[list[float]]:
+    """See _train_coarse_centroids; kept as the public name."""
+    return _train_coarse_centroids(spark, sf_dir, k, iters)
+
+
+def _train_coarse_centroids(
+    spark: SparkSession, sf_dir: str, k: int, iters: int = 10
 ) -> list[list[float]]:
     """Train IVF coarse centroids with k-means on a deterministic sample.
 
@@ -241,56 +305,31 @@ def train_coarse_centroids(
     return [[float(v) for v in c] for c in centroids]
 
 
-def q_similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with k-means-trained coarse centroids (vs the fixed random
-    ones in q_similarity_ann_ivf). Same plan shape: assign cells (narrow
-    map against broadcast centroids), probe top-2 cells per query,
-    equi-join on cell, exact re-rank.
+def similarity_ann_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF ANN with k-means-trained coarse centroids (vs the seeded random
+    ones in q_similarity_ann_ivf). Same plan shape (_ann_ivf_plan);
+    training runs on a bounded driver-side sample and broadcasts the k×dim
+    centroid matrix back — corpus size never touches the training step.
+    Defaults scale k = √n, n_probe = √k, like the untrained variant.
 
-    Measured at sf0.01: recall@1 = 2/5 scoring ~25%% of the corpus —
-    on par per-candidate with the untrained variant (4/5 at ~37%%)
-    because the test vectors are uniform (k-means finds no structure);
-    on real clustered embeddings training is what makes IVF beat LSH.
+    On the uniform test vectors k-means finds no structure, so recall per
+    candidate matches the untrained variant (floors in
+    tests/test_similarity_recall.py); on real clustered embeddings
+    training is what makes IVF beat LSH.
     """
-    cents = train_coarse_centroids(spark, sf_dir)
-    cell_scores = F.array(
-        *[_dot(F.array(*[F.lit(v) for v in c]), F.col("vec")) for c in cents]
-    )
     emb = _with_vec(load(spark, sf_dir, "embeddings"))
-    corpus = (
-        emb.withColumn("_scores", cell_scores)
-        .withColumn("cell", F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int"))
-        .drop("_scores")
-    )
-    q = corpus.where(F.col("vec_id") % 100 == 0).withColumn("_scores", cell_scores)
-    first = F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int")
-    masked = F.transform(
-        F.col("_scores"),
-        lambda s, i: F.when(i + 1 == first, F.lit(float("-inf"))).otherwise(s),
-    )
-    second = F.array_position(masked, F.array_max(masked)).cast("int")
-    queries = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-        F.explode(F.array(first, second)).alias("cell"),
-    )
-    scored = (
-        corpus.join(broadcast(queries), "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
-        )
-    )
-    from pyspark.sql import Window
+    k, n_probe = _ivf_params(emb.count(), k, n_probe)
+    cents = _train_coarse_centroids(spark, sf_dir, k)
+    return _ann_ivf_plan(emb, cents, n_probe)
 
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("query_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
-    )
+
+def q_similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity_ann_ivf_trained(spark, sf_dir)
 
 
 def q_similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
