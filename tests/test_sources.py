@@ -35,6 +35,69 @@ def test_partitioned_write_and_partition_pruning(spark, sf_dir):
         assert "PartitionFilters" in plan and "yr" in plan
 
 
+def test_events_day_partitioned_windowed_scan_prunes(spark, sf_dir):
+    """SCALE.md read-side claim, closed: the events fact table written
+    hive-partitioned by day (its natural time key) lets a day-filtered
+    windowed aggregation — the stream_* scan shape — prune to that day's
+    partition via PartitionFilters, with no data filter left in the scan.
+    At 100 TB this is the difference between reading one day and reading
+    three years. Also replays the single day as a file stream: the
+    streaming twin must see exactly the partition's rows."""
+    events = load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_by_day")
+        write_partitioned_parquet(events, path, partition_by=["dt"])
+        days = sorted(
+            p.split("=", 1)[1] for p in os.listdir(path) if p.startswith("dt=")
+        )
+        assert len(days) > 1, "fixture must span multiple day partitions"
+        day = days[len(days) // 2]
+
+        back = read_parquet(spark, path)
+        agg = (
+            back.where(F.col("dt") == day)
+            .groupBy(F.window("ts", "600 seconds").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        plan = explain_formatted(agg)
+        part_lines = [
+            ln.strip() for ln in plan.splitlines() if ln.strip().startswith("PartitionFilters:")
+        ]
+        assert part_lines and any("dt" in ln for ln in part_lines), plan
+        # the dt predicate must be a partition filter, NOT pushed as a data filter
+        assert not any(
+            "dt" in ln for ln in plan.splitlines() if ln.strip().startswith("PushedFilters:")
+        ), plan
+
+        want = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in events.where(F.col("dt") == day)
+            .groupBy(F.window("ts", "600 seconds").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+            .collect()
+        }
+        got = {
+            (r["window_start"], r["event_type"]): r["n_events"] for r in agg.collect()
+        }
+        assert got == want and got
+
+        # streaming replay of the pruned layout: one day's partition only
+        from gasket_rs_spark.streaming.stream import run_to_memory_sink
+
+        stream = (
+            spark.readStream.schema(back.schema)
+            .parquet(path)
+            .where(F.col("dt") == F.lit(day))
+        )
+        run_to_memory_sink(stream, "events_one_day", output_mode="append")
+        assert (
+            spark.table("events_one_day").count()
+            == events.where(F.col("dt") == day).count()
+        )
+
+
 def test_csv_json_roundtrip_with_explicit_schema(spark, sf_dir):
     region = load(spark, sf_dir, "region")
     schema = StructType(

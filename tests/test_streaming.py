@@ -209,6 +209,78 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir):
     assert sum(seen.values()) == total  # no loss, no double-count after restart
 
 
+def test_stateful_state_survives_restart(spark, sf_dir):
+    """R18 restart edge for the CUSTOM stateful operator (runtime.rs:268-280
+    parity): crash an applyInPandasWithState query mid-stream (poisoned
+    sink on the second batch — a deterministic stand-in for a worker
+    panic), restart from the same checkpoint, and the keyed state store
+    must resume — final per-user running totals equal the batch counts
+    over ALL events, not just the post-restart ones. A state reset would
+    undercount every user whose events straddle the restart."""
+    import os
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from gasket_rs_spark.streaming.stream import stateful_user_counts
+    from gasket_rs_spark.tables import load
+
+    scratch = tempfile.mkdtemp(prefix="gasket-state-restart-")
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src)
+    schema = events.schema
+
+    # (batch_id, user_id) -> running total; a replayed batch overwrites its
+    # own entries with identical values (state rolls back to last commit)
+    emitted: dict[tuple[int, int], int] = {}
+    poison = {"armed": True}
+
+    def sink(batch_df, batch_id):
+        if poison["armed"] and batch_id >= 1:
+            poison["armed"] = False
+            raise RuntimeError("injected crash after first committed batch")
+        for r in batch_df.collect():
+            emitted[(batch_id, r["user_id"])] = r["n_events"]
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stateful_user_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination(120)
+    except StreamingQueryException:
+        pass  # the injected crash
+    pre_batches = {b for b, _ in emitted}
+    assert pre_batches == {0}, "exactly the first batch must commit before the crash"
+
+    q2 = start()
+    assert q2.awaitTermination(180)
+    post_batches = {b for b, _ in emitted} - pre_batches
+    assert post_batches, "restart must process the remaining batches"
+
+    # every user's highest emitted running total == its full batch count;
+    # state loss would leave straddling users short by their pre-restart events
+    got: dict[int, int] = {}
+    for (_, uid), n in emitted.items():
+        got[uid] = max(got.get(uid, 0), n)
+    want = {r["user_id"]: r["count"] for r in events.groupBy("user_id").count().collect()}
+    assert got == want
+
+
 def test_rate_source_ticks(spark):
     """TimerPort parity (messaging.rs:151-209): the rate source produces
     monotonically increasing tick values."""
