@@ -111,6 +111,44 @@ def test_no_unpartitioned_window_in_source():
     assert not offenders, f"unpartitioned windows: {offenders}"
 
 
+def test_tpch_additions_plan_shapes(spark, sf_dir):
+    """Scale pins for the round-5 TPC-H additions: Q5's five dim joins all
+    broadcast (the c=s nation equality must ride a hash join, not become
+    a filter over a cartesian), Q18's top-20 compiles to
+    TakeOrderedAndProject, and Q4's EXISTS lowers to a semi join — never
+    a cartesian anywhere."""
+    from gasket_rs_spark.operators.relational import (
+        q_tpch_q4_priority,
+        q_tpch_q5_local_supplier,
+        q_tpch_q18_big_orders,
+        q_tpch_q22_idle_customers,
+    )
+
+    q5 = q_tpch_q5_local_supplier(spark, sf_dir)
+    assert_broadcasts(q5, at_least=4)  # supplier, customer, nation, region
+    assert_no_cartesian(q5)
+
+    q18 = q_tpch_q18_big_orders(spark, sf_dir)
+    assert count_operator(q18, "TakeOrderedAndProject") == 1
+    assert_no_cartesian(q18)
+
+    q4 = q_tpch_q4_priority(spark, sf_dir)
+    plan = explain_formatted_for_test(q4)
+    assert "LeftSemi" in plan
+    assert_no_cartesian(q4)
+
+    # q22's only cross join is the 1-row broadcast average
+    q22 = q_tpch_q22_idle_customers(spark, sf_dir)
+    assert count_operator(q22, "BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in explain_formatted_for_test(q22)
+
+
+def explain_formatted_for_test(df):
+    from gasket_rs_spark.plans.inspect import explain_formatted
+
+    return explain_formatted(df)
+
+
 def test_new_scale_paths_have_no_cartesian(spark, sf_dir):
     """The curation composite and the embedding-LSH dedup must generate
     candidates via equi-joins — a CartesianProduct anywhere means the
