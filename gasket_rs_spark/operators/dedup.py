@@ -19,7 +19,6 @@ every pair output is (left < right); MinHash permutations are fixed
 from __future__ import annotations
 
 import random
-from zlib import crc32
 
 import numpy as np
 import pandas as pd
@@ -157,17 +156,20 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     an arbitrary (doc_id, text) frame:
     (doc_id, hs array<bigint>, sig array<bigint>, n_sh).
 
-    Computed in ONE Arrow-batched ``mapInPandas`` pass with numpy: token
-    CRC32s, rolling-polynomial 3-shingle hashes, distinct, then all 128
+    Token hashing runs JVM-side — ``transform(split(text), xxhash64)``
+    inside whole-stage codegen — so the Python worker receives int64
+    arrays over Arrow and never touches a string. The numpy kernel then
+    does rolling-polynomial 3-shingle hashes, distinct, and all 128
     affine permutations as a single (128 × n_shingles) vectorized
-    modular-min. This is the measured fast path — the pure-JVM
-    alternatives (explode + 128-buffer codegen aggregate; narrow
-    ``array_min(transform(...))`` per permutation) both evaluate ~128
-    interpreted ops per shingle and clocked 2-4× slower at sf0.1; the
-    permutation sweep is exactly the dense integer kernel Arrow+numpy is
-    for. Hash values are engine-internal (the query is rows-only checked)
-    — only pair membership must match the exact witness, which the
-    Jaccard verify step guarantees.
+    modular-min. This split is the measured fast path — the pure-JVM
+    alternatives for the PERMUTATION sweep (explode + 128-buffer codegen
+    aggregate; narrow ``array_min(transform(...))`` per permutation) both
+    evaluate ~128 interpreted ops per shingle and clocked 2-4× slower at
+    sf0.1, while the earlier per-token Python ``crc32`` loop was the
+    kernel's remaining interpreter-bound part. Hash values are
+    engine-internal (the query is rows-only checked) — only pair
+    membership must match the exact witness, which the Jaccard verify
+    step guarantees.
     """
     from pyspark import StorageLevel
 
@@ -182,11 +184,13 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
             out_hs: list = []
             out_sig: list = []
             out_n: list = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                if len(toks) < _SHINGLE_K:
+            for doc_id, th_raw in zip(pdf["doc_id"], pdf["th"]):
+                if len(th_raw) < _SHINGLE_K:
                     continue
-                th = np.array([crc32(tk.encode()) for tk in toks], dtype=np.int64) % m
+                # numpy mod with a positive divisor is non-negative even
+                # for negative xxhash64 values; % m brings tokens under
+                # 2^31 so the poly/permutation arithmetic stays in int64.
+                th = np.asarray(th_raw, dtype=np.int64) % m
                 sh = ((th[:-2] * poly + th[1:-1]) % m * poly + th[2:]) % m
                 hs = np.unique(sh)
                 sig = ((perm_a * hs[None, :] + perm_b) % m).min(axis=1)
@@ -198,9 +202,10 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
                 {"doc_id": out_id, "hs": out_hs, "sig": out_sig, "n_sh": out_n}
             )
 
+    token_hashes = F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
     # Persisted because three plan branches consume it (banding,
     # verify-left, verify-right) — ~8 bytes/shingle, spills cleanly.
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", token_hashes.alias("th")).mapInPandas(
         sig_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>, n_sh int"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -311,15 +316,17 @@ def _simhash_blocks(docs: DataFrame) -> DataFrame:
     """Per-doc SimHash block values: (doc_id, block0..block5), the 64-bit
     token-level SimHash split on the _SIMHASH_BLOCK_BITS boundaries.
 
-    One Arrow-batched ``mapInPandas`` pass: 64-bit token hashes from a
-    splitmix64-finalized CRC32, the 64 weighted bit sums as a single
-    vectorized (n_tokens × 64) matrix reduction, sign-thresholded and
-    packed into six blocks. Replaces an explode + 64-conditional-sum
-    aggregate that (like the MinHash permutation sweep) pays ~64
-    interpreted ops per token and was computed once per consumer branch —
-    the dense bit kernel is numpy's home turf. Hash values are
-    engine-internal; every property (pigeonhole completeness, Hamming
-    verify, candidate volume) is pinned by tests/test_dedup_simhash.py.
+    Token hashing runs JVM-side (``transform(split(text), xxhash64)`` in
+    whole-stage codegen — xxhash64's 64 bits are uniform, so no Python
+    finalizer is needed); the Arrow-batched numpy kernel then computes
+    the 64 weighted bit sums as a single vectorized (n_tokens × 64)
+    matrix reduction, sign-thresholded and packed into six blocks.
+    Replaces an explode + 64-conditional-sum aggregate that (like the
+    MinHash permutation sweep) pays ~64 interpreted ops per token and was
+    computed once per consumer branch — the dense bit kernel is numpy's
+    home turf. Hash values are engine-internal; every property
+    (pigeonhole completeness, Hamming verify, candidate volume) is pinned
+    by tests/test_dedup_simhash.py.
     """
     bit_cols = np.arange(_SIMHASH_BITS, dtype=np.uint64)
     offsets = np.cumsum((0,) + _SIMHASH_BLOCK_BITS)
@@ -327,25 +334,15 @@ def _simhash_blocks(docs: DataFrame) -> DataFrame:
         1 << np.arange(w, dtype=np.uint64) for w in _SIMHASH_BLOCK_BITS
     ]
 
-    def _splitmix64(x: np.ndarray) -> np.ndarray:
-        # Standard splitmix64 finalizer: expands the 32-bit CRC into 64
-        # independent-looking bits (two raw CRCs are linearly related for
-        # equal-length tokens, which collapses SimHash bit independence).
-        z = x + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
     def block_batches(batches):
         for pdf in batches:
             out = {"doc_id": []}
             for b in range(_SIMHASH_BLOCKS):
                 out[f"block{b}"] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                th = _splitmix64(
-                    np.array([crc32(t.encode()) for t in toks], dtype=np.uint64)
-                )
+            for doc_id, th_raw in zip(pdf["doc_id"], pdf["th"]):
+                # bit-reinterpret the signed xxhash64 values; view() is
+                # exact (no value conversion), unlike astype on negatives
+                th = np.ascontiguousarray(th_raw, dtype=np.int64).view(np.uint64)
                 bits = (th[:, None] >> bit_cols[None, :]) & np.uint64(1)
                 sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
                 sig_bits = (sums > 0).astype(np.uint64)
@@ -358,7 +355,10 @@ def _simhash_blocks(docs: DataFrame) -> DataFrame:
     schema = "doc_id bigint, " + ", ".join(
         f"block{b} bigint" for b in range(_SIMHASH_BLOCKS)
     )
-    return docs.select("doc_id", "text").mapInPandas(block_batches, schema)
+    token_hashes = F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+    return docs.select("doc_id", token_hashes.alias("th")).mapInPandas(
+        block_batches, schema
+    )
 
 
 def _simhash_candidates(sigs: DataFrame) -> DataFrame:
