@@ -472,17 +472,36 @@ _EMB_COSINE_THRESHOLD = 0.4
 
 def _emb_buckets(emb: DataFrame) -> DataFrame:
     """Add per-band sign-pattern buckets (bucket0..bucket{B-1}) to a
-    (vec_id, vec, nrm) frame — one narrow JVM-side map over the corpus."""
-    from gasket_rs_spark.operators.similarity import _dot
+    (vec_id, vec, nrm) frame.
 
-    out = emb
-    for band, planes in enumerate(_EMB_PLANES):
-        bucket = F.lit(0)
-        for i, plane in enumerate(planes):
-            proj = _dot(F.array(*[F.lit(v) for v in plane]), F.col("vec"))
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        out = out.withColumn(f"bucket{band}", bucket)
-    return out
+    One Arrow-batched numpy matmul pass ((batch × dim) @ (dim × B·P)),
+    sign bits packed into a 16-bit bucket per band — the same kernel
+    economics as similarity._ivf_assign. The previous formulation built
+    32 separate Catalyst aggregate/zip_with dot expressions (~2k
+    interpreted higher-order ops per vector) and was the measured
+    bottleneck of the embedding-LSH path; the planes ride into executors
+    as a (B·P × dim) constant."""
+    P = np.array(
+        [p for band in _EMB_PLANES for p in band], dtype=np.float64
+    ).T  # dim × (B·P)
+    weights = 1 << np.arange(_EMB_PLANES_N, dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            S = (V @ P) >= 0.0
+            out = {"vec_id": pdf["vec_id"], "vec": pdf["vec"], "nrm": pdf["nrm"]}
+            for band in range(_EMB_BANDS_N):
+                chunk = S[:, band * _EMB_PLANES_N : (band + 1) * _EMB_PLANES_N]
+                out[f"bucket{band}"] = (chunk * weights).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, vec array<double>, nrm double, " + ", ".join(
+        f"bucket{b} bigint" for b in range(_EMB_BANDS_N)
+    )
+    return emb.mapInPandas(batches, schema)
 
 
 def _emb_candidates(vecs: DataFrame) -> DataFrame:
