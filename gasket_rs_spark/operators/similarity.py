@@ -97,14 +97,31 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(vec_col):
-    """Sign-pattern bucket id from the fixed hyperplanes (0..2^planes-1)."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(_PLANES):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        proj = _dot(lit_plane, vec_col)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _with_bucket(df: DataFrame) -> DataFrame:
+    """Add the sign-pattern bucket id (0..2^planes-1) from the fixed
+    hyperplanes — one Arrow-batched (batch × dim) @ (dim × planes) numpy
+    matmul with packed sign bits, the shared kernel shape of every
+    hyperplane/centroid assignment in the package (see _ivf_assign and
+    dedup._emb_buckets; the per-plane Catalyst aggregate/zip_with dot
+    formulation this replaces pays ~dim interpreted ops per plane)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(_PLANES, dtype=np.float64).T  # dim × planes
+    weights = 1 << np.arange(_N_PLANES, dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            out = pdf[["vec_id", "label", "vec", "nrm"]].copy()
+            out["bucket"] = (((V @ P) >= 0.0) * weights).sum(axis=1)
+            yield out
+
+    return df.mapInPandas(
+        batches, "vec_id bigint, label int, vec array<double>, nrm double, bucket bigint"
+    )
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,9 +131,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the 6 single-bit-flip neighbors. Candidate generation is an
     equi-join on bucket — scales as O(n · bucket_occupancy), not O(n²).
     """
-    emb = _with_vec(load(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _bucket_expr(F.col("vec"))
-    )
+    emb = _with_bucket(_with_vec(load(spark, sf_dir, "embeddings")))
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),

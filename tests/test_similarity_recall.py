@@ -91,9 +91,7 @@ def test_ann_lsh_scores_fraction_of_corpus(spark, sf_dir):
 
     from gasket_rs_spark.tables import load
 
-    emb = S._with_vec(load(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", S._bucket_expr(F.col("vec"))
-    )
+    emb = S._with_bucket(S._with_vec(load(spark, sf_dir, "embeddings")))
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
