@@ -55,6 +55,43 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC with a mandatory explicit schema (same no-inference policy as
+    the CSV/JSON readers; ORC pushdown/pruning work like parquet's)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    return df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Compact a small-files parquet dataset into ~target_file_mb outputs.
+
+    Streaming sinks and per-trigger micro-batch writes leave thousands of
+    KB-scale files; at 100 TB the driver-side listing and per-file open
+    costs dominate reads long before the bytes do. Sizing uses the
+    dataset's on-disk bytes (sum of file sizes from the input listing —
+    no data pass), then one round-robin ``repartition(n)`` write, which
+    spreads rows evenly without a range shuffle's sampling pass. Returns
+    the output file count.
+    """
+    df = spark.read.parquet(src_path)
+    # Hadoop FS content summary: works on any Hadoop-compatible filesystem
+    # (local, HDFS, object stores), not just local paths.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 class RetryingForeachBatchWriter:
     """foreachBatch body with reference retry semantics + idempotence.
 

@@ -15,9 +15,12 @@ from gasket_rs_spark.pipeline.retries import RetryPolicy
 from gasket_rs_spark.plans.inspect import explain_formatted
 from gasket_rs_spark.sources.io import (
     RetryingForeachBatchWriter,
+    compact_parquet,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    write_orc,
     write_partitioned_parquet,
 )
 from gasket_rs_spark.tables import load
@@ -113,6 +116,39 @@ def test_csv_json_roundtrip_with_explicit_schema(spark, sf_dir):
             r["r_name"] for r in region.collect()
         )
         assert read_json(spark, json_path, schema).count() == 5
+
+
+def test_orc_roundtrip_with_explicit_schema(spark, sf_dir):
+    """ORC source/sink parity with the parquet path: explicit schema on
+    read (no inference), values identical after a write/read cycle."""
+    orders = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orders_orc")
+        write_orc(orders, path)
+        back = read_orc(spark, path, orders.schema)
+        assert back.schema == orders.schema
+        assert back.count() == orders.count()
+        want = sorted(r["o_orderkey"] for r in orders.select("o_orderkey").collect())
+        got = sorted(r["o_orderkey"] for r in back.select("o_orderkey").collect())
+        assert got == want
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir):
+    """Small-files compaction: a 64-file write compacts to the byte-sized
+    target file count with no row loss — the post-streaming-sink
+    maintenance pass a 100 TB table needs."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+        lineitem.repartition(64).write.parquet(src)
+        n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+        assert n_src == 64
+        n_planned = compact_parquet(spark, src, dst, target_file_mb=512)
+        n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+        assert n_dst == n_planned < n_src
+        back = spark.read.parquet(dst)
+        assert back.count() == lineitem.count()
+        assert set(back.columns) == set(lineitem.columns)
 
 
 def test_retrying_foreachbatch_writer_retries_then_commits(spark, sf_dir):
