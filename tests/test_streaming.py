@@ -281,6 +281,80 @@ def test_stateful_state_survives_restart(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_ingest_recipe_end_to_end(spark, sf_dir):
+    """The full ingest story in one test: bounded file replay → retrying
+    idempotent foreachBatch sink (one injected transient failure) →
+    day-partitioned parquet layout → small-files compaction. Exactly the
+    chain a 100 TB streaming table runs; asserts exactly-once delivery
+    through the retry, partition layout on disk, and no row loss through
+    compaction."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from gasket_rs_spark.pipeline.retries import RetryPolicy
+    from gasket_rs_spark.sources.io import (
+        RetryingForeachBatchWriter,
+        compact_parquet,
+        write_partitioned_parquet,
+    )
+    from gasket_rs_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    total = events.count()
+    scratch = tempfile.mkdtemp(prefix="gasket-ingest-")
+    src = os.path.join(scratch, "src")
+    table = os.path.join(scratch, "table")
+    compacted = os.path.join(scratch, "compacted")
+    markers = os.path.join(scratch, "markers")
+    ckpt = os.path.join(scratch, "ckpt")
+    events.repartition(4).write.parquet(src)
+
+    fail_once = {"armed": True}
+
+    def write(batch_df, batch_id):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("transient sink failure")  # before any write
+        write_partitioned_parquet(
+            batch_df.withColumn("dt", SF.to_date("ts")),
+            table,
+            partition_by=["dt"],
+            mode="append",
+        )
+
+    writer = RetryingForeachBatchWriter(
+        write, marker_dir=markers, policy=RetryPolicy(max_retries=3, backoff_unit=0.001)
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    readings = writer.metrics.collect_readings()
+    assert readings["write_attempts"] == readings["batches_committed"] + 1
+
+    # partition layout on disk + exactly-once delivery through the retry
+    assert any(p.startswith("dt=") for p in os.listdir(table))
+    back = spark.read.parquet(table)
+    assert back.count() == total
+    assert back.select("event_id").distinct().count() == total
+
+    # compaction keeps every row
+    n_files = compact_parquet(spark, table, compacted, target_file_mb=512)
+    assert n_files >= 1
+    assert spark.read.parquet(compacted).count() == total
+
+
 def test_rate_source_ticks(spark):
     """TimerPort parity (messaging.rs:151-209): the rate source produces
     monotonically increasing tick values."""
