@@ -13,7 +13,7 @@ regex path used for real corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gasket_rs_spark.tables import load
@@ -173,7 +173,117 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pre-tokenization step
+    every LLM training pipeline runs before packing.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk); starts run while
+    i·stride < n, so every token is covered and consecutive chunks
+    overlap by chunk − stride = 16 tokens. Same transform-over-sequence +
+    slice shape as the shingle builder (JVM higher-order fns, narrow
+    map); output volume is ~chunk/stride ≈ 1.33× the corpus tokens,
+    which is the operator's intrinsic cost at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size(toks) - 1) / _CHUNK_STRIDE).cast("int")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_TOKENS)
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048
+_PACK_BUCKETS = 64
+
+
+def q_text_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into ~token-budget batches.
+
+    The scale-honest formulation: md5-bucket the corpus into
+    _PACK_BUCKETS independent streams (deterministic shuffle, no global
+    order), within each bucket order by the md5 hex (+ doc_id tiebreak)
+    and bin by cumulative token offset — batch = floor(start_offset /
+    budget), batch key = (bucket, batch_in_bucket). One window shuffle
+    partitioned by bucket; a batch overruns the budget only by its last
+    document (pinned in tests/test_text_pipeline.py). A global single-
+    stream packing would be a one-task sort at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % _PACK_BUCKETS,
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "bucket",
+        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("batch_in_bucket"),
+        "n_tokens",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_chunk": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+               CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_tokens
+        FROM s
+    """,
+    "text_pack_batches": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), b AS (
+            SELECT doc_id, n_tokens, h,
+                   ('0x' || substr(h, 1, 2))::BIGINT % 64 AS bucket
+            FROM t
+        )
+        SELECT doc_id, bucket,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 2048.0) AS BIGINT) AS batch_in_bucket,
+               n_tokens
+        FROM b
+    """,
     "text_tfidf_top": """
         WITH tokens AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

@@ -1,0 +1,69 @@
+"""Properties of the chunking/packing training-data operators that the
+value-hash gate can't express: chunk coverage of every token, and the
+greedy packing budget bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.operators.text import (
+    _CHUNK_STRIDE,
+    _CHUNK_TOKENS,
+    _PACK_BUDGET,
+    q_text_chunk,
+    q_text_pack_batches,
+)
+from gasket_rs_spark.tables import load
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    """Every document's token range [0, n) is covered: chunk count equals
+    floor((n-1)/stride)+1, chunk 0 starts at token 0, and the last
+    chunk's [start, start+len) interval reaches n."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    chunks = q_text_chunk(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("last_id"),
+            F.min("chunk_id").alias("first_id"),
+            F.max(F.col("chunk_id") * _CHUNK_STRIDE + F.col("n_tokens")).alias("max_end"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        want_chunks = (r["n"] - 1) // _CHUNK_STRIDE + 1
+        assert r["n_chunks"] == want_chunks, r
+        assert r["first_id"] == 0 and r["last_id"] == want_chunks - 1, r
+        assert r["max_end"] >= r["n"], r
+
+
+def test_chunk_token_counts_bounded(spark, sf_dir):
+    """No chunk exceeds the chunk size; only a document's last chunk may
+    be shorter than the overlap-adjusted minimum."""
+    rows = q_text_chunk(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_tokens"] <= _CHUNK_TOKENS for r in rows)
+
+
+def test_pack_batches_budget_bound(spark, sf_dir):
+    """Greedy start-offset binning: a batch's token sum exceeds the budget
+    only by (part of) its final document — sum <= budget + max doc size in
+    the batch. Every document lands in exactly one batch."""
+    packed = q_text_pack_batches(spark, sf_dir)
+    per_batch = (
+        packed.groupBy("bucket", "batch_in_bucket")
+        .agg(F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert per_batch
+    for r in per_batch:
+        assert r["s"] <= _PACK_BUDGET + r["mx"], r
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
