@@ -48,6 +48,41 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA_BUCKETS = 256
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced stratified sample — the rebalancing step a
+    training mix runs over a skewed corpus.
+
+    Each language is down-sampled toward the smallest language's count:
+    per-lang keep-threshold = floor(min_count / count × 256) md5-buckets
+    of 256. The 5-row language stats broadcast back onto the corpus (one
+    narrow map over the docs, no second corpus shuffle), and the md5
+    bucket makes the kept set deterministic and engine-independent.
+    Emits per-lang kept counts (value-checked vs the DuckDB oracle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    mins = counts.agg(F.min("n_lang").alias("n_min"))
+    # (n_min * 256) / n_lang with this exact association on BOTH sides —
+    # a different float evaluation order could flip floor() at an integer
+    # boundary (memory: half-grid rule).
+    thresholds = counts.crossJoin(F.broadcast(mins)).select(
+        "lang",
+        F.floor((F.col("n_min") * _STRATA_BUCKETS) / F.col("n_lang")).alias("keep_lt"),
+    )
+    kept = (
+        docs.withColumn("bucket", _md5_bucket(F.col("doc_id"), _STRATA_BUCKETS))
+        .join(F.broadcast(thresholds), "lang")
+        .where(F.col("bucket") < F.col("keep_lt"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("keep_lt").alias("keep_lt"),
+    )
+
+
 def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of order value per status.
 
@@ -89,6 +124,22 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "stratified_sample": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+        ), th AS (
+            SELECT lang,
+                   CAST(floor(((SELECT min(n_lang) FROM counts) * 256) / n_lang) AS BIGINT) AS keep_lt
+            FROM counts
+        ), kept AS (
+            SELECT d.lang, count(*) AS n_kept
+            FROM documents d JOIN th USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))::BIGINT % 256 < th.keep_lt
+            GROUP BY d.lang
+        )
+        SELECT lang, n_kept, keep_lt
+        FROM kept JOIN th USING (lang)
+    """,
     "sample_hash": """
         SELECT doc_id, lang,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS BIGINT) AS bucket
