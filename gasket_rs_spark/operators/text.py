@@ -173,6 +173,45 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_SIZE = 20
+
+
+def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-V global vocabulary (by term
+    frequency, token tiebreak), then per-document out-of-vocabulary token
+    rate — the tokenizer-fit diagnostic run before committing to a vocab.
+
+    The top-V selection is orderBy+limit — TakeOrderedAndProject (per-
+    partition heap + driver merge of V rows), NOT a global sort or an
+    unpartitioned window; the V-row vocabulary broadcasts back onto the
+    token stream. V is small here because the synthetic corpus has ~31
+    distinct tokens; the plan shape is V-independent.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    vocab = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tokens.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.floor(F.col("n_oov") / F.col("n_tokens") * 1000000 + 0.5) / 1000000,
+        )
+    )
+
+
 _CHUNK_TOKENS = 64
 _CHUNK_STRIDE = 48
 
@@ -252,6 +291,22 @@ def q_text_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_vocab_oov": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS cnt FROM tokens GROUP BY token
+            ) ORDER BY cnt DESC, token LIMIT 20
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               floor(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+        FROM tokens t LEFT JOIN vocab v USING (token)
+        GROUP BY doc_id
+    """,
     "text_chunk": """
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
