@@ -81,6 +81,32 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point aggregation (X21's decimal surface): prices cast
+    to DECIMAL(12,2), summed exactly (no float summation-order drift —
+    the reason money columns are decimal at any scale), then the exact
+    decimal converted to double only for the cross-engine compare. The
+    half-up vs half-even cast difference between engines cannot bite:
+    a double is never exactly on a .005 tie."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("price_dec", F.col("l_extendedprice").cast("decimal(12,2)"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("price_dec").alias("sum_dec"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("sum_dec").cast("double").alias("sum_price"),
+            # avg via double on the exact sum: decimal DIVISION scale
+            # rules are engine-specific, so divide after the exact part
+            (F.floor(F.col("sum_dec").cast("double") / F.col("n") * 1000000 + 0.5) / 1000000).alias("avg_price"),
+            "n",
+        )
+    )
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size / element access / higher-order reduce over embedding vectors.
 
@@ -213,6 +239,20 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "decimal_agg": """
+        WITH t AS (
+            SELECT l_returnflag,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(sum_dec AS DOUBLE) AS sum_price,
+               floor(CAST(sum_dec AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS avg_price,
+               n
+        FROM t
+    """,
     "map_funcs": """
         SELECT event_id,
                event_type AS m_type,
