@@ -51,6 +51,36 @@ def test_chunk_token_counts_bounded(spark, sf_dir):
     assert all(r["n_tokens"] <= _CHUNK_TOKENS for r in rows)
 
 
+def test_chunk_boundary_lengths(spark):
+    """Synthetic boundary pins (memory rule: pin uncertain boundaries with
+    synthetic rows, the corpus never sits on them): token counts at and
+    around the stride/chunk edges produce exactly the expected chunk
+    starts and sizes."""
+    from gasket_rs_spark.operators.text import q_text_chunk
+
+    import tempfile
+
+    cases = {
+        1: [1],            # single token -> one chunk of 1
+        47: [47],          # < stride -> one chunk
+        48: [48],          # == stride -> still one chunk (start 48 >= n)
+        49: [49, 1],       # stride+1 -> second chunk of 1
+        64: [64, 16],      # == chunk -> second chunk holds the overlap tail
+        96: [64, 48],      # 2*stride -> starts 0,48
+        97: [64, 49, 1],   # 2*stride+1 -> starts 0,48,96
+    }
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in cases]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            d + "/documents.parquet"
+        )
+        got: dict[int, list[int]] = {}
+        for r in q_text_chunk(spark, d).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["n_tokens"]
+    for n, sizes in cases.items():
+        assert [got[n][i] for i in range(len(sizes))] == sizes, (n, got[n])
+
+
 def test_pack_batches_budget_bound(spark, sf_dir):
     """Greedy start-offset binning: a batch's token sum exceeds the budget
     only by (part of) its final document — sum <= budget + max doc size in
