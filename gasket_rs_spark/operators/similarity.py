@@ -362,7 +362,73 @@ def q_similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error profile — the 4× storage
+    compression a 100 TB embedding corpus runs before archiving, with
+    per-vector reconstruction-error stats as the quality gate.
+
+    Per vector: scale = max|x| / 127, code = floor(x/scale + 0.5)
+    (spelled identically in the oracle — round() tie behavior differs
+    between engines, floor(x+0.5) doesn't), error = |x − scale·code|.
+    One Arrow-batched numpy pass (the package's standard dense-kernel
+    shape); emits (vec_id, scale, max_abs_err, mean_abs_err) rounded at
+    6 dp — max is order-independent and the 64-element mean's
+    summation-order drift is ~1e-18, far below the rounding grid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            scale = np.abs(V).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)[:, None]
+            codes = np.floor(V / safe + 0.5)
+            err = np.abs(V - safe * codes)
+            err = np.where(scale[:, None] == 0.0, 0.0, err)
+            def grid6(x):
+                # floor(x*1e6+0.5)/1e6 — identical spelling to the oracle
+                # (round() half-grid behavior differs between engines)
+                return np.floor(x * 1000000 + 0.5) / 1000000
+
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "scale": grid6(scale),
+                    "max_abs_err": grid6(err.max(axis=1)),
+                    "mean_abs_err": grid6(err.mean(axis=1)),
+                }
+            )
+
+    emb = _with_vec(load(spark, sf_dir, "embeddings")).select("vec_id", "vec")
+    return emb.mapInPandas(
+        batches, "vec_id bigint, scale double, max_abs_err double, mean_abs_err double"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_quantize": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), s AS (
+            SELECT vec_id, vec,
+                   list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ), e AS (
+            SELECT vec_id, scale,
+                   list_transform(vec, x -> CASE WHEN scale = 0 THEN 0.0
+                        ELSE abs(x - scale * floor(x / scale + 0.5)) END) AS errs,
+                   len(vec) AS d
+            FROM s
+        )
+        SELECT vec_id,
+               floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+               floor(list_max(errs) * 1000000 + 0.5) / 1000000 AS max_abs_err,
+               floor(list_sum(errs) / d * 1000000 + 0.5) / 1000000 AS mean_abs_err
+        FROM e
+    """,
     "similarity_topk": """
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
