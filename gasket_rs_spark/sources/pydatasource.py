@@ -1,0 +1,96 @@
+"""Custom Python data source (Spark 4 DataSource API) — the package's
+"write a new connector" witness.
+
+Reference parity: a Source stage is a worker that fabricates units from
+nothing but its own state (SURVEY §2.1 R4; the reference's source stage
+pattern is a schedule() that always returns Unit). Here the whole source
+runs inside Spark's scan planning: ``partitions()`` is the schedule —
+each InputPartition is a unit of work — and ``read(partition)`` is the
+worker body, executed distributed, one task per partition.
+
+The source generates a deterministic synthetic event stream (splitmix64
+over the row index — no RNG state, so any partition can be regenerated
+independently, which is exactly the property a restartable distributed
+scan needs). ``pushFilters`` accepts event_type equality filters and
+prunes generation executor-side — the Python-source analogue of parquet
+predicate pushdown (the filter is applied per-row at generation; the
+win is rows never crossing the source boundary, not skipped work).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+from pyspark.sql.types import StructType
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+_SCHEMA_DDL = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 — deterministic per-row randomness without RNG state."""
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+@dataclass
+class _Slice(InputPartition):
+    start: int
+    end: int
+
+
+class GasketEventsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.n_partitions = int(options.get("partitions", 4))
+        self.keep_types: set[str] | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Accept event_type equality filters; return the rest unhandled."""
+        unhandled = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.keep_types = {f.value} | (self.keep_types or set())
+            else:
+                unhandled.append(f)
+        return unhandled
+
+    def partitions(self):
+        per = -(-self.rows // self.n_partitions)  # ceil
+        return [
+            _Slice(i * per, min((i + 1) * per, self.rows))
+            for i in range(self.n_partitions)
+            if i * per < self.rows
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            h = _mix64(i)
+            etype = _EVENT_TYPES[h % len(_EVENT_TYPES)]
+            if self.keep_types is not None and etype not in self.keep_types:
+                continue
+            yield (i, h % 100, etype, (h >> 8 & 0xFFFF) / 655.36)
+
+
+class GasketEventsDataSource(DataSource):
+    """spark.read.format("gasket_events").option("rows", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gasket_events"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> GasketEventsReader:
+        return GasketEventsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown is opt-in (Spark 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GasketEventsDataSource)

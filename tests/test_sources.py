@@ -151,6 +151,30 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir):
         assert set(back.columns) == set(lineitem.columns)
 
 
+def test_python_datasource_partitioned_deterministic(spark):
+    """Custom Python data source (Spark 4 DataSource API): respects the
+    requested partitioning, generates deterministically (two scans are
+    identical — the restartable-scan property), and its event_type
+    equality pushdown returns exactly the rows a post-hoc filter keeps."""
+    from gasket_rs_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("gasket_events")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+    pushed = {r["event_id"] for r in df.where(F.col("event_type") == "click").collect()}
+    want = {r[0] for r in a if r[2] == "click"}
+    assert pushed == want and pushed
+
+
 def test_retrying_foreachbatch_writer_retries_then_commits(spark, sf_dir):
     df = load(spark, sf_dir, "region")
     calls = {"n": 0}
