@@ -84,7 +84,71 @@ def q_pandas_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(dev, _NORM_SCHEMA)
 
 
+def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via COGROUPED applyInPandas — the X28 escape hatch for
+    join semantics no built-in expresses: both sides group on user_id,
+    each (purchases, clicks) group pair lands in one pandas call, and
+    ``pd.merge_asof`` does the backward at-or-before match.
+
+    Semantics pinned frame-equal to the JVM union+window q_asof_join
+    (tests/test_udf_cogroup.py): clicks sorted by (ts_sec, click_id) so
+    the tie among equal-timestamp clicks resolves to the max click_id,
+    and exact-timestamp clicks match (allow_exact_matches) — both
+    matching the window formulation's (ts, kind, id) ordering. Same
+    one-shuffle-per-side cost shape as the JVM plan; the JVM version
+    stays the production path (no Python workers in the hot loop).
+    """
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("unix_millis(ts) div 1000")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_sec")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_sec")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "purchase_sec", "click_id", "click_sec"]
+            )
+        p = left.sort_values(["ts_sec", "purchase_id"]).rename(
+            columns={"ts_sec": "purchase_sec"}
+        )
+        c = right.sort_values(["ts_sec", "click_id"]).rename(
+            columns={"ts_sec": "click_sec"}
+        )[["click_sec", "click_id"]]
+        out = pd.merge_asof(
+            p,
+            c,
+            left_on="purchase_sec",
+            right_on="click_sec",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        # no-prior-click purchases match nothing: merge_asof leaves NaN,
+        # which floats the int columns — nullable Int64 keeps them bigint
+        out["click_id"] = out["click_id"].astype("Int64")
+        out["click_sec"] = out["click_sec"].astype("Int64")
+        return out[["purchase_id", "user_id", "purchase_sec", "click_id", "click_sec"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "purchase_id bigint, user_id bigint, purchase_sec bigint, "
+            "click_id bigint, click_sec bigint",
+        )
+    )
+
+
+from gasket_rs_spark.operators.relational import ORACLES as _RELATIONAL_ORACLES
+
 ORACLES: dict[str, str] = {
+    # same contract as the JVM as-of join -- one oracle serves both
+    "asof_join_cogrouped": _RELATIONAL_ORACLES["asof_join"],
     "pandas_udf_scalar": """
         SELECT event_id, value,
                round(ln(1 + abs(value)) * 100.0, 6) AS scaled_log
