@@ -144,11 +144,54 @@ def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) expanding each document into
+    its positioned token bigrams via a LATERAL join — the one-row-in /
+    many-rows-out Python shape that completes the UDF surface (scalar /
+    grouped / cogrouped / stateful / table function).
+
+    API witness: row-at-a-time Python is the slow path by design; the
+    production n-gram expansion is the JVM shingle builder
+    (operators/dedup._shingles). Value-checked against the DuckDB
+    oracle, which pins the lateral-join plumbing (row correlation,
+    ordering-free compare, empty-doc handling).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("gasket_bigrams", Bigrams)
+    from gasket_rs_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.bigram FROM _udtf_docs d, LATERAL gasket_bigrams(d.text) t"
+    )
+
+
 from gasket_rs_spark.operators.relational import ORACLES as _RELATIONAL_ORACLES
 
 ORACLES: dict[str, str] = {
     # same contract as the JVM as-of join -- one oracle serves both
     "asof_join_cogrouped": _RELATIONAL_ORACLES["asof_join"],
+    "text_bigrams_udtf": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+            WHERE len(toks) >= 2
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM s
+    """,
     "pandas_udf_scalar": """
         SELECT event_id, value,
                round(ln(1 + abs(value)) * 100.0, 6) AS scaled_log
