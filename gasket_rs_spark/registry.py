@@ -37,6 +37,7 @@ _MODULES = (
     "gasket_rs_spark.pipeline.witnesses",
     "gasket_rs_spark.functions.udf",
     "gasket_rs_spark.operators.stats",
+    "gasket_rs_spark.operators.analytics",
     "gasket_rs_spark.operators.skew",
     "gasket_rs_spark.operators.profile",
 )
