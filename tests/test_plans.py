@@ -149,6 +149,28 @@ def explain_formatted_for_test(df):
     return explain_formatted(df)
 
 
+def test_analytics_and_shaping_shuffle_counts(spark, sf_dir):
+    """Scale pins for the round-5 analytics/shaping additions: the funnel
+    is ONE shuffle on user_id (three chained windows share the
+    partitioning; the naive per-stage self-join would scan the fact once
+    per stage), packing is one window shuffle on bucket, and neither
+    plans a cartesian."""
+    from gasket_rs_spark.operators.analytics import q_funnel_conversion
+    from gasket_rs_spark.operators.text import q_text_pack_batches
+
+    funnel = q_funnel_conversion(spark, sf_dir)
+    # the three chained stage windows stack over ONE user_id exchange
+    # (plus the final single-row agg exchange) — each stage must NOT
+    # re-shuffle even though it reads the previous stage's window column
+    assert count_operator(funnel, "Exchange") <= 2
+    assert count_operator(funnel, "Window") == 3
+    assert_no_cartesian(funnel)
+
+    packed = q_text_pack_batches(spark, sf_dir)
+    assert count_operator(packed, "Exchange") == 1
+    assert_no_cartesian(packed)
+
+
 def test_new_scale_paths_have_no_cartesian(spark, sf_dir):
     """The curation composite and the embedding-LSH dedup must generate
     candidates via equi-joins — a CartesianProduct anywhere means the
