@@ -173,6 +173,61 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_K = 30
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with global share > 1/k) via the
+    two-pass Misra-Gries pattern — sketch candidates, then exact verify.
+
+    Pass 1: per-partition Misra-Gries summaries with k−1 counters in one
+    ``mapInPandas`` sweep (the iterator spans the partition, so counters
+    persist across Arrow batches). Union-of-candidates guarantee by an
+    averaging argument: a token with global share > 1/k must have local
+    share > 1/k in at least one partition, where MG provably retains it —
+    so candidates ⊇ truth and the exact recount (a broadcast-filtered
+    aggregation, pass 2) makes the final answer EXACT, not approximate.
+    Candidate volume is ≤ (k−1) × partitions regardless of corpus size —
+    the sketch is what makes pass 2's broadcast safe at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(_tokens()).alias("token"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _HH_K - 1:
+                    counters[tok] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        import pandas as pd
+
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = tokens.mapInPandas(mg, "token string").distinct()
+    total = tokens.agg(F.count("*").alias("total"))
+    return (
+        tokens.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("total") / _HH_K)
+        .select(
+            "token",
+            "cnt",
+            (F.floor(F.col("cnt") / F.col("total") * 1000000 + 0.5) / 1000000).alias(
+                "share"
+            ),
+        )
+    )
+
+
 _VOCAB_SIZE = 20
 
 
@@ -291,6 +346,18 @@ def q_text_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "heavy_hitters": """
+        WITH tokens AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), n AS (
+            SELECT count(*) AS total FROM tokens
+        )
+        SELECT token, count(*) AS cnt,
+               floor(count(*) / total * 1000000 + 0.5) / 1000000 AS share
+        FROM tokens, n
+        GROUP BY token, total
+        HAVING count(*) > total / 30
+    """,
     "text_vocab_oov": """
         WITH tokens AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
