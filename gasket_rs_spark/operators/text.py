@@ -345,7 +345,64 @@ def q_text_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-tokenization composite: chunk documents (64-token
+    windows, 48 stride), then pack the CHUNKS into ~2048-token batches —
+    what actually feeds a trainer, as one lazy plan. Same bucketed
+    binning as q_text_pack_batches, keyed on (doc_id, chunk_id)."""
+    chunks = q_text_chunk(spark, sf_dir).select("doc_id", "chunk_id", "n_tokens")
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+        )
+    )
+    base = chunks.withColumn("h", h).withColumn(
+        "bucket",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % _PACK_BUCKETS,
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "chunk_id",
+        "bucket",
+        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("batch_in_bucket"),
+        "n_tokens",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_chunk_pack": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS chunk_id
+            FROM t
+        ), chunks AS (
+            SELECT doc_id, chunk_id,
+                   CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)) AS h
+            FROM s
+        ), b AS (
+            SELECT doc_id, chunk_id, n_tokens, h,
+                   ('0x' || substr(h, 1, 2))::BIGINT % 64 AS bucket
+            FROM chunks
+        )
+        SELECT doc_id, chunk_id, bucket,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket
+                    ORDER BY h, doc_id, chunk_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 2048.0) AS BIGINT) AS batch_in_bucket,
+               n_tokens
+        FROM b
+    """,
     "heavy_hitters": """
         WITH tokens AS (
             SELECT unnest(string_split(text, ' ')) AS token FROM documents
