@@ -50,11 +50,21 @@ class GasketEventsReader(DataSourceReader):
         self.keep_types: set[str] | None = None
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        """Accept event_type equality filters; return the rest unhandled."""
+        """Accept event_type equality filters; return the rest unhandled.
+
+        The pushed filter list is a conjunction (AND) and Spark does not
+        re-apply handled filters, so multiple EqualTo on the same
+        attribute must INTERSECT the accepted value sets — e.g.
+        ``event_type='click' AND event_type='view'`` is an empty scan,
+        not a union of both types.
+        """
         unhandled = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
-                self.keep_types = {f.value} | (self.keep_types or set())
+                if self.keep_types is None:
+                    self.keep_types = {f.value}
+                else:
+                    self.keep_types = self.keep_types & {f.value}
             else:
                 unhandled.append(f)
         return unhandled

@@ -173,6 +173,18 @@ def test_python_datasource_partitioned_deterministic(spark):
     pushed = {r["event_id"] for r in df.where(F.col("event_type") == "click").collect()}
     want = {r[0] for r in a if r[2] == "click"}
     assert pushed == want and pushed
+    # Pushed filters are a CONJUNCTION and Spark does not re-apply handled
+    # filters: two contradictory equalities must intersect to zero rows,
+    # not union to rows of both types.
+    contradiction = df.where(
+        (F.col("event_type") == "click") & (F.col("event_type") == "view")
+    )
+    assert contradiction.count() == 0
+    # Repeated identical equality stays a no-op intersection.
+    same_twice = df.where(
+        (F.col("event_type") == "click") & (F.col("event_type") == "click")
+    )
+    assert {r["event_id"] for r in same_twice.collect()} == want
 
 
 def test_retrying_foreachbatch_writer_retries_then_commits(spark, sf_dir):
