@@ -50,7 +50,9 @@ def q_flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-scaled (150k x SF): no forced broadcast — AQE
+        # broadcasts while small, sort-merges at the 100 TB target.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
@@ -300,7 +302,10 @@ def q_tpch_q3_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.where(F.col("l_shipdate") > cutoff)
         .join(orders.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            # customer is SF-scaled (150k x SF): no forced broadcast — AQE
+            # broadcasts the filtered segment when it is actually small
+            # and falls back to sort-merge at the 100 TB target.
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -322,7 +327,9 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-scaled: left to AQE (broadcast at small SF,
+        # sort-merge at the 100 TB target — a forced broadcast OOMs there).
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -341,7 +348,8 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # SF-scaled customer: AQE decides (see q7).
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("lost_revenue"))
@@ -394,7 +402,8 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            broadcast(customer),
+            # SF-scaled customer: AQE decides (see q7).
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -449,7 +458,8 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # SF-scaled customer: AQE decides (see q7).
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",

@@ -78,6 +78,17 @@ def assert_broadcasts(df: DataFrame, at_least: int) -> None:
         )
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast join hints surviving in the optimized
+    logical plan. This counts what the QUERY forces, independent of what
+    the size-based planner or AQE later choose — the right probe for the
+    invariant "never force-broadcast an SF-scaled table" (at tiny test SF
+    the physical plan auto-broadcasts everything small, so physical
+    BroadcastHashJoin counts can't distinguish forced from chosen)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return len(re.findall(r"strategy=broadcast", plan))
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = explain_formatted(df)
     if "CartesianProduct" in plan:
