@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from gasket_rs_spark.operators.text import (
     _CHUNK_STRIDE,
     _CHUNK_TOKENS,
+    _HH_K,
     _PACK_BUDGET,
+    q_heavy_hitters,
     q_text_chunk,
     q_text_pack_batches,
 )
@@ -97,3 +99,38 @@ def test_pack_batches_budget_bound(spark, sf_dir):
     n_docs = load(spark, sf_dir, "documents").count()
     assert packed.count() == n_docs
     assert packed.select("doc_id").distinct().count() == n_docs
+
+
+def test_heavy_hitters_exact_on_adversarial_skew(spark):
+    """The vectorized Misra-Gries merge (per-batch value_counts, then
+    subtract-kth-largest) must keep the union-of-candidates guarantee on
+    an adversarial distribution: a few true heavy tokens drowned in a
+    long tail of near-threshold distinct tokens, across many partitions.
+    The final answer is compared against a brute-force exact count."""
+    import tempfile
+
+    # 3 heavy tokens well above share 1/K, a tail of 400 distinct tokens
+    heavy = [("hot%d" % i, 2000) for i in range(3)]
+    tail = [("tail%03d" % i, 7) for i in range(400)]
+    rows = []
+    doc_id = 0
+    for tok, cnt in heavy + tail:
+        # spread each token across several small docs so partitions mix
+        for start in range(0, cnt, 50):
+            rows.append((doc_id, " ".join([tok] * min(50, cnt - start))))
+            doc_id += 1
+    with tempfile.TemporaryDirectory() as d:
+        (
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+            .repartition(16)  # force many partition-local MG summaries
+            .write.parquet(d + "/documents.parquet")
+        )
+        got = {
+            (r["token"], r["cnt"]) for r in q_heavy_hitters(spark, d).collect()
+        }
+        total = sum(c for _, c in heavy + tail)
+        want = {
+            (tok, cnt) for tok, cnt in heavy + tail if cnt > total / _HH_K
+        }
+        assert {t for t, _ in want} == {"hot0", "hot1", "hot2"}  # fixture sanity
+        assert got == want
