@@ -48,6 +48,19 @@ _MINHASH_AB = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for 
 _JACCARD_THRESHOLD = 0.5
 _SHINGLE_K = 3
 
+# Hot-bucket occupancy cap: real corpora have boilerplate classes (license
+# headers, templated pages) whose members all collapse into ONE
+# (band, bucket) key, making the bucket-mate self-join locally quadratic —
+# a 100k-doc boilerplate class is 5e9 candidate pairs from a single key.
+# Buckets above this occupancy switch from all-pairs to STAR candidates
+# (every member vs the bucket's min doc_id): volume drops to occupancy-1
+# per bucket while connectivity — what dedup/clustering consumes — is
+# preserved for true boilerplate classes (all members near-dup the
+# representative, so the verified star spans the cluster). Pairs that
+# share ONLY a hot bucket and are NOT near-dups of its representative can
+# be missed; for J >= threshold pairs the other 31 bands each retry.
+_MAX_BUCKET_OCCUPANCY = 256
+
 
 def _shingles(col: str = "text"):
     """Token 3-shingles as an array<string> (JVM higher-order fns only).
@@ -249,30 +262,55 @@ def _band_keys(base: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_pairs(base: DataFrame) -> DataFrame:
-    """Banding + verify over a _minhash_sigs frame: 32 bands × 4 rows →
-    equi-join on (band, band-signature) buckets → exact-Jaccard verify of
-    bucket-mates over the int64 hashed-shingle sets. Returns
-    (doc_a, doc_b, n_common, jaccard) at the module threshold."""
-    banded = _band_keys(base)
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "band", "bucket"
+def _lsh_candidates(banded: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from a (doc_id, band, bucket)
+    banding frame, with the hot-bucket occupancy cap applied.
+
+    One window pass over (band, bucket) computes occupancy and the
+    bucket representative (min doc_id); the self-join then runs only
+    inside buckets at or under ``_MAX_BUCKET_OCCUPANCY``, while hot
+    buckets emit star edges member↔representative — occupancy−1 rows
+    instead of occupancy². The window and the join share the
+    (band, bucket) hash partitioning, so the cap costs no extra
+    shuffle of the banding frame."""
+    w = Window.partitionBy("band", "bucket")
+    marked = banded.withColumn("occ", F.count("*").over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
     )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "band", "bucket"
-    )
-    candidates = (
+    small = marked.where(F.col("occ") <= _MAX_BUCKET_OCCUPANCY)
+    left = small.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = small.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    all_pairs = (
         left.join(right, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+    star = (
+        marked.where(
+            (F.col("occ") > _MAX_BUCKET_OCCUPANCY) & (F.col("doc_id") != F.col("rep"))
+        )
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return all_pairs.unionByName(star).distinct()
+
+
+def _minhash_pairs(base: DataFrame) -> DataFrame:
+    """Banding + verify over a _minhash_sigs frame: 32 bands × 4 rows →
+    equi-join on (band, band-signature) buckets (occupancy-capped, see
+    ``_lsh_candidates``) → exact-Jaccard verify of bucket-mates over the
+    int64 hashed-shingle sets. Returns (doc_a, doc_b, n_common, jaccard)
+    at the module threshold."""
+    candidates = _lsh_candidates(_band_keys(base))
     # Verify candidates with exact Jaccard over the hashed shingle sets —
     # int64 array_intersect, identical counts to string intersection
     # modulo negligible 64-bit collisions (same contract as the module's
     # hash-keyed exact dedup).
-    docs_a = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    docs_b = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    docs_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
+    )
+    docs_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    )
     common = (
         candidates.join(docs_a, "doc_a")
         .join(docs_b, "doc_b")

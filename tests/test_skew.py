@@ -43,3 +43,52 @@ def test_hot_key_join_under_aqe(spark, sf_dir):
         assert "SortMergeJoin" in plan  # broadcast disabled → shuffled join
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lsh_hot_bucket_occupancy_cap(spark, monkeypatch):
+    """Adversarial boilerplate corpus: one class of near-identical docs
+    far larger than the occupancy cap. The capped candidate generator
+    must (a) emit ~linear candidate volume for the hot buckets instead
+    of occupancy², and (b) still connect the whole boilerplate class
+    through verified star edges — the property downstream dedup
+    clustering consumes."""
+    import tempfile
+
+    from gasket_rs_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_MAX_BUCKET_OCCUPANCY", 8)
+
+    n_boiler, n_unique = 60, 20
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(n_boiler)]
+    rows += [
+        (1000 + i, " ".join(f"tok{i}w{j}" for j in range(12)))
+        for i in range(n_unique)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            d + "/documents.parquet"
+        )
+        pairs = dedup.q_dedup_minhash_lsh(spark, d).collect()
+        spark.catalog.clearCache()
+
+    # volume: star edges cap the hot class at occupancy-1 verified pairs
+    # per bucket — far below the 60*59/2 = 1770 all-pairs volume
+    assert 0 < len(pairs) < n_boiler * (n_boiler - 1) / 2
+    # connectivity: union-find over returned pairs must put the whole
+    # boilerplate class in ONE cluster
+    parent = {i: i for i in range(n_boiler)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        if a < n_boiler and b < n_boiler:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_boiler)}) == 1
+    # no cross-contamination: unique docs never pair with anything
+    assert all(r["doc_a"] < n_boiler and r["doc_b"] < n_boiler for r in pairs)
