@@ -18,8 +18,10 @@ from gasket_rs_spark.tables import load
 
 
 def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # floor, not `div` (truncation toward zero): the DuckDB oracles use
+    # `//` which floors, and the two diverge on pre-1970 timestamps.
     return load(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.expr("unix_millis(ts) div 1000")
+        "ts_sec", F.floor(F.unix_millis("ts") / F.lit(1000))
     )
 
 
@@ -79,7 +81,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     user) triples and a hash count."""
     ev = _events_sec(spark, sf_dir)
     w = Window.partitionBy("user_id")
-    week = (F.col("ts_sec") / F.lit(604800)).cast("bigint")
+    # floor matches the oracle's integer `//` for both signs; the old
+    # double-divide + cast("bigint") truncated toward zero instead.
+    week = F.floor(F.col("ts_sec") / F.lit(604800)).cast("bigint")
     cohorted = ev.withColumn("week", week).withColumn(
         "cohort_week", F.min("week").over(w)
     )

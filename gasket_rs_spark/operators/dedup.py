@@ -741,7 +741,11 @@ def build_corpus_minhash_index(
 
 
 def incremental_neardup_against_index(
-    spark: SparkSession, batch: DataFrame, keys_table: str, docs_table: str
+    spark: SparkSession,
+    batch: DataFrame,
+    keys_table: str,
+    docs_table: str,
+    eager: bool = True,
 ) -> DataFrame:
     """Per-batch NEAR-DUP filter against the standing corpus index:
     returns batch doc_ids with no near-duplicate (Jaccard ≥ threshold)
@@ -755,6 +759,15 @@ def incremental_neardup_against_index(
     (plan-asserted in tests/test_bucketed_join.py); only batch-sized
     frames shuffle. Docs too short to shingle (< k tokens) have no
     signature and survive by definition.
+
+    ``eager`` (default): the survivor set — batch-sized, id-only — is
+    materialized via localCheckpoint and the batch signature cache is
+    unpersisted before returning, so a long-running ingest loop does NOT
+    accumulate one persisted frame per batch. Pass ``eager=False`` to
+    get the fully lazy plan instead (plan inspection, composing into a
+    larger query); the signature frame then stays persisted until the
+    caller's action completes, and releasing it is the caller's job
+    (``session.clear_caches()``).
     """
     b = _minhash_sigs(batch.select("doc_id", "text"))
     probes = _band_keys(b).select(
@@ -793,9 +806,14 @@ def incremental_neardup_against_index(
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
     dups = verify.select(F.col("batch_doc").alias("doc_id")).distinct()
-    # b stays persisted until the caller's action completes (probe and
-    # verify both read it); session.clear_caches() is the release lever.
-    return batch.select("doc_id").join(dups, "doc_id", "left_anti")
+    out = batch.select("doc_id").join(dups, "doc_id", "left_anti")
+    if eager:
+        # Execute now (survivors are batch-sized ids — cheap to hold),
+        # then release the signature cache so per-batch callers never
+        # leak a persisted frame per ingest batch.
+        out = out.localCheckpoint(eager=True)
+        b.unpersist()
+    return out
 
 
 def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:

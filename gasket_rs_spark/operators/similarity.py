@@ -171,6 +171,20 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCALE.md "Similarity search" for the recall/candidate trade.
 _IVF_SEED = 4321
 
+# Corpus row count per sf_dir, memoized: the √n parameter derivation is
+# the ONE place the IVF constructors need an eager action, and without
+# the cache every invocation (bench passes, repeated notebook calls)
+# fired a full-corpus count job before the returned plan even executed.
+# Parquet counts are metadata-cheap but still a Spark job; at a real
+# deployment the number would come from table statistics instead.
+_CORPUS_N_CACHE: dict[str, int] = {}
+
+
+def _corpus_n(emb: DataFrame, sf_dir: str) -> int:
+    if sf_dir not in _CORPUS_N_CACHE:
+        _CORPUS_N_CACHE[sf_dir] = emb.count()
+    return _CORPUS_N_CACHE[sf_dir]
+
 
 def _ivf_params(n: int, k: int | None, n_probe: int | None) -> tuple[int, int]:
     if k is None:
@@ -269,7 +283,7 @@ def similarity_ann_ivf(
     assignment is seed-specific); emitted cosines are exact.
     """
     emb = _with_vec(load(spark, sf_dir, "embeddings"))
-    k, n_probe = _ivf_params(emb.count(), k, n_probe)
+    k, n_probe = _ivf_params(_corpus_n(emb, sf_dir), k, n_probe)
     return _ann_ivf_plan(emb, _ivf_random_centroids(k), n_probe)
 
 
@@ -338,7 +352,7 @@ def similarity_ann_ivf_trained(
     training is what makes IVF beat LSH.
     """
     emb = _with_vec(load(spark, sf_dir, "embeddings"))
-    k, n_probe = _ivf_params(emb.count(), k, n_probe)
+    k, n_probe = _ivf_params(_corpus_n(emb, sf_dir), k, n_probe)
     cents = _train_coarse_centroids(spark, sf_dir, k)
     return _ann_ivf_plan(emb, cents, n_probe)
 

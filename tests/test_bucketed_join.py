@@ -53,7 +53,7 @@ def test_incremental_neardup_index(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             plan = incremental_neardup_against_index(
-                spark, batch, "nd_keys", "nd_docs"
+                spark, batch, "nd_keys", "nd_docs", eager=False
             )._jdf.queryExecution().executedPlan().toString()
             lines = plan.splitlines()
             for i, line in enumerate(lines):
