@@ -1,0 +1,71 @@
+"""Error-bound pins for the two approximate aggregates.
+
+These queries are rows-only at the driver's gate by design (sketch
+values are engine-specific), which until now meant "runs" was the only
+evidence. These tests turn that into "measurably close": the HLL++
+estimate must sit within a multiple of its configured rsd of the exact
+distinct count, and each approx percentile must fall between exact
+percentiles bracketing its target rank by the sketch's rank-error
+budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.operators.relational import (
+    q_approx_count_distinct,
+    q_approx_percentiles,
+)
+from gasket_rs_spark.tables import load
+
+# q_approx_count_distinct configures rsd=0.02 (2% standard error). 5-sigma
+# slack keeps the pin deterministic-tight without flaking on an unlucky
+# sketch: relative error must stay under 10%.
+_ACD_RSD = 0.02
+_ACD_SIGMAS = 5
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in q_approx_count_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, n in exact.items():
+        rel_err = abs(got[flag] - n) / n
+        assert rel_err <= _ACD_SIGMAS * _ACD_RSD, (flag, got[flag], n, rel_err)
+
+
+def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
+    """percentile_approx(accuracy=1000) bounds rank error by ~n/accuracy,
+    i.e. 0.001 of the distribution. Pin each approx value between the
+    exact percentiles ±0.01 around its target rank (10× the sketch
+    budget — deterministic headroom, still far tighter than 'runs')."""
+    got = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in q_approx_percentiles(spark, sf_dir).collect()
+    }
+    brackets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))"
+            ).alias("b")
+        )
+        .collect()
+    )
+    assert {r["l_returnflag"] for r in brackets} == set(got)
+    for r in brackets:
+        p50, p95 = got[r["l_returnflag"]]
+        lo50, hi50, lo95, hi95 = r["b"]
+        assert lo50 <= p50 <= hi50, (r["l_returnflag"], p50, lo50, hi50)
+        assert lo95 <= p95 <= hi95, (r["l_returnflag"], p95, lo95, hi95)

@@ -124,3 +124,46 @@ def test_timer_port_ticks_and_stops():
     second = timer.recv(timeout=1.0).payload
     assert second >= first
     timer.stop()
+
+
+def test_broadcast_slow_consumer_blocks_never_drops():
+    """Lag semantics of the 1:N tee, pinned against the reference's
+    broadcast channel (messaging.rs:281-402): tokio's broadcast DROPS
+    messages for a receiver that falls more than `cap` behind and
+    reports RecvError::Lagged on its next recv. This port layer makes
+    the OPPOSITE choice — a full consumer queue applies backpressure to
+    the producer (send blocks), and no consumer ever loses a message.
+    Deliberate divergence: the batch/ingest pipelines this runtime
+    drives favor losslessness over producer progress, and `cap` is the
+    backpressure depth, not a lag window. This test documents that
+    contract; if drop-on-lag is ever wanted, it must come with its own
+    Lagged-style signal, not silent loss."""
+    out = OutputPort()
+    fast, slow = InputPort(), InputPort()
+    broadcast_port(out, [fast, slow], cap=2)
+
+    n_msgs = 5
+    done = threading.Event()
+
+    def produce():
+        for i in range(n_msgs):
+            out.send(i)
+        done.set()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    # Drain only the fast consumer: the producer must WEDGE on the slow
+    # consumer's full queue (cap 2) instead of dropping for it. The tee
+    # delivers fast-then-slow per message, so fast sees messages 0..2
+    # before the producer blocks sending message 2 to the full slow side.
+    got_fast_early = [fast.recv(timeout=2.0).payload for _ in range(3)]
+    assert not done.wait(0.3), "producer finished while slow consumer was full"
+    # Unblock: drain the slow side; everything arrives, in order, on both.
+    got_slow = [slow.recv(timeout=2.0).payload for _ in range(n_msgs)]
+    got_fast = got_fast_early + [
+        fast.recv(timeout=2.0).payload for _ in range(n_msgs - 3)
+    ]
+    t.join(timeout=2.0)
+    assert done.is_set()
+    assert got_fast == list(range(n_msgs))
+    assert got_slow == list(range(n_msgs))
