@@ -137,6 +137,61 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document — the Gopher-style quality filter
+    for degenerate/templated text: distinct-token ratio and the share of
+    the most frequent bigram in all bigram slots. High top-bigram share
+    means looping/boilerplate generation; training pipelines drop or
+    down-weight those docs.
+
+    Plan shape: one narrow projection computes n_tokens/distinct ratio
+    from the token array in place (no explode); bigrams explode once and
+    hash-aggregate per (doc, bigram) then per doc — two partial-agg
+    shuffles keyed by doc_id, no window, no UDF. Bigrams keep duplicates
+    (``transform(sequence)`` without distinct — counting repeats IS the
+    point, unlike the dedup module's shingle sets).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).where(F.col("n_tokens") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("nb"))
+    )
+    return (
+        base.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.floor(F.col("n_distinct") * 1000000.0 / F.col("n_tokens") + 0.5)
+                / 1000000
+            ).alias("distinct_ratio"),
+            (F.floor(F.col("mx") * 1000000.0 / F.col("nb") + 0.5) / 1000000).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-scoring token per document.
 
@@ -466,6 +521,24 @@ ORACLES: dict[str, str] = {
                     / 2048.0) AS BIGINT) AS batch_in_bucket,
                n_tokens
         FROM b
+    """,
+    "text_repetition": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM t WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2),
+        m AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS nb
+              FROM bc GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               floor(len(list_distinct(toks)) * 1000000.0 / len(toks) + 0.5)
+                   / 1000000 AS distinct_ratio,
+               floor(mx * 1000000.0 / nb + 0.5) / 1000000 AS top_bigram_frac
+        FROM t JOIN m USING (doc_id)
     """,
     "text_tfidf_top": """
         WITH tokens AS (

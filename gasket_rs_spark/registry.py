@@ -40,6 +40,7 @@ _MODULES = (
     "gasket_rs_spark.operators.analytics",
     "gasket_rs_spark.operators.skew",
     "gasket_rs_spark.operators.profile",
+    "gasket_rs_spark.operators.pii",
 )
 
 
