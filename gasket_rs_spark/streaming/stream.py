@@ -47,7 +47,9 @@ def events_file_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..tables import _normalize_ts
+
+    return stream.withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

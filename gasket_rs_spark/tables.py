@@ -36,17 +36,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark 4 rejects by
-    default; we read it as a nanosecond long and truncate to µs — exactly
-    what DuckDB's reader does — so both engines see identical values.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: TIMESTAMP(NANOS) (Spark 4 rejects by default — we read
+    it as a nanosecond long and truncate to µs, exactly what DuckDB's
+    reader does) and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+    Both are normalized to session-TZ TimestampType (session tz is UTC,
+    so the NTZ→TZ cast is value-preserving) so downstream ``unix_millis``
+    arithmetic and the DuckDB oracle see identical values either way.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_ts(dtype) -> F.Column:
+    from pyspark.sql.types import LongType
+
+    if isinstance(dtype, LongType):  # nanos-as-long fixture generation
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")  # µs fixture generation (NTZ → UTC)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
