@@ -535,6 +535,184 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shaped: the pricing-summary full-table scan+agg — one hash agg
+    over ~6 (returnflag, linestatus) groups, partial aggregation map-side
+    so the shuffle carries 6 rows per task regardless of SF.
+
+    Float determinism: quantity is integer-valued so its sum/avg are
+    exact; price/discount sums are snapped to their 2dp grid with
+    round() BEFORE the division so the avg is derived from an
+    engine-identical numerator (divide-then-round would expose low-order
+    summation bits — see .claude/skills/verify/SKILL.md)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+
+    def snapped_avg(col: str) -> F.Column:
+        # floor(round(sum,2)/n * 1e6 + 0.5)/1e6 — identical spelling in SQL.
+        return F.floor(F.round(F.sum(col), 2) / cnt * 1e6 + F.lit(0.5)) / 1e6
+
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            (F.round(F.sum("l_quantity"), 2) / cnt).alias("avg_qty_raw"),
+            snapped_avg("l_extendedprice").alias("avg_price"),
+            snapped_avg("l_discount").alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .withColumn("avg_qty", F.floor(F.col("avg_qty_raw") * 1e6 + F.lit(0.5)) / 1e6)
+        .drop("avg_qty_raw")
+    )
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped: forecast-revenue-change — a pure scan-side query: every
+    predicate (shipdate range, discount band, quantity cap) is pushable
+    to the parquet reader, then a single global sum. The plan should be
+    scan → partial agg → 1-row exchange; no join, no wide shuffle."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: NATION_7's market share of ECONOMY-part volume sold to
+    ASIA customers, by order year. Two nation aliases (customer side for
+    region membership, supplier side for the share numerator); all
+    fixed-size dims broadcast, SF-scaled customer left to AQE. The share
+    ratio is floor-snapped at 1e-6 on both engines (an int/float ratio
+    must never be bare-round()ed — half-grid risk)."""
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share = F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)) / F.sum(vol)
+    return (
+        lineitem.join(
+            broadcast(part.where(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg((F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("mkt_share"))
+    )
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: distribution of per-customer order counts (customers
+    with zero orders included via left outer). Two cascaded hash aggs —
+    the first shuffles on c_custkey (SF-scaled but well-distributed), the
+    second on the tiny count domain. No comment-pattern exclusion: the
+    fixture orders table has no o_comment column (documented drift)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: supplier(s) with the maximum quarterly revenue. The
+    scalar max is a 1-row broadcast cross join against the per-supplier
+    revenue agg (no collect, no unpartitioned window); equality is safe
+    because both sides compare the SAME 4dp-rounded values the agg
+    emitted. Revenue frame is |supplier|-sized — tiny next to the fact."""
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped: average yearly revenue lost if small-quantity orders
+    for Brand#23 small parts were not taken. The correlated scalar
+    subquery (0.2 × per-part avg quantity) decorrelates into a per-part
+    agg joined back on partkey — SF-scaled on both sides, so it's an
+    equi-join left to AQE, NOT a broadcast. Quantity is integer-valued →
+    its sum (and hence the 0.2·avg threshold) is bit-identical across
+    engines; the final sum/7 ratio is floor-snapped at 1e-4."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    part_f = part.where((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
+    qty_limit = (
+        lineitem.groupBy(F.col("l_partkey").alias("al_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit"))
+    )
+    return (
+        lineitem.join(broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(qty_limit, F.col("l_partkey") == F.col("al_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.floor(F.sum("l_extendedprice") / 7.0 * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X10-X13: aggregation
 # ---------------------------------------------------------------------------
@@ -994,6 +1172,80 @@ ORACLES: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
+    """,
+    "tpch_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               floor(round(sum(l_extendedprice), 2) / count(*) * 1000000 + 0.5) / 1000000 AS avg_price,
+               floor(round(sum(l_discount), 2) / count(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
+               count(*) AS count_order,
+               floor(round(CAST(sum(l_quantity) AS DOUBLE), 2) / count(*) * 1000000 + 0.5) / 1000000 AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q6_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               floor(sum(CASE WHEN n2.n_name = 'NATION_7'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) / 1000000
+                 AS mkt_share
+        FROM lineitem
+        JOIN part      ON l_partkey = p_partkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY year(o_orderdate)
+    """,
+    "tpch_q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) per_cust
+        GROUP BY c_count
+    """,
+    "tpch_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "tpch_q17_small_quantity": """
+        SELECT floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 15
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
     """,
     "interval_join": """
         WITH e AS (

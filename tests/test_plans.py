@@ -182,6 +182,56 @@ def test_tpch_additions_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in explain_formatted_for_test(q22)
 
 
+def test_tpch_round6_plan_shapes(spark, sf_dir):
+    """Scale pins for the round-6 TPC-H additions. Q6 must push every
+    predicate to the parquet scan (pure scan+agg — zero joins); Q1 keeps
+    partial aggregation; Q8 hints its filtered part slice + supplier +
+    both nation aliases + region but leaves customer and orders to AQE;
+    Q17's decorrelated per-part avg joins back on an SF-scaled key, so
+    the avg side must NOT carry a broadcast hint (only the part slice
+    does); Q15's scalar max is a 1-row broadcast nested loop, never a
+    cartesian."""
+    from gasket_rs_spark.operators.relational import (
+        q_tpch_q1_pricing,
+        q_tpch_q6_forecast,
+        q_tpch_q8_market_share,
+        q_tpch_q13_order_distribution,
+        q_tpch_q15_top_supplier,
+        q_tpch_q17_small_quantity,
+    )
+    from gasket_rs_spark.plans.inspect import broadcast_hint_count
+
+    q6 = q_tpch_q6_forecast(spark, sf_dir)
+    filters = pushed_filters(q6)
+    assert any("l_shipdate" in f for f in filters)
+    assert any("l_quantity" in f and "LessThan" in f for f in filters)
+    assert count_operator(q6, "Exchange") == 1  # single 1-row agg exchange
+
+    q1 = q_tpch_q1_pricing(spark, sf_dir)
+    assert count_operator(q1, "HashAggregate") >= 2  # partial + final
+    assert count_operator(q1, "Exchange") == 1
+
+    q8 = q_tpch_q8_market_share(spark, sf_dir)
+    # hints: part slice, supplier, n_cust, region, n_supp — and the
+    # invariant pinned here: customer and orders carry NO hint.
+    assert broadcast_hint_count(q8) == 5
+    assert_no_cartesian(q8)
+
+    q13 = q_tpch_q13_order_distribution(spark, sf_dir)
+    assert count_operator(q13, "HashAggregate") >= 2
+    assert_no_cartesian(q13)
+
+    q15 = q_tpch_q15_top_supplier(spark, sf_dir)
+    assert count_operator(q15, "BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in explain_formatted_for_test(q15)
+
+    q17 = q_tpch_q17_small_quantity(spark, sf_dir)
+    # per-part avg side is SF-scaled: exactly the part_f broadcast hint,
+    # nothing on the qty_limit join
+    assert broadcast_hint_count(q17) == 1
+    assert_no_cartesian(q17)
+
+
 def explain_formatted_for_test(df):
     from gasket_rs_spark.plans.inspect import explain_formatted
 
