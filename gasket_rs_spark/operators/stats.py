@@ -123,7 +123,42 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: every source gets a target keep-rate and
+    rows are kept when their md5 fraction falls under it — the knob a
+    training mix uses to up/down-weight domains (e.g. books 1.0, web
+    0.25). Rates here derive from the source's numeric suffix
+    ((N % 4 + 1)/4 ∈ {.25,.5,.75,1}) as a deterministic stand-in for a
+    mixture config table.
+
+    Scale: a narrow map — no shuffle, no count-first pass, composes with
+    incremental ingest (same row always kept). The keep test compares
+    integers (md5 bucket of 1024 < rate·1024, both exact) so there is no
+    float-boundary risk between engines."""
+    docs = load(spark, sf_dir, "documents")
+    rate = ((F.substring(F.col("source"), 4, 10).cast("int") % 4) + 1) / F.lit(4.0)
+    frac1024 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 1024
+    )
+    return (
+        docs.withColumn("keep_rate", rate)
+        .where(frac1024 < F.col("keep_rate") * 1024)
+        .groupBy("source", "keep_rate")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "mixture_weighted_sample": """
+        SELECT source,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0 AS keep_rate,
+               count(*) AS n_kept
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 1024
+              < ((CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0) * 1024
+        GROUP BY source
+    """,
     "stratified_sample": """
         WITH counts AS (
             SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang

@@ -435,7 +435,78 @@ def q_text_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by distinct-3-gram overlap — the GPT-3
+    appendix-C / Llama eval-contamination check: flag corpus docs that
+    share any whitespace 3-gram with the eval set, reporting per-doc
+    overlap counts and a contamination ratio.
+
+    Eval-set stand-in: ``doc_id % 53 == 0`` (a real run reads the
+    benchmark corpus instead — same plan shape). Scale shape: the eval
+    n-gram set is benchmark-sized (fixed, ≪ corpus) so the overlap probe
+    is a broadcast equi-join on the gram; the corpus side is one linear
+    explode + per-doc distinct, shuffled on the gram hash. Trigrams are
+    formed with ``zip_with`` over three slices — NOT ``element_at``
+    inside a lambda, which re-evaluates the source array per element
+    (the HOF-CSE O(n²) trap; see .claude/skills/verify/SKILL.md).
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "  zip_with("
+        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    (b, c) -> concat(b, ' ', c)),"
+        "  (a, bc) -> concat(a, ' ', bc))"
+    )
+    doc_grams = docs.select("doc_id", F.explode(grams_expr).alias("gram")).distinct()
+    eval_grams = (
+        doc_grams.where(F.col("doc_id") % 53 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ratio = F.count("hit") / F.count("*")  # int/int ratio → floor-snap, never round()
+    return (
+        doc_grams.where(F.col("doc_id") % 53 != 0)
+        .join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_overlap"),
+            (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("contamination"),
+        )
+        .where(F.col("n_overlap") > 0)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_decontaminate": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0
+        )
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               CAST(count(e.gram) AS BIGINT) AS n_overlap,
+               floor(CAST(count(e.gram) AS DOUBLE) / count(*) * 1000000 + 0.5)
+                 / 1000000 AS contamination
+        FROM grams g
+        LEFT JOIN eval_grams e ON g.gram = e.gram
+        WHERE g.doc_id % 53 <> 0
+        GROUP BY g.doc_id
+        HAVING count(e.gram) > 0
+    """,
     "text_chunk_pack": """
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
