@@ -41,6 +41,7 @@ _MODULES = (
     "gasket_rs_spark.operators.skew",
     "gasket_rs_spark.operators.profile",
     "gasket_rs_spark.operators.pii",
+    "gasket_rs_spark.operators.sketches",
 )
 
 

@@ -232,6 +232,24 @@ def test_tpch_round6_plan_shapes(spark, sf_dir):
     assert_no_cartesian(q17)
 
 
+def test_decontaminate_and_mixture_plan_shapes(spark, sf_dir):
+    """Round-6 pipeline-op pins: the decontamination gram probe must be a
+    broadcast join (the eval gram set is benchmark-sized by construction)
+    with no cartesian anywhere; mixture sampling must stay a narrow map —
+    its ONLY exchange is the final per-source aggregation, proving the
+    keep-test itself never shuffles."""
+    from gasket_rs_spark.operators.stats import q_mixture_weighted_sample
+    from gasket_rs_spark.operators.text import q_text_decontaminate
+
+    dec = q_text_decontaminate(spark, sf_dir)
+    assert_broadcasts(dec, at_least=1)
+    assert_no_cartesian(dec)
+
+    mix = q_mixture_weighted_sample(spark, sf_dir)
+    assert count_operator(mix, "Exchange") == 1
+    assert_no_cartesian(mix)
+
+
 def explain_formatted_for_test(df):
     from gasket_rs_spark.plans.inspect import explain_formatted
 
