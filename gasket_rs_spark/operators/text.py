@@ -460,7 +460,13 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    (b, c) -> concat(b, ' ', c)),"
         "  (a, bc) -> concat(a, ' ', bc))"
     )
-    doc_grams = docs.select("doc_id", F.explode(grams_expr).alias("gram")).distinct()
+    # distinct grams are only needed PER DOC — array_distinct before the
+    # explode does that map-side, so the corpus side never shuffles its
+    # full gram set (a global .distinct() here would be the plan's
+    # largest exchange for zero semantic gain).
+    doc_grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams_expr)).alias("gram")
+    )
     eval_grams = (
         doc_grams.where(F.col("doc_id") % 53 == 0)
         .select("gram")
