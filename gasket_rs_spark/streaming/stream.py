@@ -144,6 +144,55 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (the successor to
+    ``applyInPandasWithState``): named state variables with explicit
+    schemas on a keyed state store, Arrow-batched user code, optional
+    timers/TTL. This is the modern escape hatch for reference-style
+    stateful workers (``framework.rs:91-135`` — bootstrap once in
+    ``init``, accumulate per unit in ``handleInputRows``).
+
+    Emits the running totals for every key touched by a microbatch;
+    the latest row per key is the running aggregate, asserted equal to
+    the batch groupBy in tests/test_streaming.py.
+
+    CONTAINER LIMITATION: executing this operator requires
+    ``google.protobuf`` (the TWS state-server wire protocol), which this
+    container does not ship — the pytest is skipped when the import
+    fails (same policy as the multimodal codec stub). The plan
+    construction below is real and the ``applyInPandasWithState`` twin
+    (``stateful_user_counts``) carries the executable coverage.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._stats.get() if self._stats.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._stats.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

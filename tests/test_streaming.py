@@ -281,6 +281,57 @@ def test_stateful_state_survives_restart(spark, sf_dir):
     assert got == want
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """The Spark-4 arbitrary-state API (transformWithStateInPandas)
+    running totals must converge to the batch groupBy aggregates — same
+    contract as the applyInPandasWithState twin, on the modern API
+    (named state vars, explicit state schema). Requires google.protobuf
+    (the TWS state-server protocol) — skipped in containers without it."""
+    import os
+    import tempfile
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (not shipped in this container)",
+    )
+
+    from gasket_rs_spark.streaming.stream import (
+        run_to_memory_sink,
+        stateful_user_stats_tws,
+    )
+    from gasket_rs_spark.tables import load
+
+    scratch = tempfile.mkdtemp(prefix="gasket-tws-")
+    src = os.path.join(scratch, "src")
+    events = load(spark, sf_dir, "events")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory_sink(
+        stateful_user_stats_tws(stream), "tws_stats", output_mode="update"
+    )
+    got = {}
+    for r in spark.sql("SELECT * FROM tws_stats").collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in want.items():
+        assert got[uid][0] == n, (uid, got[uid], (n, s))
+        assert abs(got[uid][1] - s) < 1e-6 * max(1.0, abs(s)), (uid, got[uid], (n, s))
+
+
 def test_streaming_ingest_recipe_end_to_end(spark, sf_dir):
     """The full ingest story in one test: bounded file replay → retrying
     idempotent foreachBatch sink (one injected transient failure) →
