@@ -149,7 +149,45 @@ def q_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + sharding: every doc gets a
+    shard (md5 bucket of 32) and a within-shard ordinal (md5-ordered) —
+    the layout a data loader consumes (epoch order = shard-major,
+    reproducible across runs, engines, and re-ingests).
+
+    Scale note: the naive "global shuffle" is ORDER BY rand() — a
+    single-partition global sort (or a nondeterministic repartition).
+    Hash-sharding first makes the window PARTITIONED (32-way parallel
+    sort of n/32 rows each), and the md5 sort key inside each shard gives
+    the pseudo-random order. No unpartitioned window, no rand()."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    md5hex = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("md5hex", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            _md5_bucket(F.col("doc_id"), 32).alias("shard"),
+            md5hex.alias("md5hex"),
+        )
+        .withColumn("ordinal", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "ordinal")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "train_shard_order": """
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY md5hex, doc_id)
+                    AS BIGINT) AS ordinal
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 32 AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS md5hex
+            FROM documents
+        ) t
+    """,
     "mixture_weighted_sample": """
         SELECT source,
                (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0 AS keep_rate,
