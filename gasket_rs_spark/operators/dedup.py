@@ -61,6 +61,16 @@ _SHINGLE_K = 3
 # be missed; for J >= threshold pairs the other 31 bands each retry.
 _MAX_BUCKET_OCCUPANCY = 256
 
+# Connected-components hybrid threshold: a near-dup PAIR graph is orders of
+# magnitude smaller than its corpus (it is the dedup output, not the input).
+# At or under this many verified pairs (~32 MB of int64 pairs — the same
+# size class as a broadcast join side) union-find runs on the driver in one
+# pass instead of O(log diameter) distributed rounds of 3-4 jobs each;
+# above it, the pointer-jumping loop below is the scale path. Identical
+# labels either way (min doc_id per component), pinned by running the
+# component tests through BOTH paths.
+_CC_DRIVER_EDGE_BOUND = 2_000_000
+
 
 def _shingles(col: str = "text"):
     """Token 3-shingles as an array<string> (JVM higher-order fns only).
@@ -816,30 +826,75 @@ def incremental_neardup_against_index(
     return out
 
 
-def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def _driver_union_find(pair_rows) -> list[tuple[int, int]]:
+    """Min-label union-find over collected (doc_a, doc_b) pairs. Union
+    always points the larger root at the smaller, so each set's root IS
+    its minimum doc_id — the same label the distributed loop converges
+    to. Returns (doc_id, component) for every edge endpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(x, find(x)) for x in parent]
+
+
+def _components(
+    docs: DataFrame, pairs: DataFrame, driver_edge_bound: int = _CC_DRIVER_EDGE_BOUND
+) -> DataFrame:
     """Connected components over a (doc_a, doc_b) pair graph: label every
     doc with the min doc_id of its component (singletons label themselves).
 
-    The iterative min-label propagation (Pregel-lite) runs as a driver
-    loop over lazy plans with localCheckpoint per round to cut lineage —
-    the standard Spark pattern for iterative algorithms. Each round does
-    (a) neighbor-min propagation along edges and (b) one pointer-jumping
-    shortcut (label := label's label), so convergence needs only
-    O(log diameter) rounds instead of O(diameter) — a 1M-link chain
-    resolves in ~20 rounds, not 1M. This is the step that turns pairwise
-    near-dup output into actionable "keep one per cluster".
+    Hybrid execution (same labels either way):
 
-    Scale shape: the pair plan is evaluated ONCE (both edge directions
-    come from a single explode, then the edge set is checkpointed), and
-    the iteration runs only over edge endpoints — a near-dup graph's
-    vertex set is tiny next to the corpus, so singletons never enter the
-    loop; they are labeled in one final left join.
+    - **Pair set ≤ ``driver_edge_bound``** (the common case — a near-dup
+      pair graph is the dedup OUTPUT, orders smaller than the corpus):
+      one bounded collect + union-find on the driver. Rationale is the
+      broadcast-join argument: shipping ≤32 MB to the driver beats
+      O(log diameter) distributed rounds of 3-4 jobs each.
+    - **Above the bound**: iterative min-label propagation (Pregel-lite)
+      as a driver loop over lazy plans with localCheckpoint per round to
+      cut lineage. Each round does (a) neighbor-min propagation along
+      edges and (b) one pointer-jumping shortcut (label := label's
+      label), so convergence needs only O(log diameter) rounds instead
+      of O(diameter) — a 1M-link chain resolves in ~20 rounds, not 1M.
 
-    Raises ``RuntimeError`` if the label set has not converged within the
-    round cap — unconverged labels would silently split components.
+    Either way the pair plan is evaluated ONCE (checkpointed before the
+    size probe, so the probe's count is free), and only edge endpoints
+    are labeled — singletons get labeled in one final left join.
+
+    Raises ``RuntimeError`` if the distributed loop has not converged
+    within the round cap — unconverged labels would silently split
+    components.
     """
+    pairs_c = pairs.select("doc_a", "doc_b").localCheckpoint()
+    n_pairs = pairs_c.count()  # metadata read of the materialized checkpoint
+    if n_pairs <= driver_edge_bound:
+        endpoint_labels = _driver_union_find(
+            (r["doc_a"], r["doc_b"]) for r in pairs_c.toLocalIterator()
+        )
+        spark = docs.sparkSession
+        if endpoint_labels:
+            labels = spark.createDataFrame(
+                endpoint_labels, "doc_id bigint, component bigint"
+            )
+        else:
+            labels = spark.createDataFrame([], "doc_id bigint, component bigint")
+        return docs.join(labels, "doc_id", "left").select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
     edges = (
-        pairs.select(
+        pairs_c.select(
             F.explode(
                 F.array(
                     F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
