@@ -39,6 +39,28 @@ def test_hll_distinct_within_rse(spark, sf_dir):
     # so just pin it against the exact global too (done above via "ALL").
 
 
+def test_hll_merge_is_batch_invariant(spark, sf_dir):
+    """The property that makes sketches the incremental-ingest path: the
+    union of per-batch sketches must estimate EXACTLY what a single
+    whole-corpus sketch estimates (HLL merge is lossless w.r.t. register
+    state — not just 'close'). If this drifted, stored per-day sketches
+    could not stand in for a rescan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 3).alias("batch"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    whole = toks.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        toks.groupBy("batch")
+        .agg(F.hll_sketch_agg("tok", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged == whole, (merged, whole)
+
+
 def test_theta_overlap_within_error(spark, sf_dir):
     row = q_sketch_theta_overlap(spark, sf_dir).collect()[0]
     toks = _exact_distinct_tokens(spark, sf_dir, F.col("source").isin("src0", "src1"))
