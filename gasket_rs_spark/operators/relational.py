@@ -640,6 +640,37 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: profit by supplier nation and order year over one part
+    class. The fixture schema has no partsupp table, so unit cost proxies
+    as ``p_retailprice`` (documented drift — the Q9 SHAPE is intact: a
+    5-way join spanning both fact tables, a part-class filter, and a
+    (nation, year) rollup). Fixed-size dims (part slice, supplier,
+    nation) broadcast; the lineitem⋈orders fact-fact join stays
+    sort-merge on orderkey."""
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(
+            broadcast(part.where(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("n_name", "o_year")
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
 def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13-shaped: distribution of per-customer order counts (customers
     with zero orders included via left outer). Two cascaded hash aggs —
@@ -1215,6 +1246,18 @@ ORACLES: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY year(o_orderdate)
+    """,
+    "tpch_q9_profit": """
+        SELECT n_name, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity), 4) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'STANDARD'
+        GROUP BY n_name, year(o_orderdate)
     """,
     "tpch_q13_order_distribution": """
         SELECT c_count, count(*) AS custdist
