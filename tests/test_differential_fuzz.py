@@ -137,6 +137,57 @@ def _gen_join_spec(rng: random.Random) -> dict:
     }
 
 
+def _gen_semi_spec(rng: random.Random) -> dict:
+    return {
+        "o_pred": ("o_totalprice", round(rng.uniform(50000.0, 400000.0), 2)),
+        "l_pred": ("l_quantity", rng.randint(5, 45)),
+        "group": rng.choice(["o_orderstatus", "o_orderpriority"]),
+        "jtype": rng.choice(["left_semi", "left_anti"]),
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_semi_anti_spec_matches_duckdb(spark, sf_dir, ddb, seed):
+    """EXISTS/NOT-EXISTS lowering fuzz: a left-semi/anti DataFrame join
+    over randomized filters must match DuckDB's (NOT) EXISTS — the join
+    family the inner/left fuzz doesn't touch."""
+    rng = random.Random(11000 + seed)
+    spec = _gen_semi_spec(rng)
+    ocol, oval = spec["o_pred"]
+    lcol, lval = spec["l_pred"]
+    orders = load(spark, sf_dir, "orders").where(F.col(ocol) < oval)
+    lineitem = load(spark, sf_dir, "lineitem").where(F.col(lcol) > lval)
+    sdf = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), spec["jtype"])
+        .groupBy(spec["group"])
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("s_total"),
+        )
+    )
+    exists = "EXISTS" if spec["jtype"] == "left_semi" else "NOT EXISTS"
+    sql = f"""
+        SELECT {spec['group']}, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS s_total
+        FROM (SELECT * FROM orders WHERE {ocol} < {oval}) o
+        WHERE {exists} (SELECT 1 FROM lineitem
+                        WHERE {lcol} > {lval} AND l_orderkey = o_orderkey)
+        GROUP BY {spec['group']}
+    """
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(_canon(r[c]) for c in scols) for r in sdf.collect()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    rel = ddb.execute(sql)
+    order = sorted(range(len(rel.description)), key=lambda i: rel.description[i][0])
+    drows = sorted(
+        [tuple(_canon(r[i]) for i in order) for r in rel.fetchall()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    assert srows == drows, f"semi/anti spec {spec} diverged"
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_random_join_spec_matches_duckdb(spark, sf_dir, ddb, seed):
     rng = random.Random(9000 + seed)
