@@ -671,6 +671,33 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped: distinct supplier count per part class, with a part
+    anti-filter and a NOT-IN supplier exclusion. The fixture has no
+    partsupp, so the observed part↔supplier relation comes from lineitem
+    (documented drift; the SHAPE — dim filter + NOT-IN decorrelated to a
+    left-anti join + count-distinct rollup — is Q16's). The excluded-
+    supplier set is broadcast-sized (a filter over a fixed-size dim);
+    the count-distinct shuffles (class, suppkey) pairs once."""
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem")
+    part_f = part.where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13-shaped: distribution of per-customer order counts (customers
     with zero orders included via left outer). Two cascaded hash aggs —
@@ -1258,6 +1285,17 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE p_type = 'STANDARD'
         GROUP BY n_name, year(o_orderdate)
+    """,
+    "tpch_q16_supplier_count": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
     """,
     "tpch_q13_order_distribution": """
         SELECT c_count, count(*) AS custdist
