@@ -231,6 +231,23 @@ def test_tpch_round6_plan_shapes(spark, sf_dir):
     assert broadcast_hint_count(q17) == 1
     assert_no_cartesian(q17)
 
+    from gasket_rs_spark.operators.relational import (
+        q_tpch_q9_profit,
+        q_tpch_q16_supplier_count,
+    )
+
+    q9 = q_tpch_q9_profit(spark, sf_dir)
+    # hints: part slice, supplier, nation — the lineitem⋈orders fact-fact
+    # join must stay unhinted (sort-merge on orderkey at scale)
+    assert broadcast_hint_count(q9) == 3
+    assert_no_cartesian(q9)
+
+    q16 = q_tpch_q16_supplier_count(spark, sf_dir)
+    plan16 = explain_formatted_for_test(q16)
+    assert "LeftAnti" in plan16  # NOT IN lowered to anti join, not a filter scan
+    assert broadcast_hint_count(q16) == 2  # part slice + excluded suppliers
+    assert_no_cartesian(q16)
+
 
 def test_decontaminate_and_mixture_plan_shapes(spark, sf_dir):
     """Round-6 pipeline-op pins: the decontamination gram probe must be a
