@@ -671,6 +671,39 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics torture witness: outer-join nulls flowing through
+    null-skipping COUNT/SUM/AVG, a null-branch conditional count, and
+    COALESCE — the semantics corner engine ports classically get subtly
+    wrong (e.g. COUNT(col) vs COUNT(*) over unmatched rows, AVG's
+    divisor being the non-null count). Every aggregate here is pinned
+    EXACT against DuckDB. avg_matched uses the snap-sum-then-divide
+    spelling (see SKILL.md) and goes NULL for groups with zero matches
+    in both engines."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000.0)
+    n_orders = F.count("o_orderkey")
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            n_orders.alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+                "sum_coalesced"
+            ),
+            (
+                F.floor(F.round(F.sum("o_totalprice"), 2) / n_orders * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("avg_matched"),
+        )
+    )
+
+
 def q_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16-shaped: distinct supplier count per part class, with a part
     anti-filter and a NOT-IN supplier exclusion. The fixture has no
@@ -1285,6 +1318,20 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE p_type = 'STANDARD'
         GROUP BY n_name, year(o_orderdate)
+    """,
+    "null_semantics": """
+        SELECT c_mktsegment,
+               count(*) AS n_rows,
+               count(o_orderkey) AS n_orders,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched,
+               round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_coalesced,
+               floor(round(sum(o_totalprice), 2) / count(o_orderkey) * 1000000 + 0.5)
+                 / 1000000 AS avg_matched
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+          ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
     """,
     "tpch_q16_supplier_count": """
         SELECT p_brand, p_type, p_size,
