@@ -671,6 +671,27 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG parity):
+    ``collect_list`` has NO deterministic order in a distributed engine —
+    any correct listagg must impose one (array_sort here, ORDER BY inside
+    DuckDB's aggregate). Hash-exact across engines precisely because the
+    order is pinned; a bare collect_list concat would flap per run."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.where(F.col("c_acctbal") > 9000.0)
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "rich_customers"
+            ),
+            F.count("*").alias("n_rich"),
+        )
+    )
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-semantics torture witness: outer-join nulls flowing through
     null-skipping COUNT/SUM/AVG, a null-branch conditional count, and
@@ -1318,6 +1339,15 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE p_type = 'STANDARD'
         GROUP BY n_name, year(o_orderdate)
+    """,
+    "agg_listagg": """
+        SELECT n_name,
+               string_agg(c_name, '|' ORDER BY c_name) AS rich_customers,
+               count(*) AS n_rich
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 9000.0
+        GROUP BY n_name
     """,
     "null_semantics": """
         SELECT c_mktsegment,
