@@ -139,7 +139,120 @@ def q_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-corpus preparation story as ONE lazy plan,
+    EXACT-oracled end to end: quality gate → benchmark decontamination
+    (drop docs sharing any 3-gram with the eval set) → exact dedup (min
+    doc_id per identical text) → domain-mixture sampling → chunk/token
+    accounting per source.
+
+    Every stage is the oracle-checked building block from its home
+    module (text/dedup/stats), composed so Catalyst sees the whole
+    pipeline: the quality predicate reaches the scan; each stage shrinks
+    the corpus before the next pays for it; the only corpus-wide
+    shuffles are the decontamination gram aggregate, the dedup window on
+    text, and the final per-source rollup. Chunk counts use integer
+    (n + 47) div 48 — never float ceil, which could flap on exact
+    multiples between engines."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    quality = docs.where(
+        (F.col("n_chars") >= _MIN_CHARS) & (n_tokens >= _MIN_TOKENS)
+    )
+    # decontamination: distinct per-doc trigrams map-side (array_distinct),
+    # eval grams from the RAW corpus (doc_id % 53 == 0), broadcast probe.
+    grams_expr = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "  zip_with("
+        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    (b, c) -> concat(b, ' ', c)),"
+        "  (a, bc) -> concat(a, ' ', bc))"
+    )
+    doc_grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams_expr)).alias("gram")
+    )
+    eval_grams = (
+        doc_grams.where(F.col("doc_id") % 53 == 0).select("gram").distinct()
+    )
+    contaminated = (
+        doc_grams.where(F.col("doc_id") % 53 != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        quality.where(F.col("doc_id") % 53 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    # exact dedup: survivor = min doc_id per identical text
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # domain-mixture sampling (same md5/rate contract as
+    # q_mixture_weighted_sample)
+    rate = ((F.substring(F.col("source"), 4, 10).cast("int") % 4) + 1) / F.lit(4.0)
+    frac1024 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 1024
+    )
+    kept = deduped.where(frac1024 < rate * 1024)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("(size(split(text, ' ')) + 47) div 48")).alias("n_chunks"),
+        F.sum(n_tokens.cast("bigint")).alias("n_tokens"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_corpus_pipeline": """
+        WITH base AS (
+            SELECT doc_id, text, source, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), quality AS (
+            SELECT * FROM base WHERE n_chars >= 100 AND n_tokens >= 20
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0
+        ), contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM grams g JOIN eval_grams e ON g.gram = e.gram
+            WHERE g.doc_id % 53 <> 0
+        ), clean AS (
+            SELECT q.* FROM quality q
+            WHERE q.doc_id % 53 <> 0
+              AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM clean
+            ) t WHERE rn = 1
+        ), kept AS (
+            SELECT * FROM deduped
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 1024
+                  < ((CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0) * 1024
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum((n_tokens + 47) // 48) AS BIGINT) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM kept
+        GROUP BY source
+    """,
     "curation_pipeline": """
         WITH kept AS (
             SELECT doc_id, text, lang, n_chars

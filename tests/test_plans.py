@@ -249,6 +249,19 @@ def test_tpch_round6_plan_shapes(spark, sf_dir):
     assert_no_cartesian(q16)
 
 
+def test_llm_corpus_pipeline_plan_shape(spark, sf_dir):
+    """The end-to-end corpus pipeline must keep its stage properties when
+    composed: the eval-gram probe stays a broadcast join, the quality
+    predicate reaches a scan (pushed n_chars filter), and nothing plans
+    a cartesian."""
+    from gasket_rs_spark.operators.curation import q_llm_corpus_pipeline
+
+    df = q_llm_corpus_pipeline(spark, sf_dir)
+    assert_broadcasts(df, at_least=1)
+    assert any("n_chars" in f for f in pushed_filters(df))
+    assert_no_cartesian(df)
+
+
 def test_decontaminate_and_mixture_plan_shapes(spark, sf_dir):
     """Round-6 pipeline-op pins: the decontamination gram probe must be a
     broadcast join (the eval gram set is benchmark-sized by construction)
