@@ -158,6 +158,33 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: parse_json →
+    open-schema binary variant → typed variant_get extraction + agg.
+    Unlike from_json (fixed schema declared up front), variant columns
+    keep the full document and bind types at ACCESS time — the
+    shred-on-read model for evolving event payloads; at 100 TB the
+    variant binary encoding also scans faster than re-parsing JSON text
+    per access. Values are pinned EXACT against DuckDB's JSON extraction
+    (same documents, same typed accesses)."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        events.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+        )
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → typed struct column → field access + struct building
     (the schema-on-read path for semi-structured payload columns)."""
@@ -341,6 +368,17 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS the_pos,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
         FROM documents
+    """,
+    "json_variant": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type
     """,
     "json_funcs": """
         SELECT event_id, event_type,
