@@ -671,6 +671,31 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) of the lineitem measure columns, then a
+    per-measure rollup — the inverse of q_pivot_event_types. Spark's
+    ``unpivot`` is a narrow map (each row expands to one row per
+    measure, no shuffle until the final agg); the oracle spells the same
+    reshape as a UNION ALL so the check is engine-portable."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).alias("total"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
 def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG/STRING_AGG parity):
     ``collect_list`` has NO deterministic order in a distributed engine —
@@ -1339,6 +1364,19 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE p_type = 'STANDARD'
         GROUP BY n_name, year(o_orderdate)
+    """,
+    "unpivot_measures": """
+        WITH long AS (
+            SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        )
+        SELECT measure, count(*) AS n, round(sum(val), 2) AS total,
+               min(val) AS min_val, max(val) AS max_val
+        FROM long
+        GROUP BY measure
     """,
     "agg_listagg": """
         SELECT n_name,
