@@ -276,30 +276,41 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from a (doc_id, band, bucket)
     banding frame, with the hot-bucket occupancy cap applied.
 
-    One window pass over (band, bucket) computes occupancy and the
-    bucket representative (min doc_id); the self-join then runs only
-    inside buckets at or under ``_MAX_BUCKET_OCCUPANCY``, while hot
-    buckets emit star edges member↔representative — occupancy−1 rows
-    instead of occupancy². The window and the join share the
-    (band, bucket) hash partitioning, so the cap costs no extra
-    shuffle of the banding frame."""
-    w = Window.partitionBy("band", "bucket")
-    marked = banded.withColumn("occ", F.count("*").over(w)).withColumn(
-        "rep", F.min("doc_id").over(w)
+    ONE aggregation collects each bucket's sorted member list; pair
+    expansion is then a pure map: buckets at or under
+    ``_MAX_BUCKET_OCCUPANCY`` enumerate ordered pairs (ids sorted →
+    doc_a < doc_b by construction), hot buckets emit star edges
+    member↔representative (element 1 = min doc_id) — occupancy−1 rows
+    instead of occupancy². Versus the previous self-join + count-window
+    formulation this removes the join and the window sort entirely: the
+    only shuffle is the (band, bucket) groupBy the join needed anyway.
+    Per-bucket array size is bounded by bucket occupancy — the same rows
+    the join's build side would hold in one partition; ``element_at``
+    indexes a materialized attribute (no HOF re-evaluation trap, which
+    applies to DERIVED arrays referenced in lambdas)."""
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count("*").alias("occ"),
     )
-    small = marked.where(F.col("occ") <= _MAX_BUCKET_OCCUPANCY)
-    left = small.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = small.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     all_pairs = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    star = (
-        marked.where(
-            (F.col("occ") > _MAX_BUCKET_OCCUPANCY) & (F.col("doc_id") != F.col("rep"))
+        grouped.where(F.col("occ") <= _MAX_BUCKET_OCCUPANCY)
+        .select(
+            F.explode(
+                F.expr(
+                    # greatest(...,1) guards singleton buckets: sequence(1,0)
+                    # would DESCEND through 0 and element_at(ids, 0) throws;
+                    # with the guard i=1 sees an empty slice and emits nothing.
+                    "flatten(transform(sequence(1, greatest(size(ids) - 1, 1)),"
+                    " i -> transform(slice(ids, i + 1, size(ids) - i),"
+                    "      x -> struct(element_at(ids, i) AS doc_a, x AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    star = grouped.where(F.col("occ") > _MAX_BUCKET_OCCUPANCY).select(
+        F.element_at("ids", 1).alias("doc_a"),
+        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("doc_b"),
     )
     return all_pairs.unionByName(star).distinct()
 
