@@ -1,0 +1,90 @@
+"""Round-end rotation invariant (VERDICT r6 #2).
+
+With a 134-query catalog and a 50-entry driver check window, a query's
+evidence can silently age out. This check fails loudly when the committed
+``gasket_rs_spark/registry_order.py`` would let that happen:
+
+1. **Freshness**: regenerating the order from the current tree + committed
+   ``CORRECTNESS_r*.json`` history must reproduce the committed ORDER
+   exactly. Editing any operator module invalidates its queries' evidence
+   (cohort 2 -> 1) and therefore changes the derived order; this rule
+   forces ``scripts/gen_registry_order.py`` to be re-run before the
+   end-of-round commit.
+2. **Window coverage**: no query with invalid evidence (cohort 0 failed,
+   or cohort 1 changed-since-checked / never-checked) may sit outside the
+   next window's 50-prefix while a green-and-unchanged (cohort 2) query
+   occupies a prefix slot. When more than 50 queries are stale, the prefix
+   must be the 50 *oldest-checked* stale ones.
+
+Run: ``python scripts/check_rotation.py`` — exit 0 = invariant holds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WINDOW = 50
+
+
+def check() -> list[str]:
+    """Return a list of violation messages (empty = invariant holds)."""
+    from gen_registry_order import compute_order
+
+    from gasket_rs_spark.registry_order import ORDER
+
+    order_now, meta = compute_order()
+    committed = list(ORDER)
+    problems: list[str] = []
+
+    if committed != order_now:
+        extra = [n for n in committed if n not in meta]
+        missing = [n for n in order_now if n not in committed]
+        moved = sum(1 for a, b in zip(committed, order_now) if a != b)
+        problems.append(
+            "registry_order.py is stale — rerun scripts/gen_registry_order.py "
+            f"({moved} positions differ; missing from committed: {missing[:5]}; "
+            f"no longer in catalog: {extra[:5]})"
+        )
+
+    # Window coverage is judged on the *current* derived order (what the
+    # driver will actually walk once the regenerated file is committed).
+    prefix = set(order_now[:WINDOW])
+    stale = [n for n in order_now if meta[n][0] < 2]
+    outside = [n for n in stale if n not in prefix]
+    if outside:
+        green_inside = [n for n in order_now[:WINDOW] if meta[n][0] == 2]
+        if green_inside:
+            problems.append(
+                f"{len(outside)} stale-evidence queries sit outside the "
+                f"{WINDOW}-prefix while green-unchanged queries occupy "
+                f"prefix slots: {green_inside[:5]}"
+            )
+        else:
+            # >WINDOW stale queries: prefix must be the oldest-checked ones.
+            oldest = sorted(stale, key=lambda n: (meta[n][0], meta[n][1], n))
+            want = set(oldest[:WINDOW])
+            if prefix != want:
+                problems.append(
+                    f"{WINDOW}-prefix is not the oldest-checked stale cohort: "
+                    f"unexpected {sorted(prefix - want)[:5]}, "
+                    f"displaced {sorted(want - prefix)[:5]}"
+                )
+    return problems
+
+
+def main() -> None:
+    problems = check()
+    if problems:
+        for p in problems:
+            print(f"ROTATION VIOLATION: {p}")
+        sys.exit(1)
+    print(f"rotation invariant holds (window={WINDOW})")
+
+
+if __name__ == "__main__":
+    main()

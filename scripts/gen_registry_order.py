@@ -83,7 +83,14 @@ def _module_changed_since(module_relpath: str, commit: str) -> bool:
         return f.read() != old.stdout
 
 
-def main() -> None:
+def compute_order() -> tuple[list[str], dict[str, tuple[int, int]]]:
+    """Derive the evidence-staleness order from committed artifacts.
+
+    Returns ``(order, meta)`` where ``meta[name] = (cohort, last_round)``
+    with cohort 0=failed-last-check, 1=no-valid-evidence (never checked or
+    module changed since the checked snapshot), 2=green-and-unchanged, and
+    last_round = -1 for never-checked queries.
+    """
     from gasket_rs_spark.registry import collect_raw
 
     queries, _ = collect_raw()
@@ -128,6 +135,16 @@ def main() -> None:
         key=lambda n: (cohort_rank(n) if n in last_checked else 1,
                        last_checked.get(n, -1), n),
     )
+    meta = {
+        n: (cohort_rank(n) if n in last_checked else 1,
+            last_checked.get(n, -1))
+        for n in order
+    }
+    return order, meta
+
+
+def main() -> None:
+    order, meta = compute_order()
 
     lines = [
         '"""GENERATED by scripts/gen_registry_order.py — do not edit.',
@@ -141,9 +158,9 @@ def main() -> None:
         "ORDER = (",
     ]
     for n in order:
+        cohort, rnd = meta[n]
         lines.append(
-            f"    {n!r},  # r{last_checked.get(n, '-')}"
-            f" cohort={cohort_rank(n) if n in last_checked else '-'}"
+            f"    {n!r},  # r{rnd if rnd >= 0 else '-'} cohort={cohort}"
         )
     lines.append(")")
     out_path = os.path.join(REPO, "gasket_rs_spark", "registry_order.py")
