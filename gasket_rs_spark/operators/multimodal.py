@@ -1,25 +1,39 @@
 """Multimodal column handling (SURVEY.md tier-X mandate: image/audio/video
 as opaque binary columns with typed metadata).
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(``decode_payload`` raises ``NotImplementedError`` unless the deterministic
-fake decoder is selected) — but everything Spark-side is real and tested:
-the binary column, the metadata struct schema, the Arrow-batched
-``mapInPandas`` plumbing, batch shapes, and partitioning.
+The container has no media libraries (PIL/librosa/ffmpeg), so the codecs
+here are pure-Python parsers for *uncompressed* containers — real format
+parsing, not stubs:
+
+- image: binary PPM (``P6``) — header tokenizer with comment handling,
+  then raw RGB samples;
+- audio: WAV/RIFF — chunk walk (``fmt `` + ``data``, unknown chunks
+  skipped with even-byte padding), PCM16 little-endian samples;
+- video: concatenated-PPM stream (the raw-frame piping format ffmpeg
+  emits with ``-f image2pipe -vcodec ppm``) — repeated P6 parse to EOF.
+
+Everything Spark-side is likewise real: the binary column, the metadata
+struct schema, the Arrow-batched ``mapInPandas`` plumbing, batch shapes,
+and partitioning.
 
 Witnesses:
 - ``q_multimodal_meta``: pure-SQL metadata extraction over synthesized
   binary payloads (oracle-checked EXACT);
 - ``q_multimodal_features``: the ``mapInPandas`` feature-extraction path
-  with the fake decoder — byte-level stats computed in pandas, and still
-  oracle-checked EXACT because the fake features are arithmetic on the
-  payload bytes (DuckDB recomputes them from the source text).
+  over raw payload bytes (oracle-checked EXACT — DuckDB recomputes the
+  byte stats from the source text);
+- ``q_multimodal_decode_stats``: full encode→parse round trip through the
+  real containers per modality, stats computed from the *decoded* samples
+  (oracle-checked EXACT — the payload samples are a deterministic
+  function of the text, so DuckDB recomputes them independently).
 """
 
 from __future__ import annotations
 
 import math
+import struct
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -50,19 +64,162 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_payload(payload: bytes, modality: str, fake: bool = False) -> bytes:
-    """Decode an opaque media payload.
+_VIDEO_FRAMES = 4
 
-    Real decoders (PIL/librosa/ffmpeg) are not in this container — the
-    Spark plumbing around this stub is the deliverable. ``fake=True``
-    returns the payload unchanged (deterministic pass-through "decode").
+
+@dataclass
+class DecodedMedia:
+    """Decoded media asset: per-frame geometry + flat sample values."""
+
+    modality: str
+    n_frames: int
+    width: int          # first-frame width (pixels) / n_samples for audio
+    height: int         # first-frame height / 1 for audio
+    sample_rate: int    # audio only; 0 for image/video
+    values: np.ndarray  # uint8 RGB samples (image/video) or int16 PCM (audio)
+
+
+# --- PPM (P6) image codec ------------------------------------------------
+
+def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
+    """Binary PPM: ``P6 <w> <h> 255\\n`` header + raw RGB triplets."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(pixels)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited PPM header token, skipping ``#`` comments."""
+    while pos < len(buf):
+        c = buf[pos:pos + 1]
+        if c == b"#":
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < len(buf) and not buf[pos:pos + 1].isspace():
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return buf[start:pos], pos
+
+
+def parse_ppm(buf: bytes, pos: int = 0) -> tuple[int, int, np.ndarray, int]:
+    """Parse one P6 image at ``pos``; returns (w, h, samples, next_pos)."""
+    magic, pos = _ppm_token(buf, pos)
+    if magic != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {magic!r})")
+    w_tok, pos = _ppm_token(buf, pos)
+    h_tok, pos = _ppm_token(buf, pos)
+    max_tok, pos = _ppm_token(buf, pos)
+    w, h, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    n = w * h * 3
+    if pos + n > len(buf):
+        raise ValueError("truncated PPM raster")
+    return w, h, np.frombuffer(buf, np.uint8, count=n, offset=pos), pos + n
+
+
+# --- WAV (RIFF/PCM16) audio codec ----------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF chunk walk; returns (sample_rate, n_channels, int16 samples)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, 8 + struct.unpack("<I", buf[4:8])[0]
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= min(end, len(buf)):
+        cid = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        if pos + 8 + size > len(buf):
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported (format {audio_fmt})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads chunks to even length
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (got {bits})")
+    return rate, channels, np.frombuffer(data, "<i2")
+
+
+# --- payload build + decode ----------------------------------------------
+
+def build_media_payload(data: bytes, modality: str) -> bytes:
+    """Deterministically encode raw bytes into a real media container.
+
+    image: one Wx1 P6 PPM over the first ``3*(n//3)`` bytes as RGB;
+    audio: mono PCM16 WAV, one sample per byte, centered and scaled
+    (``(b - 128) * 256``); video: a concatenated-PPM stream of
+    ``_VIDEO_FRAMES`` equal-pixel-count slices of the image raster.
+    """
+    if modality == "audio":
+        samples = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256
+        return encode_wav(samples)
+    n_pix = len(data) // 3
+    if n_pix < 1:
+        raise ValueError("payload too small for one pixel")
+    raster = data[: n_pix * 3]
+    if modality == "image":
+        return encode_ppm(raster, n_pix, 1)
+    if modality == "video":
+        per_frame = -(-n_pix // _VIDEO_FRAMES)  # ceil
+        out = []
+        for i in range(_VIDEO_FRAMES):
+            seg = raster[i * per_frame * 3: min((i + 1) * per_frame, n_pix) * 3]
+            if seg:
+                out.append(encode_ppm(seg, len(seg) // 3, 1))
+        return b"".join(out)
+    raise ValueError(f"unknown modality {modality!r}")
+
+
+def decode_payload(payload: bytes, modality: str, fake: bool = False):
+    """Decode a media payload with the pure-Python container parsers.
+
+    Returns a :class:`DecodedMedia`. ``fake=True`` keeps the legacy
+    pass-through (payload bytes unchanged) used by the byte-stats witness.
     """
     if fake:
         return payload
-    raise NotImplementedError(
-        f"no {modality} codec in this environment; use fake=True for the "
-        "deterministic pass-through decoder"
-    )
+    if modality == "image":
+        w, h, vals, _ = parse_ppm(payload)
+        return DecodedMedia("image", 1, w, h, 0, vals)
+    if modality == "audio":
+        rate, _, samples = parse_wav(payload)
+        return DecodedMedia("audio", 1, samples.size, 1, rate, samples)
+    if modality == "video":
+        frames, pos = [], 0
+        while pos < len(payload):
+            w, h, vals, pos = parse_ppm(payload, pos)
+            frames.append((w, h, vals))
+        if not frames:
+            raise ValueError("empty video stream")
+        return DecodedMedia(
+            "video", len(frames), frames[0][0], frames[0][1], 0,
+            np.concatenate([f[2] for f in frames]),
+        )
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def with_payload(df: DataFrame) -> DataFrame:
@@ -149,6 +306,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_units", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("max_value", LongType()),
+    ]
+)
+
+
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→parse round trip through the real containers, per modality.
+
+    Each doc's text bytes are packed into a genuine PPM / WAV /
+    concatenated-PPM payload, parsed back with the pure-Python codecs, and
+    the stats below are computed from the *decoded* samples. The oracle
+    recomputes them straight from the text, so an EXACT match proves both
+    the encoder and the parser (a header-size error, endianness flip, or
+    off-by-one in the chunk walk all shift the stats).
+
+    Scale shape: same as ``q_multimodal_features`` — payloads stay
+    partitioned, codec work happens per Arrow batch, only fixed-width
+    stats rows cross back.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        F.length("payload") >= 3
+    ).select("doc_id", "payload", "modality")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), modality), modality
+                )
+                vals = media.values
+                # int(sum)/n then floor-snap: identical IEEE expression to
+                # the oracle (see q_multimodal_features mean_byte note).
+                mean = math.floor(
+                    int(vals.sum()) / vals.size * 1000000 + 0.5
+                ) / 1000000
+                rows.append(
+                    (
+                        doc_id,
+                        modality,
+                        vals.size if modality == "audio" else vals.size // 3,
+                        media.n_frames,
+                        mean,
+                        int(vals.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_STATS_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(roundtrip, DECODE_STATS_SCHEMA)
+
+
 _N_FRAMES = 4
 
 
@@ -200,6 +419,42 @@ def q_multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "multimodal_decode_stats": """
+        WITH t AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) // 3 AS p,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality
+            FROM documents
+            WHERE octet_length(encode(text)) >= 3
+        ), s AS (
+            SELECT doc_id, modality, n, p,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c)) AS bytes_all
+            FROM t
+        )
+        SELECT doc_id, modality,
+               CASE modality WHEN 'audio' THEN n ELSE p END AS n_units,
+               CASE modality WHEN 'video'
+                    THEN CAST(ceil(CAST(p AS DOUBLE)
+                              / CAST(ceil(p / 4.0) AS BIGINT)) AS BIGINT)
+                    ELSE 1 END AS n_frames,
+               CASE modality WHEN 'audio'
+                    -- PCM sample b -> (b-128)*256; exact-int sum then one
+                    -- double division, floor-snapped — same IEEE ops as
+                    -- the mapInPandas kernel.
+                    THEN floor((CAST(list_sum(bytes_all) AS DOUBLE) - 128 * n)
+                               * 256.0 / n * 1000000 + 0.5) / 1000000
+                    ELSE floor(CAST(list_sum(bytes_all[1 : p * 3]) AS DOUBLE)
+                               / (p * 3) * 1000000 + 0.5) / 1000000
+               END AS mean_value,
+               CASE modality WHEN 'audio'
+                    THEN CAST((list_max(bytes_all) - 128) * 256 AS BIGINT)
+                    ELSE CAST(list_max(bytes_all[1 : p * 3]) AS BIGINT)
+               END AS max_value
+        FROM s
+    """,
     "multimodal_frame_sample": """
         WITH t AS (
             SELECT doc_id, text, octet_length(encode(text)) AS plen,

@@ -1,0 +1,116 @@
+"""Pure-Python media codec pins (no Spark): golden byte vectors for the
+PPM / WAV / concatenated-PPM parsers, round-trip identity, and the
+container robustness cases (comments, extra RIFF chunks, truncation).
+
+These lock the byte-level container grammar independently of the
+oracle-checked ``multimodal_decode_stats`` witness, so a codec regression
+is localized to a 1-ms test instead of a differential mismatch.
+"""
+
+import numpy as np
+import pytest
+
+from gasket_rs_spark.operators.multimodal import (
+    DecodedMedia,
+    build_media_payload,
+    decode_payload,
+    encode_ppm,
+    encode_wav,
+    parse_ppm,
+    parse_wav,
+)
+
+
+def test_ppm_golden_bytes():
+    payload = encode_ppm(bytes(range(6)), 2, 1)
+    assert payload == b"P6\n2 1\n255\n" + bytes([0, 1, 2, 3, 4, 5])
+    w, h, vals, end = parse_ppm(payload)
+    assert (w, h, end) == (2, 1, len(payload))
+    assert vals.tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_ppm_header_comments_and_whitespace():
+    raster = bytes([9, 8, 7])
+    payload = b"P6 # binary pixmap\n# size\n  1\t1 # wxh\n255\n" + raster
+    w, h, vals, end = parse_ppm(payload)
+    assert (w, h) == (1, 1)
+    assert vals.tolist() == [9, 8, 7]
+    assert end == len(payload)
+
+
+def test_ppm_rejects_bad_magic_and_truncation():
+    with pytest.raises(ValueError, match="not a P6"):
+        parse_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        parse_ppm(b"P6\n2 2\n255\n\x00\x01")
+    with pytest.raises(ValueError, match="only 8-bit"):
+        parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_wav_golden_bytes():
+    samples = np.array([0, 1, -1, 32767, -32768], dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    # 44-byte canonical header: RIFF size = 36 + data bytes.
+    assert payload[:4] == b"RIFF"
+    assert int.from_bytes(payload[4:8], "little") == 36 + 10
+    assert payload[8:12] == b"WAVE"
+    assert payload[12:16] == b"fmt "
+    rate, channels, out = parse_wav(payload)
+    assert (rate, channels) == (8000, 1)
+    assert out.tolist() == samples.tolist()
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    samples = np.array([100, -100, 3], dtype=np.int16)
+    payload = encode_wav(samples)
+    # Splice a LIST chunk (odd-sized -> exercises even-byte padding)
+    # between fmt and data, fixing up the RIFF size.
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    spliced = (b"RIFF"
+               + (len(spliced) - 8).to_bytes(4, "little")
+               + spliced[8:])
+    rate, channels, out = parse_wav(spliced)
+    assert out.tolist() == samples.tolist()
+    with pytest.raises(ValueError, match="not a RIFF"):
+        parse_wav(b"OggS" + payload[4:])
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        parse_wav(payload[:20])
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        parse_wav(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+
+
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
+def test_build_decode_round_trip(modality):
+    data = bytes((i * 37 + 11) % 256 for i in range(101))
+    media = decode_payload(build_media_payload(data, modality), modality)
+    assert isinstance(media, DecodedMedia)
+    if modality == "audio":
+        expect = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256
+        assert media.values.tolist() == expect.tolist()
+        assert (media.n_frames, media.sample_rate) == (1, 8000)
+    else:
+        n_pix = len(data) // 3  # 33
+        assert media.values.tolist() == list(data[: n_pix * 3])
+        if modality == "image":
+            assert (media.n_frames, media.width, media.height) == (1, n_pix, 1)
+        else:
+            # 33 pixels / ceil(33/4)=9 per frame -> frames of 9,9,9,6.
+            assert media.n_frames == 4
+            assert media.width == 9
+
+
+def test_video_framing_small_inputs():
+    # 1 pixel -> a single 1-frame stream, not 4 empty frames.
+    media = decode_payload(build_media_payload(b"abc", "video"), "video")
+    assert media.n_frames == 1
+    assert media.values.tolist() == list(b"abc")
+    # 5 pixels -> ceil(5/4)=2 per frame -> 2,2,1 pixels = 3 frames.
+    media = decode_payload(build_media_payload(bytes(range(15)), "video"), "video")
+    assert media.n_frames == 3
+    assert media.values.tolist() == list(range(15))
+
+
+def test_fake_passthrough_still_supported():
+    assert decode_payload(b"xyz", "image", fake=True) == b"xyz"
