@@ -596,9 +596,14 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8-shaped: NATION_7's market share of ECONOMY-part volume sold to
     ASIA customers, by order year. Two nation aliases (customer side for
     region membership, supplier side for the share numerator); all
-    fixed-size dims broadcast, SF-scaled customer left to AQE. The share
-    ratio is floor-snapped at 1e-6 on both engines (an int/float ratio
-    must never be bare-round()ed — half-grid risk)."""
+    fixed-size dims broadcast, SF-scaled customer left to AQE. Ratio
+    convention (ADVICE r6): the numerator/denominator are sums of values
+    on the 1e-4 decimal grid (2dp price × 2dp discount), so each sum is
+    floor-snapped to that grid BEFORE dividing — identical expressions on
+    both engines — then the ratio itself is snapped at 1e-6. Dividing raw
+    double sums would feed partition-order-dependent low-order bits into
+    the ratio, exactly the flap the q1 snap-sum-then-divide convention
+    exists to avoid."""
     part = load(spark, sf_dir, "part")
     supplier = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
@@ -613,7 +618,12 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    share = F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)) / F.sum(vol)
+    num = F.floor(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)) * 1e4
+        + F.lit(0.5)
+    ) / 1e4
+    den = F.floor(F.sum(vol) * 1e4 + F.lit(0.5)) / 1e4
+    share = num / den
     return (
         lineitem.join(
             broadcast(part.where(F.col("p_type") == "ECONOMY")),
@@ -830,7 +840,9 @@ def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg joined back on partkey — SF-scaled on both sides, so it's an
     equi-join left to AQE, NOT a broadcast. Quantity is integer-valued →
     its sum (and hence the 0.2·avg threshold) is bit-identical across
-    engines; the final sum/7 ratio is floor-snapped at 1e-4."""
+    engines. Ratio convention (ADVICE r6): the revenue sum sits on the
+    2dp price grid, so it is floor-snapped at 1e-2 BEFORE the /7, then
+    the ratio is snapped at 1e-4 — identical expressions both engines."""
     part = load(spark, sf_dir, "part")
     lineitem = load(spark, sf_dir, "lineitem")
     part_f = part.where((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
@@ -843,9 +855,13 @@ def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qty_limit, F.col("l_partkey") == F.col("al_partkey"))
         .where(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
-            (F.floor(F.sum("l_extendedprice") / 7.0 * 1e4 + F.lit(0.5)) / 1e4).alias(
-                "avg_yearly"
-            )
+            (
+                F.floor(
+                    (F.floor(F.sum("l_extendedprice") * 1e2 + F.lit(0.5)) / 1e2)
+                    / 7.0 * 1e4
+                    + F.lit(0.5)
+                ) / 1e4
+            ).alias("avg_yearly")
         )
     )
 
@@ -1334,10 +1350,15 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q8_market_share": """
         SELECT year(o_orderdate) AS o_year,
-               floor(sum(CASE WHEN n2.n_name = 'NATION_7'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) / 1000000
+               -- snap both grid-valued sums at 1e-4 BEFORE the ratio
+               -- (same IEEE expression as the Spark side), then snap the
+               -- ratio at 1e-6 — see q_tpch_q8_market_share docstring.
+               floor((floor(sum(CASE WHEN n2.n_name = 'NATION_7'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0.0 END) * 10000 + 0.5) / 10000)
+                     / (floor(sum(l_extendedprice * (1 - l_discount))
+                              * 10000 + 0.5) / 10000)
+                     * 1000000 + 0.5) / 1000000
                  AS mkt_share
         FROM lineitem
         JOIN part      ON l_partkey = p_partkey
@@ -1435,7 +1456,8 @@ ORACLES: dict[str, str] = {
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
     "tpch_q17_small_quantity": """
-        SELECT floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+        SELECT floor(floor(sum(l_extendedprice) * 100 + 0.5) / 100
+                     / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE p_brand = 'Brand#23' AND p_size < 15

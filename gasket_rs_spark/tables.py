@@ -47,6 +47,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
+        # The µs-fixture path below casts TIMESTAMP_NTZ -> TimestampType,
+        # which reinterprets the wall-clock in the SESSION time zone; it is
+        # value-preserving only under UTC. A user-constructed session with
+        # a local tz would silently shift every events-based result, so
+        # fail loudly instead (gasket_rs_spark.session.get_session sets
+        # UTC; plain SparkSession users must do the same).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise RuntimeError(
+                f"events requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+                "use gasket_rs_spark.session.get_session() or set the conf"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))

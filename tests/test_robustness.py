@@ -86,3 +86,18 @@ def test_backoff_properties(retries, unit, factor, cap):
         assert d <= cap + 1e-12
         assert d >= prev - 1e-12 or d == cap
         prev = d
+
+
+def test_events_load_rejects_non_utc_session(spark, sf_dir):
+    """ADVICE r6: the NTZ->timestamp cast in tables.load is only
+    value-preserving under a UTC session tz — a mis-configured session
+    must fail loudly, not silently shift every events-based result."""
+    import pytest
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="timeZone=UTC"):
+            load(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load(spark, sf_dir, "events")  # restored session loads fine
