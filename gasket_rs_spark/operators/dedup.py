@@ -276,25 +276,34 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from a (doc_id, band, bucket)
     banding frame, with the hot-bucket occupancy cap applied.
 
-    ONE aggregation collects each bucket's sorted member list; pair
-    expansion is then a pure map: buckets at or under
-    ``_MAX_BUCKET_OCCUPANCY`` enumerate ordered pairs (ids sorted →
-    doc_a < doc_b by construction), hot buckets emit star edges
-    member↔representative (element 1 = min doc_id) — occupancy−1 rows
-    instead of occupancy². Versus the previous self-join + count-window
-    formulation this removes the join and the window sort entirely: the
-    only shuffle is the (band, bucket) groupBy the join needed anyway.
-    Per-bucket array size is bounded by bucket occupancy — the same rows
-    the join's build side would hold in one partition; ``element_at``
-    indexes a materialized attribute (no HOF re-evaluation trap, which
-    applies to DERIVED arrays referenced in lambdas)."""
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids"),
-        F.count("*").alias("occ"),
+    A cheap pre-pass aggregates (occupancy, min doc_id) per bucket —
+    fixed 16-byte state per key, fully map-side-combinable and spillable —
+    and the banded rows join back on (band, bucket). Cold buckets
+    (occupancy ≤ ``_MAX_BUCKET_OCCUPANCY``) then collect their sorted
+    member list and enumerate ordered pairs (ids sorted → doc_a < doc_b
+    by construction); hot buckets emit star edges member↔representative
+    (the pre-pass min) straight from the joined ROWS — occupancy−1 rows,
+    and no member array is ever materialized for them. This is the
+    ADVICE-r6 fix: the previous formulation collect_list'ed EVERY bucket
+    before branching, so one degenerate band (near-constant minhash over
+    millions of docs) built a single multi-hundred-MB non-spillable
+    aggregation-buffer row; now the only collected arrays are cold ones,
+    bounded at _MAX_BUCKET_OCCUPANCY elements (~2 KB). The cold groupBy
+    reuses the join's (band, bucket) hash partitioning, so the big frame
+    still shuffles once; ``element_at`` indexes a materialized attribute
+    (no HOF re-evaluation trap, which applies to DERIVED arrays
+    referenced in lambdas)."""
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("occ"), F.min("doc_id").alias("rep")
+    )
+    joined = banded.join(stats, ["band", "bucket"])
+    cold = (
+        joined.where(F.col("occ") <= _MAX_BUCKET_OCCUPANCY)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
     all_pairs = (
-        grouped.where(F.col("occ") <= _MAX_BUCKET_OCCUPANCY)
-        .select(
+        cold.select(
             F.explode(
                 F.expr(
                     # greatest(...,1) guards singleton buckets: sequence(1,0)
@@ -308,10 +317,9 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
     )
-    star = grouped.where(F.col("occ") > _MAX_BUCKET_OCCUPANCY).select(
-        F.element_at("ids", 1).alias("doc_a"),
-        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("doc_b"),
-    )
+    star = joined.where(
+        (F.col("occ") > _MAX_BUCKET_OCCUPANCY) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return all_pairs.unionByName(star).distinct()
 
 
