@@ -34,6 +34,7 @@ _MODULES = (
     "gasket_rs_spark.operators.similarity",
     "gasket_rs_spark.operators.multimodal",
     "gasket_rs_spark.streaming.windows",
+    "gasket_rs_spark.streaming.stream",
     "gasket_rs_spark.pipeline.witnesses",
     "gasket_rs_spark.functions.udf",
     "gasket_rs_spark.operators.stats",
