@@ -74,7 +74,11 @@ def test_prometheus_rendering():
     assert 'rows{stage="s1"} 10.0' in text
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
+def test_decode_rejects_garbage_and_keeps_passthrough():
+    """Since round 7 ``decode_payload`` is a real container parser — junk
+    bytes fail with a parse error (not NotImplementedError), and the
+    legacy fake=True pass-through is preserved for the byte-stats
+    witness."""
+    with pytest.raises(ValueError, match="not a P6"):
         decode_payload(b"xx", "image")
     assert decode_payload(b"xx", "image", fake=True) == b"xx"
