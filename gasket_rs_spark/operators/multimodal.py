@@ -368,6 +368,92 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(roundtrip, DECODE_STATS_SCHEMA)
 
 
+CHANNEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def q_multimodal_image_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel (R/G/B) statistics over DECODED pixels: each image doc
+    is packed into a real PPM, parsed back, and the raster is reshaped
+    (n_pix, 3) for vectorized channel means — the canonical image
+    feature-extraction shape (decode → ndarray → per-channel reduce).
+    Oracle recomputes the channel means from the text bytes by stride-3
+    index selection, so the raster layout (interleaved RGB triplets, not
+    planar) is part of what the EXACT match pins."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "image") & (F.length("payload") >= 3)
+    ).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), "image"), "image"
+                )
+                px = media.values.reshape(-1, 3).astype(np.int64)
+                n_pix = px.shape[0]
+                means = [
+                    math.floor(int(px[:, c].sum()) / n_pix * 1000000 + 0.5) / 1000000
+                    for c in range(3)
+                ]
+                rows.append((doc_id, n_pix, *means))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CHANNEL_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(extract, CHANNEL_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_abs", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features over DECODED PCM: each audio doc is packed into a
+    real RIFF/WAV container, chunk-walked back to int16 samples, and
+    reduced to mean absolute amplitude + zero-crossing count (the
+    classic cheap VAD/energy features). Sign changes are strict products
+    < 0, so the int16 centering convention ((b-128)*256, exact zero at
+    b=128) is part of what the EXACT oracle pins."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "audio") & (F.length("payload") >= 3)
+    ).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), "audio"), "audio"
+                )
+                s = media.values.astype(np.int64)
+                n = s.size
+                mean_abs = math.floor(
+                    int(np.abs(s).sum()) / n * 1000000 + 0.5
+                ) / 1000000
+                zc = int(np.sum(s[:-1] * s[1:] < 0))
+                rows.append((doc_id, n, mean_abs, zc))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(extract, AUDIO_SCHEMA)
+
+
 _N_FRAMES = 4
 
 
@@ -419,6 +505,48 @@ def q_multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "multimodal_image_channels": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
+            FROM documents
+            WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 3
+        ), s AS (
+            SELECT doc_id, p,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c))[1 : p * 3] AS b
+            FROM t
+        )
+        SELECT doc_id, p AS n_pix,
+               floor(CAST(list_sum(list_select(b,
+                     list_filter(range(1, p * 3 + 1), i -> (i - 1) % 3 = 0)))
+                     AS DOUBLE) / p * 1000000 + 0.5) / 1000000 AS mean_r,
+               floor(CAST(list_sum(list_select(b,
+                     list_filter(range(1, p * 3 + 1), i -> (i - 2) % 3 = 0)))
+                     AS DOUBLE) / p * 1000000 + 0.5) / 1000000 AS mean_g,
+               floor(CAST(list_sum(list_select(b,
+                     list_filter(range(1, p * 3 + 1), i -> i % 3 = 0)))
+                     AS DOUBLE) / p * 1000000 + 0.5) / 1000000 AS mean_b
+        FROM s
+    """,
+    "multimodal_audio_features": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+            WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 3
+        ), s AS (
+            SELECT doc_id, n,
+                   list_transform(string_split(text, ''),
+                                  c -> (unicode(c) - 128) * 256) AS st
+            FROM t
+        )
+        SELECT doc_id, n AS n_samples,
+               floor(CAST(list_sum(list_transform(st, x -> abs(x)))
+                     AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS mean_abs,
+               CAST(len(list_filter(range(1, n),
+                    i -> list_extract(st, i) * list_extract(st, i + 1) < 0))
+                    AS BIGINT) AS zero_crossings
+        FROM s
+    """,
     "multimodal_decode_stats": """
         WITH t AS (
             SELECT doc_id, text,
