@@ -97,7 +97,57 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series resample with zero-filled gaps: daily click
+    counts per user over the observed span, every (user, day) cell
+    present even when no events landed — the gap-fill every monitoring /
+    feature-engineering pipeline needs before rolling computations.
+
+    Shape: the day spine is ``sequence(min_day, max_day)`` exploded from
+    a 1-row aggregate (bounded by the calendar span, NOT by data volume)
+    and cross-joined broadcast against the distinct-user dim; observed
+    counts left-join onto the grid. At 100 TB the only SF-scaled shuffles
+    are the distinct and the count aggregation — the spine stays tiny.
+    Users capped to id < 20 to keep the witness result bounded."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    return grid.join(clicks, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "timeseries_gapfill": """
+        WITH ev AS (
+            SELECT * FROM events WHERE user_id < 20
+        ), spine AS (
+            SELECT unnest(generate_series(date_trunc('day', (SELECT min(ts) FROM ev)),
+                                          date_trunc('day', (SELECT max(ts) FROM ev)),
+                                          INTERVAL 1 DAY)) AS day
+        ), clicks AS (
+            SELECT user_id, date_trunc('day', ts) AS day, count(*) AS c
+            FROM ev WHERE event_type = 'click'
+            GROUP BY 1, 2
+        )
+        SELECT u.user_id, CAST(s.day AS TIMESTAMP) AS day,
+               coalesce(c.c, 0) AS n_clicks
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN spine s
+        LEFT JOIN clicks c ON c.user_id = u.user_id AND c.day = s.day
+    """,
     "funnel_conversion": """
         WITH e AS (
             SELECT user_id, event_type, epoch_ms(ts) // 1000 AS ts_sec FROM events

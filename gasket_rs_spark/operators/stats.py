@@ -112,6 +112,31 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by`` / ``min_by`` (arg-extreme) aggregates with a
+    deterministic composite tie-break: the ordering key is
+    ``struct(metric, event_id)`` — lexicographic struct comparison, so
+    equal metrics resolve by the globally-unique event_id and the answer
+    is engine-stable. A bare ``max_by(x, value)`` with duplicated values
+    is nondeterministic in ANY distributed engine — same rule as window
+    ORDER BY tiebreaks. The oracle intentionally uses a different
+    formulation (row_number over value DESC, event_id DESC) so the EXACT
+    match cross-checks Spark's struct-ordering semantics rather than
+    mirroring the same builtin. Single hash aggregation, mergeable
+    map-side — scale-clean."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.max_by("user_id", F.struct(F.col("value"), F.col("event_id"))).alias(
+            "top_value_user"
+        ),
+        F.min_by("user_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "first_user"
+        ),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts spread across event-type columns."""
     events = load(spark, sf_dir, "events")
@@ -177,6 +202,30 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_arg_extremes": """
+        WITH by_value AS (
+            SELECT event_type, user_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id DESC) AS rv
+            FROM events
+        ), by_time AS (
+            SELECT event_type, user_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts ASC, event_id ASC) AS rt
+            FROM events
+        ), base AS (
+            SELECT event_type, round(max(value), 4) AS max_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT b.event_type,
+               v.user_id AS top_value_user,
+               t.user_id AS first_user,
+               b.max_value, b.n
+        FROM base b
+        JOIN by_value v ON b.event_type = v.event_type AND v.rv = 1
+        JOIN by_time  t ON b.event_type = t.event_type AND t.rt = 1
+    """,
     "train_shard_order": """
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY md5hex, doc_id)
