@@ -318,3 +318,32 @@ def test_new_scale_paths_have_no_cartesian(spark, sf_dir):
 
     assert_no_cartesian(q_curation_pipeline(spark, sf_dir))
     assert_no_cartesian(q_dedup_embedding_lsh(spark, sf_dir))
+
+
+def test_lsh_candidates_hot_path_stays_broadcast(spark):
+    """The round-7 hot-bucket split must keep its scale shape: the hot
+    key set reaches both consumers as a BROADCAST (anti-join for cold
+    rows, hash join for star edges) — never a shuffle of the banded
+    frame per branch — and no cartesian sneaks in."""
+    from gasket_rs_spark.operators.dedup import _lsh_candidates
+
+    banded = (
+        spark.range(2000)
+        .selectExpr(
+            "id AS doc_id",
+            "CAST(1 AS INT) AS n_sh",
+            "CAST(id % 4 AS INT) AS band",
+            "xxhash64(id % 50) AS bucket",
+        )
+    )
+    df = _lsh_candidates(banded)
+    plan = explain_formatted_for_test(df)
+    assert plan.count("BroadcastExchange") >= 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # cold member arrays come from exactly one big groupBy over banded
+    # rows; the stats pre-pass is the only other banded aggregation
+    from gasket_rs_spark.plans.inspect import count_operator
+
+    assert count_operator(df, "HashAggregate") <= 7  # stats+cold+distinct, partial/final pairs
+    spark.catalog.clearCache()
