@@ -114,3 +114,26 @@ def test_video_framing_small_inputs():
 
 def test_fake_passthrough_still_supported():
     assert decode_payload(b"xyz", "image", fake=True) == b"xyz"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=3, max_size=4096),
+    modality=st.sampled_from(["image", "audio", "video"]),
+)
+def test_codec_round_trip_property(data, modality):
+    """Property pin: for ANY payload ≥ 3 bytes, decode(build(x)) recovers
+    exactly the encoded sample values — audio keeps every byte as one
+    PCM16 sample, image/video keep the leading 3*(n//3) bytes as RGB
+    samples (video framing never loses or duplicates a pixel)."""
+    media = decode_payload(build_media_payload(data, modality), modality)
+    if modality == "audio":
+        expect = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256)
+        assert media.values.tolist() == expect.tolist()
+    else:
+        n = len(data) // 3 * 3
+        assert media.values.tolist() == list(data[:n])
