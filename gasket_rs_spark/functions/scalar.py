@@ -158,6 +158,35 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe functions: Spark 4 runs ANSI SQL by default,
+    so division by zero / numeric overflow / bad casts THROW unless the
+    ``try_*`` family is used — the exact functions a production pipeline
+    reaches for on dirty data. Each column mixes success and NULL rows:
+    try_divide (zero denominators), try_cast (unparseable strings),
+    try_add (int64 overflow), try_element_at (out-of-range index). The
+    oracle reproduces the NULL semantics with CASE/TRY_CAST/list
+    indexing — pure per-row projection, scan-bound, no shuffle."""
+    li = load(spark, sf_dir, "lineitem").where((F.col("l_orderkey") % 7) == 0)
+    snap = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        snap(F.expr("try_divide(l_extendedprice, l_quantity - 24)")).alias(
+            "safe_ratio"
+        ),
+        F.expr(
+            "try_cast(CASE WHEN l_quantity < 25"
+            "  THEN concat('x', CAST(CAST(l_quantity AS INT) AS STRING))"
+            "  ELSE CAST(CAST(l_quantity AS INT) AS STRING) END AS INT)"
+        ).alias("parsed_qty"),
+        F.expr("try_add(l_orderkey, 9223372036854775807)").alias("add_overflow"),
+        F.expr(
+            "try_element_at(array(l_quantity, l_extendedprice), CAST(l_linenumber AS INT))"
+        ).alias("arr_at"),
+    )
+
+
 def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path for semi-structured payloads: parse_json →
     open-schema binary variant → typed variant_get extraction + agg.
@@ -266,6 +295,23 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "try_functions": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity = 24 THEN NULL
+                    ELSE floor(l_extendedprice / (l_quantity - 24)
+                               * 1000000 + 0.5) / 1000000 END AS safe_ratio,
+               TRY_CAST(CASE WHEN l_quantity < 25
+                             THEN 'x' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                             ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END
+                        AS INT) AS parsed_qty,
+               -- int64 overflow iff l_orderkey > 0 (keys are >= 0;
+               -- orderkey 0 legitimately sums to INT64_MAX)
+               CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                    ELSE CAST(NULL AS BIGINT) END AS add_overflow,
+               ([l_quantity, l_extendedprice])[l_linenumber] AS arr_at
+        FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    """,
     "decimal_agg": """
         WITH t AS (
             SELECT l_returnflag,
