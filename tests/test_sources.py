@@ -239,3 +239,30 @@ def test_retrying_foreachbatch_writer_escalates_without_dismissible(spark, sf_di
         )
         with pytest.raises(RuntimeError, match="poison"):
             w(df, batch_id=1)
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir):
+    """Schema evolution across parquet file generations: an old shard
+    (3 columns) and a new shard (4 columns, one added) must read as one
+    table under mergeSchema — missing column NULL-filled for old rows —
+    and a scan WITHOUT the new column must stay readable either way.
+    This is the append-only ingest reality at 100 TB: writers upgrade
+    mid-stream and historical shards are never rewritten."""
+    orders = load(spark, sf_dir, "orders").limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        old = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        new = orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.upper(F.col("o_orderstatus")).alias("o_status_v2"),
+        )
+        old.write.parquet(d, mode="append")
+        new.write.parquet(d, mode="append")
+        merged = spark.read.option("mergeSchema", "true").parquet(d)
+        assert set(merged.columns) == {
+            "o_orderkey", "o_custkey", "o_totalprice", "o_status_v2"
+        }
+        assert merged.count() == 400
+        # old-generation rows surface the evolved column as NULL
+        assert merged.where(F.col("o_status_v2").isNull()).count() == 200
+        # projections not touching the new column read fine without merge
+        assert spark.read.parquet(d).select("o_orderkey").count() == 400
