@@ -435,6 +435,49 @@ def q_text_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ngram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw trigram statistics for LM estimation: occurrence count,
+    document frequency, and left-continuation diversity (distinct w1
+    preceding each suffix bigram — the N1+(·w2w3) count a Kneser-Ney
+    smoother consumes). Top 50 trigrams by (count DESC, gram) — the
+    tiebreak makes the limit deterministic across engines.
+
+    Scale shape: trigrams are built with the same zip_with slice pattern
+    as decontamination (never element_at-in-lambda, the HOF-CSE trap);
+    both aggregations partial-aggregate map-side and the gram↔suffix
+    join shuffles the (much smaller) suffix-level frame. TakeOrdered
+    handles the top-k — no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "  zip_with("
+        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    (b, c) -> concat(b, ' ', c)),"
+        "  (a, bc) -> struct(a AS w1, bc AS suffix))"
+    )
+    ex = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id",
+        F.col("p.w1").alias("w1"),
+        F.col("p.suffix").alias("suffix"),
+        F.concat_ws(" ", "p.w1", "p.suffix").alias("gram"),
+    )
+    gram_stats = ex.groupBy("gram", "suffix").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    left_div = ex.groupBy("suffix").agg(
+        F.countDistinct("w1").alias("n_left_contexts")
+    )
+    return (
+        gram_stats.join(left_div, "suffix")
+        .orderBy(F.col("n_occ").desc(), "gram")
+        .limit(50)
+        .select("gram", "n_occ", "n_docs", "n_left_contexts")
+    )
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination by distinct-3-gram overlap — the GPT-3
     appendix-C / Llama eval-contamination check: flag corpus docs that
@@ -488,6 +531,32 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_ngram_lm_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), grams AS (
+            SELECT a.doc_id, a.tok AS w1,
+                   b.tok || ' ' || c.tok AS suffix,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ), gs AS (
+            SELECT gram, suffix, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM grams GROUP BY 1, 2
+        ), ld AS (
+            SELECT suffix, count(DISTINCT w1) AS n_left_contexts
+            FROM grams GROUP BY 1
+        )
+        SELECT g.gram, g.n_occ, g.n_docs, l.n_left_contexts
+        FROM gs g JOIN ld l USING (suffix)
+        ORDER BY g.n_occ DESC, g.gram
+        LIMIT 50
+    """,
     "text_decontaminate": """
         WITH toks AS (
             SELECT doc_id,
