@@ -293,3 +293,36 @@ def test_dynamic_partition_pruning_on_partitioned_events(spark, sf_dir):
 
         assert "dynamicpruning" in explain_formatted(joined).lower()
         assert joined.count() == fact.where(F.col("dt").isin(days)).count()
+
+
+def test_ignore_corrupt_files_salvages_scan(spark, sf_dir):
+    """Operational reality at 100 TB: a fleet-scale scan will eventually
+    hit a truncated/corrupt shard. With ignoreCorruptFiles the scan
+    must salvage every healthy shard (and without it, fail loudly) —
+    the difference between re-running a 12-hour job and losing one
+    shard's rows."""
+    orders = load(spark, sf_dir, "orders").limit(300)
+    with tempfile.TemporaryDirectory() as tmp:
+        d = os.path.join(tmp, "shards")
+        orders.repartition(3).write.parquet(d)
+        # clobber one shard with garbage that has no parquet magic
+        victim = next(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+        with open(victim, "wb") as f:
+            f.write(b"\x00garbage\x00" * 64)
+        old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+        try:
+            spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+            salvaged = spark.read.schema(orders.schema).parquet(d).count()
+            # 3 even-ish shards of 300 rows: exactly the healthy two survive
+            assert 150 <= salvaged < 300
+            spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+            import pytest
+            from pyspark.errors.exceptions.captured import SparkUpgradeException  # noqa: F401
+
+            with pytest.raises(Exception):
+                spark.read.schema(orders.schema).parquet(d).count()
+        finally:
+            spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
