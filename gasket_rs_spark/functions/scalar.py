@@ -158,6 +158,36 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 XML support (the third semi-structured format beside JSON
+    and VARIANT): order rows are serialized to ``<order>`` documents —
+    the shape an XML feed ingests as — then ``from_xml`` with an explicit
+    schema binds typed fields back out, and the witness aggregates the
+    EXTRACTED values. The oracle recomputes the same aggregates straight
+    from the source columns, so the serialize → parse → extract chain
+    must be value-preserving (double formatting round trip included).
+    Per-row projection + one hash agg; scan-bound, no extra shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"), F.col("o_totalprice").cast("string"),
+        F.lit("</total></order>"),
+    )
+    parsed = orders.select(
+        F.from_xml(xml, "k BIGINT, status STRING, total DOUBLE").alias("p")
+    )
+    return (
+        parsed.groupBy(F.col("p.status").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("p.k").alias("max_key"),
+            # 2dp-grid sum -> snap at the grid (q1 convention)
+            (F.floor(F.sum("p.total") * 100 + F.lit(0.5)) / 100).alias("sum_total"),
+        )
+    )
+
+
 def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode error-safe functions: Spark 4 runs ANSI SQL by default,
     so division by zero / numeric overflow / bad casts THROW unless the
@@ -295,6 +325,14 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "xml_extract": """
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               max(o_orderkey) AS max_key,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "try_functions": """
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_quantity = 24 THEN NULL
