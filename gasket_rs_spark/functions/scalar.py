@@ -158,6 +158,38 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for web-corpus processing — the host/path/query
+    extraction that feeds per-domain dedup, domain mixture weights and
+    crawl analytics. Synthetic URLs are built from document attributes
+    (the fixtures carry no URL column), then ``parse_url`` pulls HOST /
+    PATH / QUERY and a parameter value back out; ``url_encode`` round
+    trips the query payload. The oracle recomputes every output straight
+    from the source attributes, so each extraction must be exactly
+    inverse to the construction. Per-row projection in whole-stage
+    codegen + one hash agg on host."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&n="), F.col("n_chars").cast("string"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.col("n_chars"),
+    )
+    return (
+        parsed.groupBy("host", "lang_param")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("path").alias("first_path"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 XML support (the third semi-structured format beside JSON
     and VARIANT): order rows are serialized to ``<order>`` documents —
@@ -325,6 +357,16 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "url_parse": """
+        SELECT 'www.' || source || '.example.com' AS host,
+               lang AS lang_param,
+               count(*) AS n_docs,
+               -- string min, matching Spark's lexicographic min over PATH
+               min('/docs/' || CAST(doc_id AS VARCHAR)) AS first_path,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
     "xml_extract": """
         SELECT o_orderstatus AS status,
                count(*) AS n,
