@@ -137,6 +137,25 @@ def q_agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregation — the
+    middle ground between count_distinct (exact, but re-shuffles raw
+    values on every rollup) and HLL sketches (mergeable but approximate).
+    Values bucket into fixed 32k-bit bitmaps (``bitmap_bucket_number`` /
+    ``bitmap_bit_position``), per-bucket bitmaps OR-merge associatively —
+    so pre-aggregated per-partition/per-day bitmaps roll up to exact
+    global distincts without touching raw data again, the incremental
+    100 TB ingest shape. The oracle is a plain COUNT(DISTINCT): the
+    bitmap path must be exactly lossless, not approximately."""
+    events = load(spark, sf_dir, "events")
+    per_bucket = events.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
+    )
+
+
 def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts spread across event-type columns."""
     events = load(spark, sf_dir, "events")
@@ -202,6 +221,11 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "bitmap_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
     "agg_arg_extremes": """
         WITH by_value AS (
             SELECT event_type, user_id,
