@@ -158,6 +158,25 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-tier string functions the basic witness doesn't cover:
+    split_part (field extraction), translate (character mapping),
+    regexp_count, reverse / repeat, left / right slicing — the
+    log-parsing toolkit. Pure projection in whole-stage codegen over the
+    customer dim; every function has a DuckDB twin (regexp_count is
+    len(regexp_extract_all) there)."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_vowels"),
+        F.regexp_count(F.col("c_name"), F.lit(r"[0-9]+")).alias("digit_runs"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.repeat(F.expr("left(c_mktsegment, 1)"), 3).alias("initial3"),
+        F.expr("right(c_name, 4)").alias("name_tail"),
+    )
+
+
 def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL decomposition for web-corpus processing — the host/path/query
     extraction that feeds per-domain dedup, domain mixture weights and
@@ -357,6 +376,17 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "string_advanced": """
+        SELECT c_custkey,
+               split_part(c_name, '#', 2) AS name_num,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_vowels,
+               CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT)
+                 AS digit_runs,
+               reverse(c_mktsegment) AS seg_rev,
+               repeat(left(c_mktsegment, 1), 3) AS initial3,
+               right(c_name, 4) AS name_tail
+        FROM customer
+    """,
     "url_parse": """
         SELECT 'www.' || source || '.example.com' AS host,
                lang AS lang_param,
