@@ -32,14 +32,38 @@ WINDOW = 50
 
 
 def check() -> list[str]:
-    """Return a list of violation messages (empty = invariant holds)."""
-    from gen_registry_order import compute_order
+    """Return a list of violation messages (empty = invariant holds).
 
-    from gasket_rs_spark.registry_order import ORDER
+    Self-healing rule (VERDICT r7 #2): the committed order is judged
+    against the correctness rounds it *records* it was generated from
+    (``registry_order.ROUNDS``), not against whatever artifacts happen to
+    be on disk. A driver dropping a new ``CORRECTNESS_r{N}.json`` at round
+    end therefore cannot fail the suite by itself — the new round is noted
+    and folded in at the next regen. What still fails: editing an operator
+    module after the last regen (evidence invalidated, derived order
+    shifts) or hand-editing the generated file.
+    """
+    import gasket_rs_spark.registry_order as ro
+    from gen_registry_order import available_rounds, compute_order
 
-    order_now, meta = compute_order()
+    ORDER = ro.ORDER
+    # Orders generated before the ROUNDS stamp existed reproduce from all
+    # artifacts on disk (the old behavior).
+    recorded = getattr(ro, "ROUNDS", None)
+    order_now, meta = compute_order(
+        set(recorded) if recorded is not None else None
+    )
     committed = list(ORDER)
     problems: list[str] = []
+
+    newer = [r for r in available_rounds()
+             if recorded is not None and r not in recorded]
+    if newer:
+        print(
+            f"note: correctness artifacts for rounds {newer} postdate the "
+            "committed order; they will be folded in at the next "
+            "scripts/gen_registry_order.py run (not a violation)"
+        )
 
     if committed != order_now:
         extra = [n for n in committed if n not in meta]

@@ -83,8 +83,24 @@ def _module_changed_since(module_relpath: str, commit: str) -> bool:
         return f.read() != old.stdout
 
 
-def compute_order() -> tuple[list[str], dict[str, tuple[int, int]]]:
+def available_rounds() -> list[int]:
+    """Round numbers of every CORRECTNESS_r*.json present in the repo."""
+    return sorted(
+        int(re.search(r"r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+
+
+def compute_order(
+    rounds: set[int] | None = None,
+) -> tuple[list[str], dict[str, tuple[int, int]]]:
     """Derive the evidence-staleness order from committed artifacts.
+
+    ``rounds`` restricts which CORRECTNESS_r*.json files feed the
+    derivation (None = all present). ``check_rotation.py`` passes the
+    ROUNDS recorded in the generated file so that a *new* driver artifact
+    drop alone never invalidates the committed order — only module edits
+    or hand-tampering do.
 
     Returns ``(order, meta)`` where ``meta[name] = (cohort, last_round)``
     with cohort 0=failed-last-check, 1=no-valid-evidence (never checked or
@@ -100,6 +116,8 @@ def compute_order() -> tuple[list[str], dict[str, tuple[int, int]]]:
     last_green: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        if rounds is not None and rnd not in rounds:
+            continue
         with open(path) as f:
             results = json.load(f)
         for name, row in results.items():
@@ -144,7 +162,8 @@ def compute_order() -> tuple[list[str], dict[str, tuple[int, int]]]:
 
 
 def main() -> None:
-    order, meta = compute_order()
+    rounds = available_rounds()
+    order, meta = compute_order(set(rounds))
 
     lines = [
         '"""GENERATED by scripts/gen_registry_order.py — do not edit.',
@@ -154,6 +173,11 @@ def main() -> None:
         "time, per query: (last_checked_round, cohort) where cohort is",
         "0=failed-last-check, 1=green-but-code-changed-since, 2=green.",
         '"""',
+        "",
+        "# Correctness rounds this order was derived from. check_rotation.py",
+        "# verifies reproducibility against exactly these rounds, so a newer",
+        "# driver artifact drop alone never fails the suite.",
+        f"ROUNDS = {tuple(rounds)!r}",
         "",
         "ORDER = (",
     ]

@@ -14,10 +14,36 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_rotation_invariant_holds():
-    proc = subprocess.run(
+def _run_check():
+    return subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "check_rotation.py")],
         capture_output=True,
         text=True,
     )
+
+
+def test_rotation_invariant_holds():
+    proc = _run_check()
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_driver_artifact_drop_does_not_fail_suite():
+    """Self-healing rule (VERDICT r7 #2): a new CORRECTNESS_r{N}.json
+    appearing at round end — rounds not in registry_order.ROUNDS — must
+    not by itself fail the rotation check; it is noted and folded in at
+    the next regen."""
+    import json
+
+    from gasket_rs_spark import registry_order
+
+    fake_round = max(registry_order.ROUNDS) + 90
+    path = os.path.join(REPO, f"CORRECTNESS_r{fake_round}.json")
+    assert not os.path.exists(path)
+    with open(path, "w") as f:
+        json.dump({registry_order.ORDER[0]: {"hash_match": True}}, f)
+    try:
+        proc = _run_check()
+    finally:
+        os.remove(path)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert f"rounds [{fake_round}] postdate" in proc.stdout, proc.stdout
