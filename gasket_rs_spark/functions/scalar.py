@@ -182,8 +182,12 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction that feeds per-domain dedup, domain mixture weights and
     crawl analytics. Synthetic URLs are built from document attributes
     (the fixtures carry no URL column), then ``parse_url`` pulls HOST /
-    PATH / QUERY and a parameter value back out; ``url_encode`` round
-    trips the query payload. The oracle recomputes every output straight
+    PATH / QUERY and a parameter value back out, and
+    ``url_decode(url_encode(payload))`` round trips a special-character
+    payload — the decoded value must equal the raw payload the oracle
+    computes directly (the encoded form itself is engine-specific
+    form-encoding, so only the round trip is cross-engine comparable).
+    The oracle recomputes every output straight
     from the source attributes, so each extraction must be exactly
     inverse to the construction. Per-row projection in whole-stage
     codegen + one hash agg on host."""
@@ -193,10 +197,14 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
         F.lit("&n="), F.col("n_chars").cast("string"),
     )
+    payload = F.concat_ws(
+        " & ", F.col("lang"), F.col("source"), F.col("doc_id").cast("string")
+    )
     parsed = docs.select(
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_decode(F.url_encode(payload)).alias("payload_rt"),
         F.col("n_chars"),
     )
     return (
@@ -204,6 +212,7 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.min("path").alias("first_path"),
+            F.min("payload_rt").alias("first_payload"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
@@ -393,6 +402,10 @@ ORACLES: dict[str, str] = {
                count(*) AS n_docs,
                -- string min, matching Spark's lexicographic min over PATH
                min('/docs/' || CAST(doc_id AS VARCHAR)) AS first_path,
+               -- Spark side computes url_decode(url_encode(payload)); the
+               -- round trip must reproduce the raw payload exactly
+               min(lang || ' & ' || source || ' & ' || CAST(doc_id AS VARCHAR))
+                   AS first_payload,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1, 2

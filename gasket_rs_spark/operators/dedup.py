@@ -339,7 +339,15 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
         .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    return all_pairs.unionByName(star).distinct()
+    # Materialize the (small, occupancy-capped) candidate set eagerly so
+    # the full banded frame's cache can be released immediately — without
+    # this the persist leaked for the session lifetime (ADVICE r7). Same
+    # pattern as the incremental-ingest path below (localCheckpoint then
+    # unpersist); lineage truncation also stops the verify join from
+    # re-running the banding.
+    cands = all_pairs.unionByName(star).distinct().localCheckpoint(eager=True)
+    b.unpersist()
+    return cands
 
 
 def _minhash_pairs(base: DataFrame) -> DataFrame:

@@ -8,10 +8,20 @@ correct on local[N].
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit removal — session-scoped scratch never outlives
+    the interpreter (ADVICE r7 hygiene)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> SparkSession:
@@ -38,7 +48,7 @@ def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> S
         .config("spark.ui.enabled", "false")
         # Managed-table warehouse (bucketed tables in tests) goes to scratch,
         # never into the repo working tree.
-        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="gasket-warehouse-"))
+        .config("spark.sql.warehouse.dir", _scratch_dir("gasket-warehouse-"))
     )
     return builder.getOrCreate()
 

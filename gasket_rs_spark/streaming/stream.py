@@ -13,11 +13,17 @@ stage (R18/R19); ``Trigger.AvailableNow`` reproduces WorkSchedule::Done
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Scratch dirs already registered for atexit cleanup (one per fixture key).
+_SCRATCH_DIRS: set[str] = set()
 
 
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
@@ -41,6 +47,7 @@ def events_file_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stage_dir = tempfile.mkdtemp(prefix="gasket-stream-src-")
+    atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(raw_schema)
@@ -225,10 +232,19 @@ def q_stream_availablenow_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
 
     The returned DataFrame aggregates the SINK, so the result is
     batch-split invariant — the per-batch step is a pure row-wise
-    filter+project (append-only), and the aggregation runs over the union
-    of all batches. That determinism is what lets DuckDB oracle a real
-    stream: the oracle recomputes the same filter → hour-bucket → agg
-    straight from the events table.
+    filter+project, and the aggregation runs over the union of all
+    batches. That determinism is what lets DuckDB oracle a real stream:
+    the oracle recomputes the same filter → hour-bucket → agg straight
+    from the events table.
+
+    Exactly-once sink (ADVICE r7): foreachBatch is at-least-once, so each
+    batch OVERWRITES its own ``batch_id=N`` partition directory instead
+    of appending — a retry after a partial write replaces the partial
+    output rather than double-counting it. Scratch reuse (ADVICE r7): one
+    scratch dir per (sf_dir, events mtime), removed atexit; the staged
+    source survives across the bench's min-of-N passes while sink and
+    checkpoint are reset per run, so repeated invocations no longer
+    accumulate full table copies in /tmp.
 
     Unlike every other witness this callable EXECUTES the stream eagerly
     (a streaming query is a job, not a plan); the returned frame is a
@@ -240,14 +256,31 @@ def q_stream_availablenow_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from ..tables import load
 
-    scratch = tempfile.mkdtemp(prefix="gasket-anow-")
+    # One scratch per (sf_dir, events fixture mtime): the staged source is
+    # reused across passes in the same round, while a regenerated fixture
+    # gets a fresh key. Registered for removal at interpreter exit.
+    events_path = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}".encode()
+    ).hexdigest()[:12]
+    scratch = os.path.join(tempfile.gettempdir(), f"gasket-anow-{key}")
+    if scratch not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS.add(scratch)
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     src, sink, ckpt = (os.path.join(scratch, d) for d in ("src", "sink", "ckpt"))
     # Stage through tables.load so the ts encoding is already normalized;
     # 4 files -> 4 microbatches at maxFilesPerTrigger=1.
-    load(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    # Fresh stream per invocation: reset sink and checkpoint, keep src.
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
     schema = spark.read.parquet(src).schema
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent: overwrite THIS batch's partition directory, so an
+        # at-least-once redelivery replaces a partial write instead of
+        # appending a second copy.
         (
             batch_df.where(F.col("event_type").isin("click", "purchase"))
             .select(
@@ -258,7 +291,8 @@ def q_stream_availablenow_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
                     "timestamp_seconds(unix_millis(ts) div 1000 div 3600 * 3600)"
                 ).alias("hour"),
             )
-            .write.mode("append").parquet(sink)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch_id={batch_id}"))
         )
 
     query = (

@@ -363,6 +363,10 @@ def test_streaming_ingest_recipe_end_to_end(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     total = events.count()
     scratch = tempfile.mkdtemp(prefix="gasket-ingest-")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     src = os.path.join(scratch, "src")
     table = os.path.join(scratch, "table")
     compacted = os.path.join(scratch, "compacted")
