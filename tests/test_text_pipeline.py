@@ -134,3 +134,36 @@ def test_heavy_hitters_exact_on_adversarial_skew(spark):
         }
         assert {t for t, _ in want} == {"hot0", "hot1", "hot2"}  # fixture sanity
         assert got == want
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    """Synthetic pin of q_text_line_dedup (judge r7 #3): an 8-token
+    segment survives ONLY at its corpus-wide first (doc_id, pos)
+    occurrence — later docs lose shared boilerplate, a fully-duplicate
+    doc empties out, and within-doc repeats of a segment are dropped
+    too. Reassembly preserves original segment order."""
+    import tempfile
+
+    from gasket_rs_spark.operators.text import q_text_line_dedup
+
+    seg_a = "a b c d e f g h"          # shared boilerplate
+    rows = [
+        (1, seg_a + " i j"),           # first owner of seg_a and "i j"
+        (2, seg_a + " x y"),           # loses seg_a, keeps "x y"
+        (3, seg_a + " i j"),           # full duplicate of doc 1 -> empty
+        (4, " ".join(["p"] * 16)),     # within-doc repeat -> one survives
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            d + "/documents.parquet"
+        )
+        got = {
+            r.doc_id: (r.n_segs, r.n_kept, r.kept_text)
+            for r in q_text_line_dedup(spark, d).collect()
+        }
+    assert got == {
+        1: (2, 2, seg_a + " i j"),
+        2: (2, 1, "x y"),
+        3: (2, 0, ""),
+        4: (2, 1, " ".join(["p"] * 8)),
+    }
