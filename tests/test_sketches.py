@@ -74,3 +74,64 @@ def test_theta_overlap_within_error(spark, sf_dir):
     for k, n in exact.items():
         # default theta lgK=12; intersections compound error — allow 6%+2.
         assert abs(row[k] - n) <= max(0.06 * n, 2), (k, row[k], n)
+
+
+def test_quantile_sketch_merge_invariance(spark, sf_dir):
+    """The mergeable-quantile contract: building per-shard sketches under
+    DIFFERENT shardings (by day, by user bucket, single-pass) and merging
+    must yield bit-identical bucket histograms and estimates — integer
+    count addition is associative/commutative, unlike t-digest merges."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators import sketches as K
+    from gasket_rs_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+
+    def estimates(shard_col):
+        df = events if shard_col is None else events.withColumn(
+            "shard",
+            F.to_date("ts") if shard_col == "day" else F.col("user_id") % 7,
+        )
+        groups = ["event_type"] if shard_col is None else ["event_type", "shard"]
+        sk = K.quantile_sketch(df, "value", groups)
+        merged = K.quantile_sketch_merge(sk, ["event_type"])
+        return {
+            tuple(r) for r in K.quantile_from_sketch(merged, ["event_type"]).collect()
+        }
+
+    direct = estimates(None)
+    assert estimates("day") == direct
+    assert estimates("user") == direct
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """Every estimate sits within one bucket width (x/÷ base=1.001, plus
+    the half-bucket midpoint) of the EXACT lower quantile — the sketch's
+    advertised relative-error contract."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators import sketches as K
+    from gasket_rs_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    sk = K.quantile_sketch(events, "value", ["event_type"])
+    est = {
+        r.event_type: (r.est_p5, r.est_p9, r.est_p99)
+        for r in K.quantile_from_sketch(sk, ["event_type"]).collect()
+    }
+    rows = events.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by_type.items():
+        vals.sort()
+        for q, got in zip((0.5, 0.9, 0.99), est[et]):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            # midpoint of the true bucket is within sqrt(base) of any
+            # member; allow one full bucket for the floor boundary
+            assert abs(math.log(got / exact)) <= 1.5 * math.log(K._Q_BASE), (
+                f"{et} q={q}: est {got} vs exact {exact}"
+            )
