@@ -164,12 +164,16 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     the latest row per key is the running aggregate, asserted equal to
     the batch groupBy in tests/test_streaming.py.
 
-    CONTAINER LIMITATION: executing this operator requires
-    ``google.protobuf`` (the TWS state-server wire protocol), which this
-    container does not ship — the pytest is skipped when the import
-    fails (same policy as the multimodal codec stub). The plan
-    construction below is real and the ``applyInPandasWithState`` twin
-    (``stateful_user_counts``) carries the executable coverage.
+    Environment notes (formerly an xfail; executable since round 8):
+    the TWS state-server wire protocol needs ``google.protobuf``, which
+    ``gasket_rs_spark.compat.enable_system_protobuf`` provides from the
+    system SDK's bundled pure-Python runtime (call it before the JVM
+    starts so workers inherit PYTHONPATH); and each named state variable
+    is a state-store column family, which requires the RocksDB provider
+    (``spark.sql.streaming.stateStore.providerClass``). End-to-end run
+    asserted against batch aggregates in tests/test_streaming.py; the
+    ``applyInPandasWithState`` twin (``stateful_user_counts``) covers
+    environments with neither.
     """
     import pandas as pd
 

@@ -8,6 +8,13 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# Must run before any SparkSession (JVM) exists: exports PYTHONPATH so
+# JVM-spawned Python workers (e.g. the transformWithState state server)
+# can import the system-bundled google.protobuf runtime.
+from gasket_rs_spark.compat import enable_system_protobuf  # noqa: E402
+
+enable_system_protobuf()
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
