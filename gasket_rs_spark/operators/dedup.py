@@ -306,6 +306,21 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     b = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the (small, occupancy-capped) candidate set eagerly so
+    # the full banded frame's cache can be released immediately — without
+    # this the persist leaked for the session lifetime (ADVICE r7). Same
+    # pattern as the incremental-ingest path below (localCheckpoint then
+    # unpersist); lineage truncation also stops the verify join from
+    # re-running the banding.
+    cands = _lsh_candidates_plan(b).localCheckpoint(eager=True)
+    b.unpersist()
+    return cands
+
+
+def _lsh_candidates_plan(b: DataFrame) -> DataFrame:
+    """The lazy candidate plan over a (persisted) banding frame — split
+    from _lsh_candidates so tests can assert the physical shape (hot-key
+    broadcast, no cartesian) before checkpointing truncates the lineage."""
     stats = b.groupBy("band", "bucket").agg(
         F.count("*").alias("occ"), F.min("doc_id").alias("rep")
     )
@@ -339,15 +354,7 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
         .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    # Materialize the (small, occupancy-capped) candidate set eagerly so
-    # the full banded frame's cache can be released immediately — without
-    # this the persist leaked for the session lifetime (ADVICE r7). Same
-    # pattern as the incremental-ingest path below (localCheckpoint then
-    # unpersist); lineage truncation also stops the verify join from
-    # re-running the banding.
-    cands = all_pairs.unionByName(star).distinct().localCheckpoint(eager=True)
-    b.unpersist()
-    return cands
+    return all_pairs.unionByName(star).distinct()
 
 
 def _minhash_pairs(base: DataFrame) -> DataFrame:

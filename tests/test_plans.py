@@ -325,7 +325,7 @@ def test_lsh_candidates_hot_path_stays_broadcast(spark):
     key set reaches both consumers as a BROADCAST (anti-join for cold
     rows, hash join for star edges) — never a shuffle of the banded
     frame per branch — and no cartesian sneaks in."""
-    from gasket_rs_spark.operators.dedup import _lsh_candidates
+    from gasket_rs_spark.operators.dedup import _lsh_candidates_plan
 
     banded = (
         spark.range(2000)
@@ -336,7 +336,10 @@ def test_lsh_candidates_hot_path_stays_broadcast(spark):
             "xxhash64(id % 50) AS bucket",
         )
     )
-    df = _lsh_candidates(banded)
+    # the lazy plan half: _lsh_candidates itself checkpoints the result
+    # (lineage truncated, cache released — ADVICE r7), which would hide
+    # the join shape from explain
+    df = _lsh_candidates_plan(banded)
     plan = explain_formatted_for_test(df)
     assert plan.count("BroadcastExchange") >= 1
     assert "BroadcastHashJoin" in plan
