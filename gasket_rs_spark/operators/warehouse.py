@@ -1,0 +1,366 @@
+"""Warehouse-maintenance operators: interval coalescing, SCD type-2
+dimension builds, mergeable Bloom-filter membership, and Z-order layout
+keys — the table-maintenance surface a lakehouse runs alongside the
+query operators (reference has no analogue; this extends the X-tier
+data plane the way dedup/curation do for the LLM pipeline).
+
+All four are pure DataFrame plans with DuckDB oracle twins (everything
+here is deterministic — even the Bloom filter, whose hash functions are
+md5-derived and engine-independent, so its false positives are EXACTLY
+reproducible).
+
+Scale notes (100 TB):
+- interval merge / SCD2 are one shuffle each (window partitioned by the
+  entity key); no self-joins, no driver state.
+- the Bloom build aggregates 4096 bits into 128 int words via bit_or —
+  map-side combinable, output is a constant 128 rows regardless of SF,
+  then broadcast to the probe side. This is exactly how a runtime
+  bloom-pruned join works at scale: build on the small side, broadcast
+  the bitset, pre-filter the fact scan before the real join.
+- Z-order keys are a narrow per-row map (no shuffle); the layout write
+  would `repartitionByRange(zval)` so min/max column stats per file
+  stay tight on BOTH interleaved dimensions (data-skipping for 2-D
+  predicates). The witness aggregates per z-bucket to show both key
+  ranges narrow together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (merge overlapping activity spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_SEC = 300  # each event opens a 5-minute activity span
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (islands & gaps).
+
+    Each event opens a [ts, ts+300s) span; overlapping/touching spans per
+    user coalesce into one interval. Classic cumulative-max island
+    detection: a span starts a new island iff its start exceeds the max
+    end seen so far; running sum of starts numbers the islands — one
+    window shuffle on user_id, no self-join.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_millis("ts") / F.lit(1000)).alias("s"),
+    ).withColumn("e", F.col("s") + _SPAN_SEC)
+    w_order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "island",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_sec"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build
+# ---------------------------------------------------------------------------
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change stream.
+
+    Purchases are treated as attribute changes to a per-user dimension
+    (`value` is the tracked attribute). Each change row becomes a
+    versioned dimension row: valid_from = its time, valid_to = the next
+    change's time (NULL while current), version = change ordinal,
+    is_current on the last. lead() over one user_id window — the
+    standard SCD2 build, one shuffle, no self-join. Ties on the same
+    second are ordered by event_id (deterministic unique tiebreak).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    changes = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.unix_millis("ts") / F.lit(1000)).alias("ts_sec"),
+            F.round("value", 4).alias("attr_value"),
+        )
+    )
+    return changes.select(
+        "user_id",
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.when(F.lead("ts_sec").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+        "attr_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable Bloom filter (build + broadcast probe)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096
+_BLOOM_WORD_BITS = 32  # positive int32 range — safe two's-complement-free
+_BLOOM_WORDS = _BLOOM_BITS // _BLOOM_WORD_BITS
+_BLOOM_K = 3
+
+
+def _bloom_pos(key: F.Column, i: int) -> F.Column:
+    """Bit position of hash function i — md5-derived, engine-portable."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(i))))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_BITS
+    )
+
+
+def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4096-bit Bloom filter over BUILDING-segment customers,
+    probe every order against it, and audit the filter exactly.
+
+    Build: k=3 md5-derived bit positions per key, exploded, folded into
+    128 int words with bit_or — a fully mergeable aggregate (map-side
+    combine; shard blooms union with the same bit_or). Probe: each
+    order's 3 positions join the broadcast word table; an order passes
+    iff all 3 bits are set. The deterministic hashes make even the false
+    positives reproducible, so the audit (vs the exact membership
+    semi-join) is oracle-checked EXACT — the same shape as a runtime
+    bloom-pruned join: build small side, broadcast bits, pre-filter the
+    fact scan.
+    """
+    members = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    pos = members.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("key"), i) for i in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    words = pos.groupBy(
+        (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx")
+    ).agg(
+        # shiftleft() needs a column shift count -> SQL form
+        F.bit_or(
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD_BITS} as int))")
+        ).alias("word")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = orders
+    for i in range(_BLOOM_K):
+        p = _bloom_pos(F.col("o_custkey"), i)
+        probe = (
+            probe.withColumn(f"w{i}", (p / _BLOOM_WORD_BITS).cast("int"))
+            .withColumn(f"b{i}", (p % _BLOOM_WORD_BITS).cast("int"))
+            .join(
+                F.broadcast(words.select(
+                    F.col("word_idx").alias(f"w{i}"), F.col("word").alias(f"word{i}")
+                )),
+                f"w{i}",
+                "left",
+            )
+            .withColumn(
+                f"hit{i}",
+                # pyspark's shiftright() only takes a literal shift count;
+                # the SQL form accepts a column expression.
+                F.coalesce(
+                    F.expr(f"shiftright(word{i}, b{i}) & 1"),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
+        )
+    passed = probe.withColumn(
+        "bloom_pass", (F.col("hit0") + F.col("hit1") + F.col("hit2") == _BLOOM_K).cast("int")
+    )
+    truth = passed.join(
+        F.broadcast(members.withColumn("is_member", F.lit(1))),
+        passed.o_custkey == F.col("key"),
+        "left",
+    ).withColumn("actual", F.coalesce("is_member", F.lit(0)))
+    return truth.agg(
+        F.count("*").alias("n_probed"),
+        F.sum("bloom_pass").alias("n_bloom_pass"),
+        F.sum(F.col("actual")).alias("n_true_members"),
+        F.sum(((F.col("bloom_pass") == 1) & (F.col("actual") == 0)).cast("int")).alias("n_false_pos"),
+        F.sum(((F.col("bloom_pass") == 0) & (F.col("actual") == 1)).cast("int")).alias("n_false_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # quantize both dims to 8 bits -> 16-bit z-value
+
+
+def _interleave(x: F.Column, y: F.Column) -> F.Column:
+    """Morton-interleave two 8-bit values (x gets odd bits, y even)."""
+    z = F.lit(0).cast("bigint")
+    for b in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("bigint"), 2 * b + 1)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)).cast("bigint"), 2 * b)
+        )
+    return z
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (l_partkey, l_suppkey) + bucket audit.
+
+    Computes the Morton code of the two 8-bit-quantized join keys and
+    aggregates per z-bucket (top 6 bits): row count and the min/max of
+    BOTH underlying keys. The point of the witness: inside one z-bucket
+    both key ranges are narrow simultaneously — the property that makes
+    file-level min/max skipping work for predicates on either dimension
+    after a `repartitionByRange("zval")` write. The key computation is a
+    narrow map (no shuffle); only the audit aggregates.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).cast("int").alias("px"),
+        (F.col("l_suppkey") % 256).cast("int").alias("sy"),
+    )
+    zed = li.withColumn("zval", _interleave(F.col("px"), F.col("sy")))
+    return (
+        zed.groupBy(F.shiftright("zval", 10).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("px").alias("min_px"),
+            F.max("px").alias("max_px"),
+            F.min("sy").alias("min_sy"),
+            F.max("sy").alias("max_sy"),
+        )
+    )
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{i}'), 1, 8))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1)::BIGINT << {2 * b + 1})")
+        terms.append(f"((({y} >> {b}) & 1)::BIGINT << {2 * b})")
+    return " + ".join(terms)
+
+
+ORACLES: dict[str, str] = {
+    "interval_merge": f"""
+        WITH spans AS (
+            SELECT user_id,
+                   epoch_ms(ts) // 1000 AS s,
+                   epoch_ms(ts) // 1000 + {_SPAN_SEC} AS e
+            FROM events
+        ), flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM spans
+        ), islands AS (
+            SELECT user_id, s, e,
+                   CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS island
+            FROM flagged
+        )
+        SELECT user_id, island,
+               min(s) AS span_start, max(e) AS span_end,
+               max(e) - min(s) AS span_sec,
+               count(*) AS n_events
+        FROM islands
+        GROUP BY user_id, island
+    """,
+    "scd2_dimension": """
+        WITH changes AS (
+            SELECT user_id, event_id,
+                   epoch_ms(ts) // 1000 AS ts_sec,
+                   round(value, 4) AS attr_value
+            FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               ts_sec AS valid_from,
+               lead(ts_sec) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               CASE WHEN lead(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+               attr_value
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    """,
+    "bloom_filter_probe": f"""
+        WITH members AS (
+            SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), pos AS (
+            SELECT unnest([{_bloom_pos_sql('key', 0)},
+                           {_bloom_pos_sql('key', 1)},
+                           {_bloom_pos_sql('key', 2)}]) AS pos
+            FROM members
+        ), words AS (
+            SELECT CAST(pos // {_BLOOM_WORD_BITS} AS INT) AS word_idx,
+                   bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD_BITS} AS INT)) AS word
+            FROM pos GROUP BY 1
+        ), probe AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   CASE WHEN coalesce((w0.word >> CAST({_bloom_pos_sql('o.o_custkey', 0)} % {_BLOOM_WORD_BITS} AS INT)) & 1, 0) = 1
+                         AND coalesce((w1.word >> CAST({_bloom_pos_sql('o.o_custkey', 1)} % {_BLOOM_WORD_BITS} AS INT)) & 1, 0) = 1
+                         AND coalesce((w2.word >> CAST({_bloom_pos_sql('o.o_custkey', 2)} % {_BLOOM_WORD_BITS} AS INT)) & 1, 0) = 1
+                        THEN 1 ELSE 0 END AS bloom_pass
+            FROM orders o
+            LEFT JOIN words w0 ON w0.word_idx = CAST({_bloom_pos_sql('o.o_custkey', 0)} // {_BLOOM_WORD_BITS} AS INT)
+            LEFT JOIN words w1 ON w1.word_idx = CAST({_bloom_pos_sql('o.o_custkey', 1)} // {_BLOOM_WORD_BITS} AS INT)
+            LEFT JOIN words w2 ON w2.word_idx = CAST({_bloom_pos_sql('o.o_custkey', 2)} // {_BLOOM_WORD_BITS} AS INT)
+        ), truth AS (
+            SELECT p.*, CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS actual
+            FROM probe p LEFT JOIN members m ON p.o_custkey = m.key
+        )
+        SELECT count(*) AS n_probed,
+               CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+               CAST(sum(actual) AS BIGINT) AS n_true_members,
+               CAST(sum(CASE WHEN bloom_pass = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN bloom_pass = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+        FROM truth
+    """,
+    "zorder_layout": f"""
+        WITH zed AS (
+            SELECT CAST(l_partkey % 256 AS INT) AS px,
+                   CAST(l_suppkey % 256 AS INT) AS sy,
+                   {_interleave_sql('CAST(l_partkey % 256 AS INT)', 'CAST(l_suppkey % 256 AS INT)')} AS zval
+            FROM lineitem
+        )
+        SELECT zval >> 10 AS z_bucket,
+               count(*) AS n_rows,
+               min(px) AS min_px, max(px) AS max_px,
+               min(sy) AS min_sy, max(sy) AS max_sy
+        FROM zed
+        GROUP BY 1
+    """,
+}

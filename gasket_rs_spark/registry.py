@@ -43,6 +43,7 @@ _MODULES = (
     "gasket_rs_spark.operators.profile",
     "gasket_rs_spark.operators.pii",
     "gasket_rs_spark.operators.sketches",
+    "gasket_rs_spark.operators.warehouse",
 )
 
 

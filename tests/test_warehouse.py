@@ -1,0 +1,123 @@
+"""Semantic pins for the warehouse-maintenance operators
+(operators/warehouse.py): interval coalescing invariants, SCD2 version
+chain integrity, Bloom filter soundness (zero false negatives) and
+mergeability, and the Z-order locality property the layout exists for.
+The EXACT value check vs DuckDB lives in the oracle twins; these tests
+pin the properties a hash-compare can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.operators.warehouse import (
+    _BLOOM_K,
+    _SPAN_SEC,
+    q_bloom_filter_probe,
+    q_interval_merge,
+    q_scd2_dimension,
+    q_zorder_layout,
+)
+
+
+def test_interval_merge_islands_disjoint(spark, sf_dir):
+    rows = q_interval_merge(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.span_end - r.span_start == r.span_sec
+        assert r.span_sec >= _SPAN_SEC  # at least one span's width
+        by_user.setdefault(r.user_id, []).append((r.span_start, r.span_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1, "merged intervals must be disjoint (no touching)"
+
+
+def test_interval_merge_event_conservation(spark, sf_dir):
+    from gasket_rs_spark.tables import load
+
+    total = load(spark, sf_dir, "events").count()
+    merged = q_interval_merge(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    assert merged == total
+
+
+def test_scd2_version_chain(spark, sf_dir):
+    rows = q_scd2_dimension(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r.version)
+        assert [r.version for r in user_rows] == list(range(1, len(user_rows) + 1))
+        # exactly one current row, and it's the last version
+        currents = [r for r in user_rows if r.is_current == 1]
+        assert len(currents) == 1 and currents[0].version == len(user_rows)
+        # valid_to of version k == valid_from of version k+1 (contiguous history)
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a.valid_to == b.valid_from
+        assert user_rows[-1].valid_to is None
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark, sf_dir):
+    r = q_bloom_filter_probe(spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0, "Bloom filters never produce false negatives"
+    assert r.n_bloom_pass == r.n_true_members + r.n_false_pos
+    # 4096 bits / k=3 over a few hundred keys at sf0.001: FP rate must be
+    # far below certainty; loose sanity bound, not a statistical claim.
+    assert r.n_false_pos < r.n_probed * 0.5
+
+
+def test_bloom_merge_equals_full_build(spark, sf_dir):
+    """Building per-shard blooms and bit_or-merging them equals the
+    single-pass build — the property that makes the filter mergeable."""
+    from gasket_rs_spark.operators.warehouse import _BLOOM_WORD_BITS, _bloom_pos
+    from gasket_rs_spark.tables import load
+
+    members = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+
+    def build(df):
+        pos = df.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("key"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        return {
+            r.word_idx: r.word
+            for r in pos.groupBy(
+                (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx")
+            )
+            .agg(
+                F.bit_or(
+                    F.expr(
+                        f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD_BITS} as int))"
+                    )
+                ).alias("word")
+            )
+            .collect()
+        }
+
+    full = build(members)
+    shard_a = build(members.where(F.col("key") % 2 == 0))
+    shard_b = build(members.where(F.col("key") % 2 == 1))
+    merged: dict[int, int] = {}
+    for shard in (shard_a, shard_b):
+        for w, bits in shard.items():
+            merged[w] = merged.get(w, 0) | bits
+    assert merged == full
+
+
+def test_zorder_buckets_localize_both_dims(spark, sf_dir):
+    """Within one z-bucket (top 6 of 16 bits) each 8-bit dimension spans
+    at most 2^5 = 32 values — the 2-D locality min/max file skipping
+    relies on. The bound is structural (bits below the bucket prefix),
+    not data-dependent."""
+    rows = q_zorder_layout(spark, sf_dir).collect()
+    assert rows, "bucket audit must be non-empty"
+    for r in rows:
+        assert 0 <= r.z_bucket < 64
+        assert r.max_px - r.min_px <= 31
+        assert r.max_sy - r.min_sy <= 31
