@@ -194,7 +194,131 @@ def q_quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_from_sketch(merged, ["event_type"])
 
 
+# --- Count-min sketch (deterministic, EXACT-oracled) ----------------------
+# Point-frequency estimation with a d×w counter grid: est(t) =
+# min_i grid[i][h_i(t)] — always an OVERestimate (collisions only add).
+# Unlike HLL/Theta above, the hash functions here are md5-derived and
+# engine-portable, so the whole sketch — including every collision — is
+# deterministic and the witness is oracle-checked EXACT, not rows-only.
+# Mergeable: grids add cell-wise (integer addition, associative/commutative),
+# so shard/day/tenant sketches roll up without rescanning tokens; invariance
+# is pinned in tests/test_sketches.py.
+_CM_D = 4      # hash rows
+_CM_W = 512    # counters per row
+_CM_TOPK = 10  # probe tokens in the witness
+
+
+def _cm_pos(tok_col, i: int):
+    """Counter index of hash row i — md5-derived, engine-independent."""
+    h = F.md5(F.concat_ws(":", tok_col, F.lit(str(i))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CM_W
+
+
+def count_min_build(tok_counts: DataFrame) -> DataFrame:
+    """(tok, cnt) -> sketch grid rows (cm_row, cm_col, cm_cnt).
+
+    Token counts are pre-aggregated (one shuffle on the token), so the
+    d-way explode runs over the distinct vocabulary, not the corpus —
+    at 100 TB the explode input is vocab-sized, and the grid aggregation
+    output is a constant d×w = 2048 rows."""
+    cells = tok_counts.select(
+        "cnt",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("cm_row"), _cm_pos(F.col("tok"), i).alias("cm_col"))
+                for i in range(_CM_D)
+            ])
+        ).alias("cell"),
+    )
+    return cells.groupBy("cell.cm_row", "cell.cm_col").agg(
+        F.sum("cnt").alias("cm_cnt")
+    )
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the corpus top-10 tokens, with
+    the exact count and the (non-negative) overcount side by side.
+
+    Plan: one token-count aggregation feeds BOTH the sketch build and
+    the exact probe truth; the probe joins each top token's d positions
+    against the broadcast 2048-row grid and takes min over rows. This is
+    the heavy-hitter monitoring shape: the grid is what a streaming
+    ingest would store per batch (cell-wise addition merges batches);
+    the exact side exists only as the witness's audit."""
+    toks = _tokens_exploded(load(spark, sf_dir, "documents"))
+    tok_counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    grid = count_min_build(tok_counts)
+    top = tok_counts.orderBy(F.col("cnt").desc(), "tok").limit(_CM_TOPK)
+    probes = top.select(
+        "tok",
+        F.col("cnt").alias("exact_cnt"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("cm_row"), _cm_pos(F.col("tok"), i).alias("cm_col"))
+                for i in range(_CM_D)
+            ])
+        ).alias("cell"),
+    ).select("tok", "exact_cnt", "cell.cm_row", "cell.cm_col")
+    est = (
+        probes.join(F.broadcast(grid), ["cm_row", "cm_col"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cm_cnt").alias("cm_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _cm_pos_sql(tok_expr: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5({tok_expr} || ':{i}'), 1, 8))::BIGINT % {_CM_W})"
+    )
+
+
+_CM_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tc AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), cells AS (
+        SELECT u.cm_row,
+               CASE u.cm_row
+                    WHEN 0 THEN {_cm_pos_sql('tc.tok', 0)}
+                    WHEN 1 THEN {_cm_pos_sql('tc.tok', 1)}
+                    WHEN 2 THEN {_cm_pos_sql('tc.tok', 2)}
+                    ELSE {_cm_pos_sql('tc.tok', 3)}
+               END AS cm_col,
+               tc.cnt
+        FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cm_row) u
+    ), grid AS (
+        SELECT cm_row, cm_col, CAST(sum(cnt) AS BIGINT) AS cm_cnt
+        FROM cells GROUP BY 1, 2
+    ), top AS (
+        SELECT tok, cnt AS exact_cnt FROM tc
+        ORDER BY cnt DESC, tok LIMIT {_CM_TOPK}
+    ), probes AS (
+        SELECT t.tok, t.exact_cnt, u.cm_row,
+               CASE u.cm_row
+                    WHEN 0 THEN {_cm_pos_sql('t.tok', 0)}
+                    WHEN 1 THEN {_cm_pos_sql('t.tok', 1)}
+                    WHEN 2 THEN {_cm_pos_sql('t.tok', 2)}
+                    ELSE {_cm_pos_sql('t.tok', 3)}
+               END AS cm_col
+        FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cm_row) u
+    )
+    SELECT p.tok, p.exact_cnt,
+           min(g.cm_cnt) AS cm_est,
+           min(g.cm_cnt) - p.exact_cnt AS overcount
+    FROM probes p JOIN grid g USING (cm_row, cm_col)
+    GROUP BY p.tok, p.exact_cnt
+"""
+
+
 ORACLES: dict[str, str] = {
+    "sketch_count_min": _CM_ORACLE,
     "quantile_sketch_mergeable": """
         WITH b AS (
             SELECT event_type,

@@ -600,7 +600,63 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per document — the information-theoretic
+    quality signal complementing the ratio-based score (low entropy =
+    repetitive/templated text, a stronger filter than top-bigram fraction
+    alone; used alongside it in Gopher/CCNet-style cleaning).
+
+    H = log2(n) - (Σ c·log2 c)/n over per-doc token counts c — the
+    factored form needs only two aggregates. norm_entropy divides by
+    log2(distinct) (0 when a doc has a single distinct token). Per-doc
+    float sums are over ≤doc-length terms, so cross-engine summation
+    drift is ~1e-15 and the 6dp round is stable. Two shuffles, both on
+    doc-local keys: (doc_id, tok) count then doc_id reduce — at 100 TB
+    this is the same shape as token counting, fully map-side combinable.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    h = F.log2("n_tokens") - F.col("s") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.when(F.col("n_distinct") == 1, F.lit(0.0))
+        .otherwise(F.round(h / F.log2("n_distinct"), 6))
+        .alias("norm_entropy"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_token_entropy": """
+        WITH counts AS (
+            SELECT doc_id, lang, tok, count(*) AS c
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, lang, tok
+        ), per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   sum(c * log2(c)) AS s
+            FROM counts GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_tokens, n_distinct,
+               round(log2(n_tokens) - s / n_tokens, 6) AS entropy,
+               CASE WHEN n_distinct = 1 THEN 0.0
+                    ELSE round((log2(n_tokens) - s / n_tokens) / log2(n_distinct), 6)
+               END AS norm_entropy
+        FROM per_doc
+    """,
     "text_line_dedup": r"""
         WITH segs AS (
             SELECT doc_id,

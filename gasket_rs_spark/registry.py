@@ -44,6 +44,7 @@ _MODULES = (
     "gasket_rs_spark.operators.pii",
     "gasket_rs_spark.operators.sketches",
     "gasket_rs_spark.operators.warehouse",
+    "gasket_rs_spark.operators.graph",
 )
 
 

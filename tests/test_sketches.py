@@ -135,3 +135,59 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
             assert abs(math.log(got / exact)) <= 1.5 * math.log(K._Q_BASE), (
                 f"{et} q={q}: est {got} vs exact {exact}"
             )
+
+
+def test_count_min_overestimates_every_token(spark, sf_dir):
+    """CM guarantee: est(t) >= exact(t) for EVERY token, not just the
+    witness's top-10 — collisions can only inflate a counter."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators import sketches as K
+    from gasket_rs_spark.tables import load
+
+    toks = K._tokens_exploded(load(spark, sf_dir, "documents"))
+    tc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    grid = K.count_min_build(tc)
+    probes = tc.select(
+        "tok",
+        F.col("cnt").alias("exact_cnt"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("cm_row"), K._cm_pos(F.col("tok"), i).alias("cm_col"))
+                for i in range(K._CM_D)
+            ])
+        ).alias("cell"),
+    ).select("tok", "exact_cnt", "cell.cm_row", "cell.cm_col")
+    est = (
+        probes.join(F.broadcast(grid), ["cm_row", "cm_col"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cm_cnt").alias("cm_est"))
+    )
+    bad = est.where(F.col("cm_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+
+
+def test_count_min_merge_invariance(spark, sf_dir):
+    """Cell-wise addition of per-source shard grids equals the
+    single-pass grid — the mergeable-sketch contract (exact integer
+    equality, any sharding)."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators import sketches as K
+    from gasket_rs_spark.tables import load
+
+    toks = K._tokens_exploded(load(spark, sf_dir, "documents"))
+
+    def grid_of(df):
+        tc = df.groupBy("tok").agg(F.count("*").alias("cnt"))
+        return {
+            (r.cm_row, r.cm_col): r.cm_cnt for r in K.count_min_build(tc).collect()
+        }
+
+    full = grid_of(toks)
+    merged: dict[tuple, int] = {}
+    for src_rows in toks.select("source").distinct().collect():
+        shard = grid_of(toks.where(F.col("source") == src_rows.source))
+        for cell, cnt in shard.items():
+            merged[cell] = merged.get(cell, 0) + cnt
+    assert merged == full
