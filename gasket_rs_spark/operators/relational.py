@@ -866,6 +866,57 @@ def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: suppliers who alone held up multi-supplier orders.
+
+    Adapted to the fixture schema (no l_receiptdate/l_commitdate): a line
+    is "late" when l_shipdate > o_orderdate + 60 days. For each late line
+    on a finished ('F') order, the supplier is blamed iff the order has
+    ANOTHER supplier (EXISTS) and NO other supplier was late (NOT
+    EXISTS). The Spark side deliberately decorrelates both subqueries
+    into ONE per-order aggregate — n_supp = countDistinct(supplier),
+    n_late_supp = countDistinct(supplier | late) — a late line is blamed
+    iff n_supp > 1 ∧ n_late_supp = 1 (its supplier then IS the sole late
+    one). The DuckDB oracle keeps the textbook correlated EXISTS / NOT
+    EXISTS formulation, so the witness cross-checks the decorrelation
+    itself, not just arithmetic.
+
+    Scale: one fact join li⋈orders on orderkey, one window-free
+    aggregation on orderkey (fixed per-key state), then broadcast
+    supplier⋈nation. No correlated per-row re-scans — the classic Q21
+    trap (two extra lineitem self-joins) is avoided entirely.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    li = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")).cast("int"),
+        )
+    )
+    order_stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    blamed = (
+        li.where(F.col("late") == 1)
+        .join(order_stats, F.col("l_orderkey") == F.col("g_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # X10-X13: aggregation
 # ---------------------------------------------------------------------------
@@ -1464,6 +1515,29 @@ ORACLES: dict[str, str] = {
           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                             FROM lineitem l2
                             WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "tpch_q21_late_supplier": """
+        WITH li AS (
+            SELECT l.*, o.o_orderdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM li l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
     "interval_join": """
         WITH e AS (
