@@ -254,6 +254,71 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MERGE INTO (Delta-style upsert with matched-update / matched-delete /
+# not-matched-insert) expressed as one full-outer join
+# ---------------------------------------------------------------------------
+
+_MERGE_DELETE_ABOVE = 1_000_000.0  # matched & delta above this -> DELETE
+
+
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a change batch into the customer dimension — the lakehouse
+    upsert Spark-without-Delta lacks as a verb, expressed as its
+    relational core: ONE full-outer equi-join on the merge key plus a
+    row-wise CASE. Rules: matched + large delta → DELETE (churned
+    account), matched → UPDATE (balance += delta), source-only → INSERT
+    (key offset past the dim's key space marks genuinely-new rows),
+    target-only → keep.
+
+    The change batch is itself derived deterministically from orders
+    (1995 revenue per customer; urgent-priority revenue re-keyed +1e6 as
+    the new-customer stream). Sums land on the 2-cent decimal grid, so
+    round(2) snaps identically cross-engine.
+
+    Scale: a real MERGE at 100 TB is exactly this plan — co-partitioned
+    full-outer join on the key (bucketed target makes it exchange-free
+    on the big side) followed by a narrow projection; the rewrite then
+    only touches files containing matched keys (the bloom/zorder
+    operators above are the pruning inputs for that step).
+    """
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    o95 = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    updates = o95.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("delta")
+    )
+    inserts = (
+        o95.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy((F.col("o_custkey") + 1_000_000).alias("key"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("delta"))
+    )
+    source = updates.unionByName(inserts)
+    merged = customer.join(source, customer.c_custkey == source.key, "full_outer")
+    matched = F.col("c_custkey").isNotNull() & F.col("key").isNotNull()
+    return (
+        merged.where(
+            ~(matched & (F.col("delta") > _MERGE_DELETE_ABOVE))  # WHEN MATCHED ... DELETE
+        )
+        .select(
+            F.coalesce("c_custkey", "key").alias("custkey"),
+            F.when(matched, F.round(F.col("c_acctbal") + F.col("delta"), 2))
+            .when(F.col("c_custkey").isNull(), F.round("delta", 2))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("mktsegment"),
+            F.when(matched, F.lit("update"))
+            .when(F.col("c_custkey").isNull(), F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+
+
 def _bloom_pos_sql(key_expr: str, i: int) -> str:
     return (
         f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{i}'), 1, 8))::BIGINT"
@@ -270,6 +335,35 @@ def _interleave_sql(x: str, y: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "merge_into": f"""
+        WITH o95 AS (
+            SELECT * FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+        ), source AS (
+            SELECT o_custkey AS key, round(sum(o_totalprice), 2) AS delta
+            FROM o95 GROUP BY 1
+            UNION ALL
+            SELECT o_custkey + 1000000 AS key, round(sum(o_totalprice), 2) AS delta
+            FROM o95 WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        ), merged AS (
+            SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+                   c.c_mktsegment, s.key, s.delta
+            FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.key
+        )
+        SELECT coalesce(c_custkey, key) AS custkey,
+               CASE WHEN c_custkey IS NOT NULL AND key IS NOT NULL
+                        THEN round(c_acctbal + delta, 2)
+                    WHEN c_custkey IS NULL THEN round(delta, 2)
+                    ELSE c_acctbal END AS acctbal,
+               coalesce(c_mktsegment, 'NEW') AS mktsegment,
+               CASE WHEN c_custkey IS NOT NULL AND key IS NOT NULL THEN 'update'
+                    WHEN c_custkey IS NULL THEN 'insert'
+                    ELSE 'keep' END AS action
+        FROM merged
+        WHERE NOT (c_custkey IS NOT NULL AND key IS NOT NULL
+                   AND delta > {_MERGE_DELETE_ABOVE})
+    """,
     "interval_merge": f"""
         WITH spans AS (
             SELECT user_id,

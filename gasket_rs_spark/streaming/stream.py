@@ -227,6 +227,38 @@ def run_to_memory_sink(
             raise TimeoutError(f"streaming query {query_name} exceeded {timeout_sec}s")
 
 
+def _staged_events_scratch(
+    spark: SparkSession, sf_dir: str, *subdirs: str
+) -> tuple[str, ...]:
+    """Stage the events table as a 4-file directory under one scratch per
+    (sf_dir, events fixture mtime) — the staged SOURCE is shared across
+    passes and across the streaming witnesses, while each caller's named
+    subdirs (sink/checkpoint) are reset fresh per invocation. Registered
+    for removal at interpreter exit (ADVICE r7 scratch-leak fix).
+    Returns (src, *resolved_subdirs)."""
+    from ..tables import load
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}".encode()
+    ).hexdigest()[:12]
+    scratch = os.path.join(tempfile.gettempdir(), f"gasket-anow-{key}")
+    if scratch not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS.add(scratch)
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    src = os.path.join(scratch, "src")
+    # Stage through tables.load so the ts encoding is already normalized;
+    # 4 files -> 4 microbatches at maxFilesPerTrigger=1.
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    out = []
+    for d in subdirs:
+        path = os.path.join(scratch, d)
+        shutil.rmtree(path, ignore_errors=True)
+        out.append(path)
+    return (src, *out)
+
+
 def q_stream_availablenow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable REAL streaming witness (judge r6 #5): the events
     table staged as a multi-file directory, replayed through an actual
@@ -258,27 +290,7 @@ def q_stream_availablenow_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     run to WorkSchedule::Done (framework.rs:81-88); maxFilesPerTrigger is
     the bounded-channel backpressure analogue (messaging.rs:384-391).
     """
-    from ..tables import load
-
-    # One scratch per (sf_dir, events fixture mtime): the staged source is
-    # reused across passes in the same round, while a regenerated fixture
-    # gets a fresh key. Registered for removal at interpreter exit.
-    events_path = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}".encode()
-    ).hexdigest()[:12]
-    scratch = os.path.join(tempfile.gettempdir(), f"gasket-anow-{key}")
-    if scratch not in _SCRATCH_DIRS:
-        _SCRATCH_DIRS.add(scratch)
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    src, sink, ckpt = (os.path.join(scratch, d) for d in ("src", "sink", "ckpt"))
-    # Stage through tables.load so the ts encoding is already normalized;
-    # 4 files -> 4 microbatches at maxFilesPerTrigger=1.
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
-    # Fresh stream per invocation: reset sink and checkpoint, keep src.
-    for d in (sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
+    src, sink, ckpt = _staged_events_scratch(spark, sf_dir, "sink", "ckpt")
     schema = spark.read.parquet(src).schema
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -323,7 +335,86 @@ def q_stream_availablenow_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_stream_sketch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the MERGEABLE quantile sketch — the pattern
+    that makes percentile monitoring possible over an unbounded stream:
+    each microbatch reduces to its own (event_type, log-bucket, count)
+    grid (a few hundred rows regardless of batch size), the grid lands in
+    the sink partitioned by batch_id (idempotent overwrite, same
+    exactly-once treatment as the AvailableNow pipeline), and querying is
+    a sketch-space merge (integer addition) + rank walk — history is
+    never rescanned.
+
+    Because the merge is exactly associative, the result is IDENTICAL to
+    the single-pass batch sketch no matter how the stream was
+    microbatched — which is what lets a REAL stream be oracle-checked
+    EXACT by DuckDB recomputing the sketch from the events table
+    directly. (The HLL/theta sketches can't make this claim: their merge
+    is approximate. This one's merge is plain addition.)
+
+    Executes the stream eagerly like q_stream_availablenow_pipeline; the
+    returned frame is a scan + merge + rank over the sink.
+    """
+    from ..operators.sketches import quantile_from_sketch, quantile_sketch, quantile_sketch_merge
+
+    src, sink, ckpt = _staged_events_scratch(spark, sf_dir, "sk_sink", "sk_ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            quantile_sketch(batch_df, "value", ["event_type"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch_id={batch_id}"))
+        )
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(180):
+        query.stop()
+        raise TimeoutError("sketch pipeline exceeded 180s")
+
+    shards = spark.read.parquet(sink).select("event_type", "qbucket", "qcnt")
+    merged = quantile_sketch_merge(shards, ["event_type"])
+    return quantile_from_sketch(merged, ["event_type"])
+
+
 ORACLES: dict[str, str] = {
+    # Identical to the batch quantile_sketch_mergeable oracle: the stream
+    # merge is exact, so the sketch over N microbatches IS the batch sketch.
+    "stream_sketch_pipeline": """
+        WITH b AS (
+            SELECT event_type,
+                   CASE WHEN value > 0
+                        THEN CAST(floor(ln(value) / ln(1.001)) AS BIGINT)
+                        ELSE -1099511627776
+                   END AS qbucket,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type, qbucket, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY qbucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS total
+            FROM b
+        )
+        SELECT event_type,
+               CAST(max(total) AS BIGINT) AS n_events,
+               min(CASE WHEN cum >= ceil(0.5 * total) THEN qbucket END) AS p5_bucket,
+               CASE WHEN min(CASE WHEN cum >= ceil(0.5 * total) THEN qbucket END) = -1099511627776 THEN 0.0 ELSE round(power(1.001, min(CASE WHEN cum >= ceil(0.5 * total) THEN qbucket END) + 0.5), 4) END AS est_p5,
+               min(CASE WHEN cum >= ceil(0.9 * total) THEN qbucket END) AS p9_bucket,
+               CASE WHEN min(CASE WHEN cum >= ceil(0.9 * total) THEN qbucket END) = -1099511627776 THEN 0.0 ELSE round(power(1.001, min(CASE WHEN cum >= ceil(0.9 * total) THEN qbucket END) + 0.5), 4) END AS est_p9,
+               min(CASE WHEN cum >= ceil(0.99 * total) THEN qbucket END) AS p99_bucket,
+               CASE WHEN min(CASE WHEN cum >= ceil(0.99 * total) THEN qbucket END) = -1099511627776 THEN 0.0 ELSE round(power(1.001, min(CASE WHEN cum >= ceil(0.99 * total) THEN qbucket END) + 0.5), 4) END AS est_p99
+        FROM c
+        GROUP BY event_type
+    """,
     "stream_availablenow_pipeline": """
         SELECT CAST(to_timestamp((epoch_ms(ts) // 1000) // 3600 * 3600)
                     AS TIMESTAMP) AS hour,

@@ -529,3 +529,24 @@ def test_stateful_custom_operator_matches_batch(spark, sf_dir):
         for r in events.groupBy("user_id").count().collect()
     }
     assert got == want
+
+
+def test_stream_sketch_equals_batch_sketch(spark, sf_dir):
+    """The streaming quantile-sketch pipeline's merged result must be
+    BIT-IDENTICAL to the single-pass batch sketch — microbatching is just
+    another sharding and the sketch merge is exact integer addition."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.sketches import (
+        quantile_from_sketch,
+        quantile_sketch,
+    )
+    from gasket_rs_spark.streaming.stream import q_stream_sketch_pipeline
+    from gasket_rs_spark.tables import load
+
+    streamed = {tuple(r) for r in q_stream_sketch_pipeline(spark, sf_dir).collect()}
+    batch_sk = quantile_sketch(load(spark, sf_dir, "events"), "value", ["event_type"])
+    batch = {
+        tuple(r) for r in quantile_from_sketch(batch_sk, ["event_type"]).collect()
+    }
+    assert streamed == batch

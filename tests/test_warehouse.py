@@ -121,3 +121,19 @@ def test_zorder_buckets_localize_both_dims(spark, sf_dir):
         assert 0 <= r.z_bucket < 64
         assert r.max_px - r.min_px <= 31
         assert r.max_sy - r.min_sy <= 31
+
+
+def test_merge_into_exercises_all_actions(spark, sf_dir):
+    from gasket_rs_spark.operators.warehouse import q_merge_into
+    from gasket_rs_spark.tables import load
+
+    out = q_merge_into(spark, sf_dir)
+    actions = {r.action: r.cnt for r in out.groupBy("action").agg(F.count("*").alias("cnt")).collect()}
+    assert set(actions) == {"keep", "update", "insert"}
+    # deletes actually removed matched rows: survivors with keep/update
+    # must number strictly fewer than the full target dimension
+    n_target = load(spark, sf_dir, "customer").count()
+    assert actions["keep"] + actions["update"] < n_target
+    # inserted rows carry the offset key space and the NEW segment
+    news = out.where(F.col("action") == "insert")
+    assert news.where((F.col("custkey") < 1_000_000) | (F.col("mktsegment") != "NEW")).count() == 0
