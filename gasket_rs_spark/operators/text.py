@@ -600,6 +600,90 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_W = 8  # sliding-window width in tokens
+
+
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr adapted):
+    EVERY sliding 8-token window is checked against the corpus; windows
+    whose text occurs anywhere earlier (first = smallest (doc_id, pos))
+    mark their token span for removal, overlapping spans merge, and the
+    witness reports per-document removal accounting. Unlike
+    `text_line_dedup`'s fixed segmentation this catches duplicated
+    passages at ANY alignment — the C4 line pass misses a quote shifted
+    by one token; this doesn't.
+
+    Plan shape (100 TB story): grams are built with 7 lead() calls over
+    one doc-partitioned window — O(L) per doc and ONE shuffle on doc_id,
+    never the posexplode-the-array-per-position formulation (O(L²) row
+    width) nor a slice() inside a HOF lambda (re-splits text per element
+    — the CSE trap). First-occurrence is groupBy(gram).min(int64 key) —
+    8-byte map-side-combinable state, hot boilerplate grams cost one row
+    per map partition. Span merging reuses the cumulative-max island
+    technique (interval_merge). Production note: gram strings would be
+    xxhash64'd before the shuffle (8-byte keys); kept as text here so
+    the DuckDB twin stays byte-comparable.
+    """
+    return span_dedup(load(spark, sf_dir, "documents"))
+
+
+def span_dedup(docs: DataFrame) -> DataFrame:
+    """Core of q_text_span_dedup over any (doc_id, text) frame."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # concat (not concat_ws): NULL lead => NULL gram drops trailing stubs
+    gram = F.concat(
+        F.col("tok"),
+        *[x for i in range(1, _SPAN_W) for x in (F.lit(" "), F.lead("tok", i).over(w))],
+    )
+    grams = (
+        toks.withColumn("gram", gram)
+        .where(F.col("gram").isNotNull())
+        .withColumn("k", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
+    )
+    firsts = grams.groupBy("gram").agg(F.min("k").alias("first_k"))
+    dup_spans = (
+        grams.join(firsts, "gram")
+        .where(F.col("k") > F.col("first_k"))
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + _SPAN_W).alias("e"))
+    )
+    w_span = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(w_span.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup_spans.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w_span.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    removed = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("is_s"), F.max("e").alias("is_e"), F.count("*").alias("n_w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("is_e") - F.col("is_s")).alias("n_removed"),
+            F.sum("n_w").alias("n_dup_windows"),
+        )
+    )
+    counts = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    keep = (F.col("n_tokens") - F.col("n_removed")) / F.col("n_tokens")
+    return (
+        counts.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+        .withColumn(
+            "keep_ratio", F.floor(keep * 1e6 + F.lit(0.5)) / 1e6
+        )
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document — the information-theoretic
     quality signal complementing the ratio-based score (low entropy =
@@ -637,6 +721,62 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_span_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, pos,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                       || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                       || ' ' || lead(tok, 7) OVER w AS gram,
+                   doc_id * 1048576 + pos AS k
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), g2 AS (
+            SELECT * FROM grams WHERE gram IS NOT NULL
+        ), firsts AS (
+            SELECT gram, min(k) AS first_k FROM g2 GROUP BY gram
+        ), dups AS (
+            SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+            FROM g2 g JOIN firsts f USING (gram)
+            WHERE g.k > f.first_k
+        ), flagged AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dups
+        ), islands AS (
+            SELECT doc_id, s, e,
+                   sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ), rem AS (
+            SELECT doc_id,
+                   CAST(sum(is_e - is_s) AS BIGINT) AS n_removed,
+                   CAST(sum(n_w) AS BIGINT) AS n_dup_windows
+            FROM (SELECT doc_id, island,
+                         min(s) AS is_s, max(e) AS is_e, count(*) AS n_w
+                  FROM islands GROUP BY 1, 2)
+            GROUP BY doc_id
+        ), counts AS (
+            SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n_tokens,
+               coalesce(r.n_dup_windows, 0) AS n_dup_windows,
+               coalesce(r.n_removed, 0) AS n_removed,
+               floor(((c.n_tokens - coalesce(r.n_removed, 0)) / c.n_tokens) * 1e6 + 0.5)
+                   / 1e6 AS keep_ratio
+        FROM counts c LEFT JOIN rem r USING (doc_id)
+    """,
     "text_token_entropy": """
         WITH counts AS (
             SELECT doc_id, lang, tok, count(*) AS c

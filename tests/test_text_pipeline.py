@@ -167,3 +167,55 @@ def test_line_dedup_first_occurrence_semantics(spark):
         3: (2, 0, ""),
         4: (2, 1, " ".join(["p"] * 8)),
     }
+
+
+def test_span_dedup_catches_shifted_duplicates(spark):
+    """The sliding-window pass must catch a duplicated passage at ANY
+    alignment — the exact case fixed-segment line dedup misses — and
+    first occurrence must survive untouched."""
+    from gasket_rs_spark.operators.text import span_dedup
+
+    passage = " ".join(f"w{i}" for i in range(12))  # 12-token passage
+    docs = spark.createDataFrame(
+        [
+            (1, "intro " + passage + " outro"),
+            # same passage shifted by ONE leading token -> no 8-token
+            # fixed segment matches, but sliding windows do
+            (2, "x " + passage + " y z"),
+            (3, "totally different tokens only here once okay fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs).collect()}
+    assert out[1].n_removed == 0, "first occurrence must survive"
+    # doc2: windows fully inside the passage are dups; merged span covers
+    # the 12 passage tokens (positions 1..12 -> [1,13))
+    assert out[2].n_dup_windows == 12 - 8 + 1
+    assert out[2].n_removed == 12
+    assert out[3].n_removed == 0 and out[3].n_dup_windows == 0
+    assert out[3].keep_ratio == 1.0
+
+
+def test_span_dedup_merges_overlapping_spans(spark):
+    """Two distinct duplicated passages overlapping in the copy doc must
+    merge into one removal interval (no double counting)."""
+    from gasket_rs_spark.operators.text import span_dedup
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, b),
+            (3, a + " " + b),  # both passages back-to-back
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    # doc3: dup windows at pos 0 (=a) and pos 8 (=b); spans [0,8)+[8,16)
+    # touch -> tracked as separate islands? s=8 > e=8 is FALSE, so they
+    # merge into [0,16): 16 tokens removed, 2 windows
+    assert out[3].n_dup_windows == 2
+    assert out[3].n_removed == 16
+    assert out[3].keep_ratio == 0.0
