@@ -917,6 +917,26 @@ def q_tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregate surface: count_if, bool_or,
+    bool_and, and FILTER-style conditional sums — the predicates-as-
+    aggregates family (all algebraic: map-side combinable)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(F.lit(0.0))),
+                2,
+            ).alias("finished_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X10-X13: aggregation
 # ---------------------------------------------------------------------------
@@ -1515,6 +1535,17 @@ ORACLES: dict[str, str] = {
           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                             FROM lineitem l2
                             WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "agg_conditional": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (o_totalprice > 100000) AS n_big,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               bool_and(o_totalprice > 0) AS all_positive,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
+                   AS finished_revenue
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     "tpch_q21_late_supplier": """
         WITH li AS (

@@ -50,7 +50,63 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(load(spark, sf_dir, "events"), "event_type", "value")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Salted equi-join for a skewed fact key: replicate the right side
+    ×buckets, salt each fact row deterministically (hash of ``salt_src``,
+    not rand() — retry-safe), join on (key, salt). Every hot key spreads
+    over ``buckets`` reducers instead of one. Result is row-identical to
+    the unsalted join; only the shuffle layout changes."""
+    salt_values = F.array(*[F.lit(i) for i in range(buckets)])
+    dim_rep = dim.withColumn("_salt", F.explode(salt_values))
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)).cast("int")
+    )
+    return fact_s.join(dim_rep, [key, "_salt"]).drop("_salt")
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of the events fact (5 hot event_type keys — maximal
+    skew) against an event_type attribute table, then an aggregate.
+
+    The 5-row dim stands in for an SF-scaled right side that outgrew the
+    broadcast threshold: that is when salting (or AQE skew-split) is the
+    remaining lever. Oracle runs the PLAIN unsalted join — the witness
+    proves the rewrite is answer-invariant, the physical point (each hot
+    key split over 16 reducers) is visible in the shuffle layout."""
+    events = load(spark, sf_dir, "events")
+    dim = events.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("double")
+    )
+    joined = salted_join(events, dim, "event_type", "event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("weight").alias("weight"),
+        (F.floor(F.sum(F.col("value") * F.col("weight")) * 10000 + 0.5) / 10000).alias(
+            "weighted_value"
+        ),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "skew_salted_join": """
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(len(event_type) AS DOUBLE) AS weight
+            FROM events
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               max(d.weight) AS weight,
+               floor(sum(e.value * d.weight) * 10000 + 0.5) / 10000 AS weighted_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
     "skew_salted_agg": """
         SELECT event_type,
                floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value,

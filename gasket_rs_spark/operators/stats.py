@@ -11,7 +11,7 @@ incremental data, and the DuckDB oracle reproduces it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gasket_rs_spark.tables import load
@@ -220,7 +220,41 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESERVOIR_K = 10
+
+
+def q_reservoir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k per-group deterministic reservoir: exactly 10 documents
+    per language, chosen by md5(doc_id) order — the bounded eval-set /
+    inspection-sample carve every corpus pipeline needs. Unlike the
+    rate-based stratified sample (keep-probability per stratum), this
+    guarantees an exact per-group count. row_number over a
+    (lang, md5-order) window — one shuffle; the md5 tiebreak doubles as
+    the uniform "random" order, reproducible across engines and runs
+    (never ORDER BY rand(), per the train_shard_order discipline)."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("pick"))
+        .where(F.col("pick") <= _RESERVOIR_K)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "reservoir_sample_grouped": f"""
+        SELECT doc_id, lang, n_chars, pick
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS pick
+            FROM documents
+        )
+        WHERE pick <= {_RESERVOIR_K}
+    """,
     "bitmap_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events

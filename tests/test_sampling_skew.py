@@ -1,0 +1,41 @@
+"""Pins for the salted-join rewrite and the per-group reservoir sample
+(the EXACT value checks live in their oracle twins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gasket_rs_spark.operators.skew import salted_join
+from gasket_rs_spark.operators.stats import _RESERVOIR_K, q_reservoir_sample_grouped
+from gasket_rs_spark.tables import load
+
+
+def test_salted_join_row_identical_to_plain_join(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    dim = events.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("double")
+    )
+    salted = salted_join(events, dim, "event_type", "event_id")
+    plain = events.join(dim, "event_type")
+    # row-level multiset identity, not just aggregates
+    assert salted.count() == plain.count()
+    key = ["event_id", "event_type", "weight"]
+    assert salted.select(*key).exceptAll(plain.select(*key)).count() == 0
+    assert plain.select(*key).exceptAll(salted.select(*key)).count() == 0
+
+
+def test_reservoir_exact_k_per_group(spark, sf_dir):
+    sample = q_reservoir_sample_grouped(spark, sf_dir)
+    sizes = {
+        r.lang: r.n for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    group_sizes = {
+        r.lang: r.n
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(sizes) == set(group_sizes)
+    for lang, n in sizes.items():
+        assert n == min(_RESERVOIR_K, group_sizes[lang])
