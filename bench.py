@@ -59,6 +59,32 @@ HEADLINE = [
     "stream_session",
 ]
 
+# Round-8 scale-path additions, timed SINGLE-PASS and reported only in
+# BENCH_DETAIL.json ("extras"): visibility without touching either
+# headline composition (cross-round series stay comparable) or the
+# bounded stdout line. Median claims don't apply to these — one pass is
+# cost visibility, not a regression series.
+EXTRAS = [
+    "text_line_dedup",
+    "text_span_dedup",
+    "semantic_dedup_clustered",
+    "merge_into",
+    "interval_merge",
+    "scd2_dimension",
+    "bloom_filter_probe",
+    "zorder_layout",
+    "graph_pagerank",
+    "sketch_count_min",
+    "text_token_entropy",
+    "quantile_sketch_mergeable",
+    "skew_salted_join",
+    "reservoir_sample_grouped",
+    "agg_conditional",
+    "tpch_q21_late_supplier",
+    "agg_regression",
+    "embedding_covariance",
+]
+
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,
 # never part of the headline metric (they measure exactly the thing the
 # dedup module documents must never run at scale).
@@ -136,6 +162,14 @@ def main() -> None:
     timings = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
     timings_min = {n: round(min(ts), 3) for n, ts in samples.items()}
 
+    extras: dict[str, float] = {}
+    if not witness_mode:
+        clear_caches(spark)
+        for name in EXTRAS:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            extras[name] = round(time.perf_counter() - t0, 3)
+
     if witness_mode:
         out = {
             "metric": "witness_queries_total_sec",
@@ -173,6 +207,10 @@ def main() -> None:
             ),
             "headline_queries": HEADLINE,
             "headline_v1_queries": HEADLINE_V1,
+            # Single-pass timings of the round-8 scale additions (cost
+            # visibility only; not a median series, not in any headline).
+            "extras": extras,
+            "extras_total_sec": round(sum(extras.values()), 3),
         }
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -422,7 +422,95 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    whitening/PCA prep every embedding pipeline runs before decorrelation
+    or dimensionality decisions.
+
+    Scale path: the Gram matrix Σxxᵀ is accumulated per Arrow batch as a
+    64×64 numpy matmul (one mapInPandas pass emitting 2080 upper-triangle
+    partial cells per batch — CONSTANT output size per partition, so the
+    shuffle carries partitions×2080 rows no matter the corpus size),
+    then cell-wise summed. Means come from a JVM posexplode aggregate;
+    cov(i,j) = gram/n − μᵢμⱼ. The DuckDB oracle computes the same cells
+    via a position-exploded self-join — cross-formulation as well as
+    cross-engine. gram snapped at 4dp, cov at 6dp (summation-order drift
+    ~1e-10 against grids of 5e-5 / 5e-7 on ~1e-2 covariances).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def gram_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            G = M.T @ M
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"), "g": G[iu, ju]}
+            )
+
+    cells = (
+        emb.select("embedding")
+        .mapInPandas(gram_batches, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("gram"))
+    )
+    means = (
+        emb.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            (F.sum(F.col("v").cast("double")) / F.count("*")).alias("mu"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    mi = means.select(F.col("i").alias("mi_i"), F.col("mu").alias("mu_i"), "cnt")
+    mj = means.select(F.col("i").alias("mj_j"), F.col("mu").alias("mu_j"))
+    return (
+        cells.join(F.broadcast(mi), cells.i == mi.mi_i)
+        .join(F.broadcast(mj), cells.j == mj.mj_j)
+        .select(
+            "i",
+            "j",
+            # + 0.0 normalizes IEEE negative zero (round(-1e-9, 4) -> -0.0):
+            # -0.0 == 0.0 numerically but stringifies differently, which
+            # flips the driver's value hash. Same spelling in the oracle.
+            (F.round("gram", 4) + F.lit(0.0)).alias("gram"),
+            (
+                F.round(
+                    F.col("gram") / F.col("cnt") - F.col("mu_i") * F.col("mu_j"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_covariance": """
+        WITH ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), cells AS (
+            SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS gram
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT i, sum(v) / count(*) AS mu, count(*) AS cnt
+            FROM ex GROUP BY i
+        )
+        SELECT c.i, c.j,
+               round(c.gram, 4) + 0.0 AS gram,
+               round(c.gram / mi.cnt - mi.mu * mj.mu, 6) + 0.0 AS cov
+        FROM cells c
+        JOIN m mi ON mi.i = c.i
+        JOIN m mj ON mj.i = c.j
+    """,
     "embedding_quantize": """
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings

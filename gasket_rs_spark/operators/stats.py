@@ -220,6 +220,31 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear-regression aggregates (regr_slope / intercept /
+    r2 / count) of event value against time-of-day seconds — the
+    one-pass OLS family (all algebraic: five running sums). Snapped with
+    the floor-grid trick at 6dp: the sums-of-products differ across
+    engines only in summation order."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("y"),
+        (F.floor(F.unix_millis("ts") / F.lit(1000)) % 86400).cast("double").alias("x"),
+    )
+
+    def snap6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return ev.groupBy("event_type").agg(
+        F.regr_count("y", "x").alias("n_pts"),
+        snap6(F.regr_slope("y", "x")).alias("slope"),
+        snap6(F.regr_intercept("y", "x")).alias("intercept"),
+        snap6(F.regr_r2("y", "x")).alias("r2"),
+        snap6(F.regr_avgx("y", "x")).alias("avg_x"),
+        snap6(F.regr_avgy("y", "x")).alias("avg_y"),
+    )
+
+
 _RESERVOIR_K = 10
 
 
@@ -243,6 +268,22 @@ def q_reservoir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_regression": """
+        WITH e AS (
+            SELECT event_type, value AS y,
+                   CAST((epoch_ms(ts) // 1000) % 86400 AS DOUBLE) AS x
+            FROM events
+        )
+        SELECT event_type,
+               regr_count(y, x) AS n_pts,
+               floor(regr_slope(y, x) * 1e6 + 0.5) / 1e6 AS slope,
+               floor(regr_intercept(y, x) * 1e6 + 0.5) / 1e6 AS intercept,
+               floor(regr_r2(y, x) * 1e6 + 0.5) / 1e6 AS r2,
+               floor(regr_avgx(y, x) * 1e6 + 0.5) / 1e6 AS avg_x,
+               floor(regr_avgy(y, x) * 1e6 + 0.5) / 1e6 AS avg_y
+        FROM e
+        GROUP BY event_type
+    """,
     "reservoir_sample_grouped": f"""
         SELECT doc_id, lang, n_chars, pick
         FROM (

