@@ -104,9 +104,12 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance / stddev per group (co-moment aggregates —
     single-pass, mergeable, scale-safe)."""
     li = load(spark, sf_dir, "lineitem")
+    # + 0.0 after round: corr/covar cross zero, and round(-1e-9, 6) is
+    # IEEE -0.0 — equal to 0.0 numerically but hash-distinct (see the
+    # verify skill's negative-zero gotcha).
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias("covar_qty_disc"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
     )
@@ -389,8 +392,8 @@ ORACLES: dict[str, str] = {
     """,
     "stats_corr": """
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+               round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS covar_qty_disc,
                round(stddev_samp(l_quantity), 6) AS std_qty,
                round(var_samp(l_discount), 6) AS var_disc
         FROM lineitem
