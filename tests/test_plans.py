@@ -350,3 +350,51 @@ def test_lsh_candidates_hot_path_stays_broadcast(spark):
 
     assert count_operator(df, "HashAggregate") <= 7  # stats+cold+distinct, partial/final pairs
     spark.catalog.clearCache()
+
+
+def test_round8_plan_shapes(spark, sf_dir):
+    """Round-8 operators keep their scale shapes: no cartesian anywhere;
+    the Bloom probe's word-table joins and the covariance means join are
+    broadcasts; MERGE is a single full-outer join (not a union of
+    semi/anti passes); span dedup generates candidates by equi-join."""
+    from gasket_rs_spark.operators.graph import q_graph_pagerank
+    from gasket_rs_spark.operators.similarity import q_embedding_covariance
+    from gasket_rs_spark.operators.text import q_text_line_dedup, q_text_span_dedup
+    from gasket_rs_spark.operators.warehouse import (
+        q_bloom_filter_probe,
+        q_interval_merge,
+        q_merge_into,
+        q_scd2_dimension,
+    )
+    from gasket_rs_spark.plans.inspect import (
+        assert_broadcasts,
+        assert_no_cartesian,
+        count_operator,
+        explain_formatted,
+    )
+
+    for q in (
+        q_text_span_dedup,
+        q_text_line_dedup,
+        q_interval_merge,
+        q_scd2_dimension,
+        q_merge_into,
+        q_bloom_filter_probe,
+    ):
+        assert_no_cartesian(q(spark, sf_dir))
+
+    bloom = q_bloom_filter_probe(spark, sf_dir)
+    assert_broadcasts(bloom, at_least=3)  # 3 word-table probes (+ member audit)
+
+    cov = q_embedding_covariance(spark, sf_dir)
+    assert_broadcasts(cov, at_least=2)  # means joined on i and on j
+
+    merge_plan = explain_formatted(q_merge_into(spark, sf_dir))
+    assert "FullOuter" in merge_plan
+    # one full-outer join, not a matched/unmatched union of passes
+    assert count_operator(q_merge_into(spark, sf_dir), "SortMergeJoin") <= 1
+
+    # PageRank's only nested-loop joins are the broadcast 1-row scalar
+    # frames (count + dangling mass) — never a data-scaled cartesian.
+    pr_plan = explain_formatted(q_graph_pagerank(spark, sf_dir))
+    assert "CartesianProduct" not in pr_plan

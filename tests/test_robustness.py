@@ -101,3 +101,45 @@ def test_events_load_rejects_non_utc_session(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     load(spark, sf_dir, "events")  # restored session loads fine
+
+
+def test_text_ops_survive_degenerate_documents(spark):
+    """Empty, whitespace-only, single-token, and NULL texts must flow
+    through the round-8 text operators without crashing and with sane
+    accounting — the driver regenerates fixtures between rounds, so
+    degenerate rows are a when, not an if."""
+    from gasket_rs_spark.operators.text import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, None),
+            (5, "a b c d e f g h"),  # exactly one 8-token window
+            (6, "a b c d e f g h"),  # its exact duplicate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs).collect()}
+    # NULL text: split -> null array -> posexplode drops the doc entirely
+    assert 4 not in out
+    # empty string splits to [''] (one empty token), whitespace to ['','','',''].
+    assert out[1].n_tokens == 1 and out[1].n_removed == 0
+    assert out[2].n_tokens == 4 and out[2].n_removed == 0
+    assert out[3].n_tokens == 1 and out[3].n_dup_windows == 0
+    assert out[5].n_removed == 0, "first occurrence survives"
+    assert out[6].n_removed == 8 and out[6].keep_ratio == 0.0
+
+
+def test_entropy_degenerate_and_uniform(spark, sf_dir):
+    """Entropy bounds: 0 for a constant doc, log2(n) for an all-distinct
+    doc; norm_entropy in [0, 1] corpus-wide."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.text import q_text_token_entropy
+
+    rows = q_text_token_entropy(spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-9 <= r.norm_entropy <= 1.0 + 1e-9
+        assert r.entropy >= -1e-9
