@@ -83,6 +83,7 @@ EXTRAS = [
     "tpch_q21_late_supplier",
     "agg_regression",
     "embedding_covariance",
+    "fuzzy_vocab_join",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,

@@ -1176,7 +1176,85 @@ def q_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(docs, pairs)
 
 
+def q_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 vocabulary join via deletion-neighborhood
+    blocking (FastSS) — the fuzzy-key join that links typo'd tokens /
+    near-identical IDs without a quadratic compare.
+
+    Blocking: every token emits its 1-deletion neighborhood (itself +
+    each single-character deletion, one `transform` HOF over a plain
+    column); two tokens within edit distance 1 ALWAYS share a variant
+    (substitution → both drop the differing char; insertion/deletion →
+    the shorter IS a variant of the longer), so the equi-join on the
+    variant is a complete candidate generator and `levenshtein ≤ 1`
+    verifies exactly. At 100 TB: shuffle is vocab × (len+1) short
+    strings — linear in vocabulary, never corpus²; the oracle runs the
+    BRUTE length-bucketed cross join, so the check proves the blocking
+    lost nothing.
+
+    The fixture vocabulary is ~50 distinct clean words (no natural
+    typos), so the witness plants them: side B adds each side-A token
+    with its 2nd character deleted (the `dedup_embedding_lsh`
+    planted-duplicate precedent) — dist-1 pairs are structural, and the
+    driver's row count is non-trivial at every SF.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def vocab(src: str) -> DataFrame:
+        return (
+            docs.where(F.col("source") == src)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.length("tok") >= 4)
+            .distinct()
+        )
+
+    va = vocab("src0")
+    planted = va.select(
+        F.concat(F.substring("tok", 1, 1), F.expr("substring(tok, 3)")).alias("tok")
+    )
+    vb = vocab("src1").unionByName(planted).distinct()
+    variants = "transform(sequence(0, length(tok)), i -> concat(substring(tok, 1, i), substring(tok, i + 2)))"
+    ea = va.select(
+        F.col("tok").alias("tok_a"), F.explode(F.expr(variants)).alias("v")
+    )
+    eb = vb.select(F.col("tok").alias("tok_b")).select(
+        "tok_b", F.explode(F.expr(variants.replace("tok", "tok_b"))).alias("v")
+    )
+    return (
+        ea.join(eb, "v")
+        .select("tok_a", "tok_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .where(F.col("dist") <= 1)
+    )
+
+
+_FUZZY_ORACLE = """
+    WITH va AS (
+        SELECT DISTINCT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE source = 'src0'
+        ) WHERE len(tok) >= 4
+    ), vb AS (
+        SELECT DISTINCT tok FROM (
+            SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE source = 'src1'
+            ) WHERE len(tok) >= 4
+            UNION ALL
+            SELECT substr(tok, 1, 1) || substr(tok, 3) FROM va
+        )
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+    FROM va a JOIN vb b
+      ON abs(len(a.tok) - len(b.tok)) <= 1
+     AND levenshtein(a.tok, b.tok) <= 1
+"""
+
+
 ORACLES: dict[str, str] = {
+    "fuzzy_vocab_join": _FUZZY_ORACLE,
     "dedup_incremental": """
         WITH incoming AS (
             SELECT min(doc_id) AS doc_id, text

