@@ -129,7 +129,44 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every event row
+    carries the user's most recent purchase value at-or-before it —
+    the sparse→dense state propagation every feature pipeline needs
+    before joining signals sampled at different rates.
+
+    `last(..., ignorenulls=True)` over a running per-user frame — one
+    window shuffle on user_id; rows before the first observation stay
+    NULL (no fabricated state). Ties on the same second break on
+    event_id (unique), so fills are deterministic cross-engine.
+    """
+    ev = _events_sec(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs = F.when(F.col("event_type") == "purchase", F.round("value", 4))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "event_type",
+        F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "timeseries_locf": """
+        SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_sec, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_ms(ts) // 1000, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+        FROM events
+    """,
     "timeseries_gapfill": """
         WITH ev AS (
             SELECT * FROM events WHERE user_id < 20

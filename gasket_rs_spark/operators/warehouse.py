@@ -52,9 +52,14 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.unix_millis("ts") / F.lit(1000)).alias("s"),
     ).withColumn("e", F.col("s") + _SPAN_SEC)
+    return merge_intervals(ev)
+
+
+def merge_intervals(spans: DataFrame) -> DataFrame:
+    """Core of q_interval_merge over any (user_id, s, e) frame."""
     w_order = Window.partitionBy("user_id").orderBy("s", "e")
     prev_max_end = F.max("e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = ev.withColumn(
+    flagged = spans.withColumn(
         "new_island",
         F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
     )

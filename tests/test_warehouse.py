@@ -137,3 +137,48 @@ def test_merge_into_exercises_all_actions(spark, sf_dir):
     # inserted rows carry the offset key space and the NEW segment
     news = out.where(F.col("action") == "insert")
     assert news.where((F.col("custkey") < 1_000_000) | (F.col("mktsegment") != "NEW")).count() == 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_interval_merge_fuzz_vs_python_reference(spark, seed):
+    """Randomized interval coalescing vs a pure-Python sweep — boundary-
+    dense grids (touching spans, duplicate starts, nested spans,
+    zero-width) that the fixture's uniform events never produce."""
+    import random
+
+    from gasket_rs_spark.operators.warehouse import merge_intervals
+
+    rng = random.Random(1000 + seed)
+    rows = []
+    for _ in range(rng.randint(30, 80)):
+        user = rng.randint(0, 4)
+        s = rng.randint(0, 40)  # tiny domain -> dense collisions
+        width = rng.choice([0, 1, 1, 2, 5, 10])
+        rows.append((user, s, s + width))
+    df = spark.createDataFrame(rows, "user_id long, s long, e long")
+    got = {
+        (r.user_id, r.span_start, r.span_end, r.n_events)
+        for r in merge_intervals(df).collect()
+    }
+
+    # Python reference: sort, sweep, merge while s <= current max e
+    want = set()
+    by_user: dict[int, list] = {}
+    for u, s, e in rows:
+        by_user.setdefault(u, []).append((s, e))
+    for u, spans in by_user.items():
+        spans.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in spans:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    want.add((u, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.add((u, cur_s, cur_e, n))
+    assert got == want
