@@ -454,6 +454,72 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, AUDIO_SCHEMA)
 
 
+SPECTRUM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("dom_bin", LongType()),
+        StructField("dom_freq_hz", DoubleType()),
+        StructField("centroid_bin", DoubleType()),
+    ]
+)
+
+
+def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral features over decoded PCM: dominant frequency bin (rFFT
+    argmax excluding DC) and spectral centroid per clip — the first step
+    of any audio fingerprint / content-classification pipeline. numpy
+    rFFT per Arrow batch; the transform is not SQL-expressible, so the
+    witness is rows-only with the physics pinned in pytest instead:
+    synthetic sine WAVs at known frequencies must land their energy in
+    the predicted bin (tests/test_multimodal_decode.py).
+
+    Argmax ties break toward the LOWEST bin (np.argmax's first-max rule,
+    stated so reruns and engines can't disagree); centroid is snapped on
+    the 1e-4 grid. Scale shape: identical to the other decode witnesses —
+    one Arrow-batched pass, fixed small output row per asset.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "audio") & (F.length("payload") >= 3)
+    ).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), "audio"), "audio"
+                )
+                s = media.values.astype(np.float64)
+                mag = np.abs(np.fft.rfft(s))
+                if mag.size > 1:
+                    body = mag[1:]
+                    dom = int(np.argmax(body)) + 1
+                    denom = float(body.sum())
+                    centroid = (
+                        float((np.arange(1, mag.size) * body).sum()) / denom
+                        if denom > 0.0
+                        else 0.0
+                    )
+                else:
+                    dom, centroid = 0, 0.0
+                dom_freq = dom * media.sample_rate / s.size
+                rows.append(
+                    (
+                        doc_id,
+                        s.size,
+                        media.sample_rate,
+                        dom,
+                        math.floor(dom_freq * 10000 + 0.5) / 10000,
+                        math.floor(centroid * 10000 + 0.5) / 10000,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SPECTRUM_SCHEMA.fields])
+
+    return docs.mapInPandas(extract, SPECTRUM_SCHEMA)
+
+
 _N_FRAMES = 4
 
 

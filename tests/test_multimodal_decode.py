@@ -137,3 +137,44 @@ def test_codec_round_trip_property(data, modality):
     else:
         n = len(data) // 3 * 3
         assert media.values.tolist() == list(data[:n])
+
+
+def test_audio_spectrum_sine_lands_in_predicted_bin(spark):
+    """Physics pin for the rows-only spectrum witness: a pure sine at
+    k cycles over n samples must put its rFFT peak exactly in bin k,
+    and the dominant frequency must be k * rate / n."""
+    import numpy as np
+
+    from gasket_rs_spark.operators.multimodal import (
+        decode_payload,
+        encode_wav,
+        parse_wav,
+    )
+
+    n, rate = 256, 8000
+    for k in (3, 17, 60):
+        t = np.arange(n)
+        samples = (10000 * np.sin(2 * np.pi * k * t / n)).astype(np.int16)
+        wav = encode_wav(samples, rate)
+        got_rate, _, got = parse_wav(wav)
+        assert got_rate == rate and np.array_equal(got, samples)
+        mag = np.abs(np.fft.rfft(got.astype(np.float64)))
+        assert int(np.argmax(mag[1:])) + 1 == k
+        # centroid of a pure tone sits at (or adjacent to) the tone bin
+        body = mag[1:]
+        centroid = float((np.arange(1, mag.size) * body).sum() / body.sum())
+        assert abs(centroid - k) < 1.0
+
+
+def test_audio_spectrum_witness_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.multimodal import q_multimodal_audio_spectrum
+
+    out = q_multimodal_audio_spectrum(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "audio docs must exist in the fixture"
+    for r in rows:
+        assert 0 <= r.dom_bin <= r.n_samples // 2
+        assert r.dom_freq_hz <= r.sample_rate / 2 + 1e-9  # Nyquist
+        assert 0.0 <= r.centroid_bin <= r.n_samples // 2
