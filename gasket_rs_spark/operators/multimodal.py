@@ -520,6 +520,60 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, SPECTRUM_SCHEMA)
 
 
+_RESIZE_BLOCKS = 8
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("block", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def q_multimodal_image_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoded image downsampling (not just metadata bookkeeping):
+    each W×1 PPM raster is parsed back to pixels and block-averaged to a
+    fixed 8-block thumbnail, per channel — the resize every vision-data
+    pipeline runs before feature extraction. Block b covers pixels
+    [b·p/8, (b+1)·p/8) with integer floor boundaries, so the partition
+    is exact and engine-independent; channel sums are integer, means are
+    floor-snapped on the 1e-6 grid → EXACT-oracled (the DuckDB twin
+    reconstructs the same bytes from the doc text and block-averages
+    with list arithmetic). One Arrow-batched pass; constant 8 rows out
+    per asset."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "image")
+        & (F.length("payload") >= 3 * _RESIZE_BLOCKS)
+    ).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), "image"), "image"
+                )
+                p = media.width
+                M = media.values.reshape(p, 3).astype(np.int64)
+                bounds = [b * p // _RESIZE_BLOCKS for b in range(_RESIZE_BLOCKS + 1)]
+                for b in range(_RESIZE_BLOCKS):
+                    lo, hi = bounds[b], bounds[b + 1]
+                    cnt = hi - lo
+                    sums = M[lo:hi].sum(axis=0)
+                    means = [
+                        math.floor(int(s) / cnt * 1000000 + 0.5) / 1000000
+                        for s in sums
+                    ]
+                    rows.append((doc_id, b, cnt, *means))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return docs.mapInPandas(extract, RESIZE_SCHEMA)
+
+
 _N_FRAMES = 4
 
 
@@ -593,6 +647,33 @@ ORACLES: dict[str, str] = {
                      list_filter(range(1, p * 3 + 1), i -> i % 3 = 0)))
                      AS DOUBLE) / p * 1000000 + 0.5) / 1000000 AS mean_b
         FROM s
+    """,
+    "multimodal_image_resize_decoded": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
+            FROM documents
+            WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 24
+        ), s AS (
+            SELECT doc_id, p,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c))[1 : p * 3] AS b
+            FROM t
+        ), blocks AS (
+            SELECT doc_id, p, b, u.blk,
+                   (p * u.blk) // 8 AS lo, (p * (u.blk + 1)) // 8 AS hi
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS blk) u
+        )
+        SELECT doc_id, blk AS block, hi - lo AS n_pix,
+               floor(CAST(list_sum(list_select(b, list_filter(range(1, p * 3 + 1),
+                     i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi AND (i - 1) % 3 = 0)))
+                     AS DOUBLE) / (hi - lo) * 1000000 + 0.5) / 1000000 AS mean_r,
+               floor(CAST(list_sum(list_select(b, list_filter(range(1, p * 3 + 1),
+                     i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi AND (i - 1) % 3 = 1)))
+                     AS DOUBLE) / (hi - lo) * 1000000 + 0.5) / 1000000 AS mean_g,
+               floor(CAST(list_sum(list_select(b, list_filter(range(1, p * 3 + 1),
+                     i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi AND (i - 1) % 3 = 2)))
+                     AS DOUBLE) / (hi - lo) * 1000000 + 0.5) / 1000000 AS mean_b
+        FROM blocks
     """,
     "multimodal_audio_features": """
         WITH t AS (
