@@ -574,6 +574,58 @@ def q_multimodal_image_resize_decoded(spark: SparkSession, sf_dir: str) -> DataF
     return docs.mapInPandas(extract, RESIZE_SCHEMA)
 
 
+TEMPORAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pair", LongType()),
+        StructField("n_vals", LongType()),
+        StructField("mean_abs_diff", DoubleType()),
+    ]
+)
+
+
+def q_multimodal_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motion features over DECODED video: mean absolute
+    pixel-value difference between consecutive frames of each
+    concatenated-PPM stream — the scene-change / static-clip signal a
+    video curation pipeline thresholds on. Frames are re-parsed from the
+    container (sizes vary on the last slice), each consecutive pair is
+    compared over the common prefix of RGB values, and the integer
+    absolute-difference sum is floor-snapped — EXACT-oracled by a DuckDB
+    twin that recomputes the same frame boundaries with list arithmetic
+    over the reconstructed bytes."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "video") & (F.length("payload") >= 6)
+    ).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stream = build_media_payload(bytes(payload), "video")
+                frames, pos = [], 0
+                while pos < len(stream):
+                    _, _, vals, pos = parse_ppm(stream, pos)
+                    frames.append(vals.astype(np.int64))
+                for k in range(len(frames) - 1):
+                    a, b = frames[k], frames[k + 1]
+                    m = min(a.size, b.size)
+                    if m == 0:
+                        continue
+                    total = int(np.abs(a[:m] - b[:m]).sum())
+                    rows.append(
+                        (
+                            doc_id,
+                            k,
+                            m,
+                            math.floor(total / m * 1000000 + 0.5) / 1000000,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TEMPORAL_SCHEMA.fields])
+
+    return docs.mapInPandas(extract, TEMPORAL_SCHEMA)
+
+
 _N_FRAMES = 4
 
 
@@ -674,6 +726,28 @@ ORACLES: dict[str, str] = {
                      i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi AND (i - 1) % 3 = 2)))
                      AS DOUBLE) / (hi - lo) * 1000000 + 0.5) / 1000000 AS mean_b
         FROM blocks
+    """,
+    "multimodal_video_temporal_diff": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
+            FROM documents
+            WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 6
+        ), s AS (
+            SELECT doc_id, p, (p + 3) // 4 AS pf,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c))[1 : p * 3] AS b
+            FROM t
+        ), pairs AS (
+            SELECT doc_id, p, pf, b, u.k,
+                   least(pf, p - (u.k + 1) * pf) AS m
+            FROM s CROSS JOIN (SELECT unnest(range(3)) AS k) u
+            WHERE (u.k + 1) * pf < p
+        )
+        SELECT doc_id, k AS pair, 3 * m AS n_vals,
+               floor(CAST(list_sum(list_transform(range(0, 3 * m),
+                     i -> abs(b[k * pf * 3 + i + 1] - b[(k + 1) * pf * 3 + i + 1])))
+                     AS DOUBLE) / (3 * m) * 1000000 + 0.5) / 1000000 AS mean_abs_diff
+        FROM pairs
     """,
     "multimodal_audio_features": """
         WITH t AS (

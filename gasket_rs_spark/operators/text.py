@@ -684,6 +684,47 @@ def span_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+_POSTINGS_K = 5
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency, total term
+    frequency, and the top-5 posting (doc_id, tf) entries by tf (doc_id
+    tiebreak) serialized as a sorted array — the retrieval-side sibling
+    of TF-IDF (which scores docs; this materializes the index).
+
+    Shape: one (token, doc) count aggregation, one per-token window for
+    the posting cut, then collect the BOUNDED top-k postings per token —
+    the collect_list is capped at k=5 structurally (filter before
+    collect), so no hot token ever materializes its full posting list in
+    one aggregation buffer; full postings at 100 TB would stay exploded
+    as (token, doc, tf) rows, bucketed by token."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    top = tf.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _POSTINGS_K
+    )
+    stats = tf.groupBy("tok").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    postings = top.groupBy("tok").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rnk"), F.col("doc_id"), F.col("tf")))
+        ).alias("ordered")
+    ).select(
+        "tok",
+        F.expr("transform(ordered, x -> concat(x.doc_id, ':', x.tf))").alias(
+            "top_postings"
+        ),
+    )
+    return stats.join(postings, "tok").select(
+        "tok", "df", "total_tf", F.concat_ws(" ", "top_postings").alias("postings")
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document — the information-theoretic
     quality signal complementing the ratio-based score (low entropy =
@@ -721,6 +762,29 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_inverted_index": f"""
+        WITH tf AS (
+            SELECT tok, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok, doc_id
+        ), top AS (
+            SELECT tok, doc_id, tf,
+                   row_number() OVER (PARTITION BY tok
+                                      ORDER BY tf DESC, doc_id) AS rnk
+            FROM tf
+        ), postings AS (
+            SELECT tok,
+                   string_agg(doc_id || ':' || tf, ' ' ORDER BY rnk) AS postings
+            FROM top WHERE rnk <= {_POSTINGS_K}
+            GROUP BY tok
+        ), stats AS (
+            SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY tok
+        )
+        SELECT s.tok, s.df, s.total_tf, p.postings
+        FROM stats s JOIN postings p USING (tok)
+    """,
     "text_span_dedup": """
         WITH toks AS (
             SELECT doc_id,
