@@ -1166,6 +1166,91 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X18: set operations
 # ---------------------------------------------------------------------------
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicities (min / truncated-difference of per-value
+    counts), unlike the distinct variants the other set witnesses cover.
+    Operands: nation keys of BUILDING-segment customers vs suppliers —
+    both multisets carry real duplicate counts at any SF."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    inter = c.intersectAll(s).groupBy("nationkey").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    exc = c.exceptAll(s).groupBy("nationkey").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
+def q_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST ordering semantics: rank each
+    user's events by props['variant'] (NULL for most rows) under both
+    orderings and aggregate rank sums per null-ness class — pinning the
+    null placement that silently differs between engine defaults. Windows
+    are user-partitioned (the package-wide no-global-window rule); the
+    global rank SUMS are placement-sensitive, so the semantics still
+    show in the oracle compare."""
+    k_val = F.get_json_object("props", "$.k").cast("bigint")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # NULL for 2/3 of rows (k not divisible by 3) — deterministic
+        F.when(k_val % 3 == 0, k_val).alias("variant"),
+    )
+    first = Window.partitionBy("user_id").orderBy(
+        F.col("variant").asc_nulls_first(), F.col("event_id")
+    )
+    last = Window.partitionBy("user_id").orderBy(
+        F.col("variant").asc_nulls_last(), F.col("event_id")
+    )
+    ranked = ev.select(
+        "event_id",
+        "variant",
+        F.row_number().over(first).alias("rk_nulls_first"),
+        F.row_number().over(last).alias("rk_nulls_last"),
+    )
+    return ranked.groupBy(F.col("variant").isNull().alias("is_null")).agg(
+        F.count("*").alias("n"),
+        F.sum("rk_nulls_first").alias("sum_rk_first"),
+        F.sum("rk_nulls_last").alias("sum_rk_last"),
+    )
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL surface): for each high-balance
+    customer, the top-2 orders by price from a lateral per-customer
+    subquery — the SQL spelling of top-k-per-group. Catalyst decorrelates
+    this into a ranked window, which is exactly what the plan should be
+    at scale (no per-row re-execution)."""
+    register_views_once(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+        """
+    )
+
+
+def register_views_once(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for SQL-surface witnesses (idempotent per session)."""
+    from gasket_rs_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+
+
 def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of customer and supplier nation keys (tagged)."""
     customer = load(spark, sf_dir, "customer")
@@ -1546,6 +1631,57 @@ ORACLES: dict[str, str] = {
                    AS finished_revenue
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    "set_ops_all": """
+        WITH c AS (
+            SELECT c_nationkey AS nationkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), s AS (
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        SELECT nationkey, count(*) AS n, 'intersect_all' AS op
+        FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+        GROUP BY nationkey
+        UNION ALL
+        SELECT nationkey, count(*) AS n, 'except_all' AS op
+        FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+        GROUP BY nationkey
+    """,
+    "sort_null_ordering": """
+        WITH ev AS (
+            SELECT event_id, user_id,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+                       AS variant
+            FROM events
+        ), ranked AS (
+            SELECT event_id, variant,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY variant ASC NULLS FIRST, event_id)
+                       AS rk_nulls_first,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY variant ASC NULLS LAST, event_id)
+                       AS rk_nulls_last
+            FROM ev
+        )
+        SELECT variant IS NULL AS is_null,
+               count(*) AS n,
+               CAST(sum(rk_nulls_first) AS BIGINT) AS sum_rk_first,
+               CAST(sum(rk_nulls_last) AS BIGINT) AS sum_rk_last
+        FROM ranked
+        GROUP BY variant IS NULL
+    """,
+    "lateral_topk": """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
     """,
     "tpch_q21_late_supplier": """
         WITH li AS (
