@@ -398,3 +398,18 @@ def test_round8_plan_shapes(spark, sf_dir):
     # frames (count + dangling mass) — never a data-scaled cartesian.
     pr_plan = explain_formatted(q_graph_pagerank(spark, sf_dir))
     assert "CartesianProduct" not in pr_plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL top-2 must decorrelate into a ranked
+    window with WindowGroupLimit pushdown (partial+final) and an
+    equi-join — NEVER per-outer-row subquery re-execution or a nested
+    loop over the fact side."""
+    from gasket_rs_spark.operators.relational import q_lateral_topk
+    from gasket_rs_spark.plans.inspect import count_operator, explain_formatted
+
+    df = q_lateral_topk(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert count_operator(df, "WindowGroupLimit") >= 2  # partial + final
