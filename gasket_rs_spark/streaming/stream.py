@@ -385,7 +385,86 @@ def q_stream_sketch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_from_sketch(merged, ["event_type"])
 
 
+def q_stream_incremental_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup against a growing sink index — the
+    real-stream twin of `dedup_incremental`: each microbatch (1) drops
+    rows whose content hash already landed in the sink (broadcast-able
+    anti-join against the accumulated index), (2) dedupes within itself
+    (min event_id per hash), and (3) appends only fresh rows,
+    idempotently (overwrite its own batch_id partition). Content hash =
+    md5(user_id:event_type) — coarse on purpose so the fixture carries
+    real cross-batch duplicate pressure.
+
+    Which batch a duplicate's survivor lands in depends on file→batch
+    assignment, so the WITNESS returns only arrival-order-independent
+    facts: per event_type, the distinct hash count (= rows in the sink)
+    and total observed rows. Those the DuckDB oracle recomputes from the
+    events table directly — a genuine multi-microbatch stream checked
+    EXACT. Per-batch kept/dropped behavior (at-least-once safety, no
+    duplicate ever appended) is pinned in tests/test_streaming.py.
+    """
+    src, sink, ckpt = _staged_events_scratch(spark, sf_dir, "dd_sink", "dd_ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        h = F.md5(F.concat_ws(":", "user_id", "event_type"))
+        hashed = batch_df.select(
+            "event_id", "user_id", "event_type", h.alias("h")
+        )
+        # within-batch first-per-hash (min event_id — deterministic)
+        w_min = hashed.groupBy("h").agg(F.min("event_id").alias("event_id"))
+        batch_first = hashed.join(w_min, ["h", "event_id"])
+        try:
+            seen = spark_b.read.parquet(sink).select("h").distinct()
+            fresh = batch_first.join(seen, "h", "left_anti")
+        except Exception:  # first batch: no sink yet
+            fresh = batch_first
+        (
+            fresh.write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch_id={batch_id}"))
+        )
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(180):
+        query.stop()
+        raise TimeoutError("incremental dedup pipeline exceeded 180s")
+
+    sunk = spark.read.parquet(sink)
+    from ..tables import load as _load
+
+    all_events = _load(spark, sf_dir, "events")
+    totals = all_events.groupBy("event_type").agg(
+        F.count("*").alias("n_observed")
+    )
+    return (
+        sunk.groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_keys"))
+        .join(totals, "event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_incremental_dedup_pipeline": """
+        WITH h AS (
+            SELECT event_type,
+                   md5(CAST(user_id AS VARCHAR) || ':' || event_type) AS hh
+            FROM events
+        )
+        SELECT event_type,
+               count(DISTINCT hh) AS n_distinct_keys,
+               count(*) AS n_observed
+        FROM h
+        GROUP BY event_type
+    """,
     # Identical to the batch quantile_sketch_mergeable oracle: the stream
     # merge is exact, so the sketch over N microbatches IS the batch sketch.
     "stream_sketch_pipeline": """

@@ -550,3 +550,30 @@ def test_stream_sketch_equals_batch_sketch(spark, sf_dir):
         tuple(r) for r in quantile_from_sketch(batch_sk, ["event_type"]).collect()
     }
     assert streamed == batch
+
+
+def test_stream_incremental_dedup_never_appends_a_seen_hash(spark, sf_dir):
+    """End-to-end safety of the streaming dedup sink: after the
+    multi-microbatch run, every content hash appears EXACTLY once in the
+    sink (no duplicate survived any batch boundary), and the per-batch
+    partitions are disjoint on the hash."""
+    import os
+    import tempfile
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.streaming.stream import (
+        q_stream_incremental_dedup_pipeline,
+    )
+
+    q_stream_incremental_dedup_pipeline(spark, sf_dir).collect()  # run the stream
+    events_path = os.path.join(sf_dir, "events.parquet")
+    key = _hl.sha256(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}".encode()
+    ).hexdigest()[:12]
+    sink = os.path.join(tempfile.gettempdir(), f"gasket-anow-{key}", "dd_sink")
+    sunk = spark.read.parquet(sink)
+    assert sunk.select("batch_id").distinct().count() > 1, "need >1 microbatch"
+    dupes = sunk.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    assert dupes.count() == 0
