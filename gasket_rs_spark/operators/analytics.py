@@ -156,7 +156,128 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_SEC = 1800
+
+
+def q_session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix within behavioral sessions: sessions
+    are 30-min-gap islands per user (same cumulative-sum sessionization
+    as the streaming twin), transitions are (type → next type) pairs via
+    one lead() inside each session, counted globally — the Markov-chain
+    input for funnel modeling / next-action prediction. Two windows and
+    one aggregation, all partitioned by user."""
+    ev = _events_sec(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap_break = F.when(
+        (F.col("ts_sec") - F.lag("ts_sec").over(w_user)) > _SESSION_GAP_SEC, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session",
+        F.sum(gap_break).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session").orderBy("ts_sec", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w_sess).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
+def q_distribution_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event-type distribution drift: the L1 distance
+    between consecutive weekly type-share vectors — the detector every
+    monitoring pipeline runs against ingest mix shifts. Shares are
+    zero-filled over the (week × type) grid (a missing type IS drift),
+    L1 snapped on the 1e-6 grid. The grid is bounded (weeks × 5 types),
+    so every join here is broadcast-sized at any corpus scale."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "week", F.floor(F.col("ts_sec") / F.lit(604800)).cast("bigint")
+    )
+    counts = ev.groupBy("week", "event_type").agg(F.count("*").alias("c"))
+    totals = ev.groupBy("week").agg(F.count("*").alias("t"))
+    types = ev.select("event_type").distinct()
+    weeks = ev.select("week").distinct()
+    grid = weeks.crossJoin(types)
+    shares = (
+        grid.join(counts, ["week", "event_type"], "left")
+        .join(totals, "week")
+        .select(
+            "week",
+            "event_type",
+            (F.coalesce("c", F.lit(0)) / F.col("t")).alias("p"),
+        )
+    )
+    nxt = shares.select(
+        (F.col("week") - 1).alias("week"),
+        F.col("event_type"),
+        F.col("p").alias("p_next"),
+    )
+    paired = shares.join(nxt, ["week", "event_type"])
+    return paired.groupBy("week").agg(
+        (
+            F.floor(F.sum(F.abs(F.col("p_next") - F.col("p"))) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("l1_drift"),
+        F.count("*").alias("n_types"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "session_path_transitions": f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > {_SESSION_GAP_SEC}
+                           THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        ), sess AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                                          ORDER BY ts_sec, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS session
+            FROM flagged
+        ), pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id, session
+                                          ORDER BY ts_sec, event_id) AS to_type
+            FROM sess
+        )
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+    "distribution_drift_weekly": """
+        WITH e AS (
+            SELECT event_type, (epoch_ms(ts) // 1000) // 604800 AS week FROM events
+        ), counts AS (
+            SELECT week, event_type, count(*) AS c FROM e GROUP BY 1, 2
+        ), totals AS (
+            SELECT week, count(*) AS t FROM e GROUP BY 1
+        ), grid AS (
+            SELECT w.week, ty.event_type
+            FROM (SELECT DISTINCT week FROM e) w
+            CROSS JOIN (SELECT DISTINCT event_type FROM e) ty
+        ), shares AS (
+            SELECT g.week, g.event_type,
+                   coalesce(c.c, 0) / t.t AS p
+            FROM grid g
+            LEFT JOIN counts c ON c.week = g.week AND c.event_type = g.event_type
+            JOIN totals t ON t.week = g.week
+        )
+        SELECT a.week,
+               floor(sum(abs(b.p - a.p)) * 1e6 + 0.5) / 1e6 AS l1_drift,
+               count(*) AS n_types
+        FROM shares a
+        JOIN shares b ON b.week = a.week + 1 AND b.event_type = a.event_type
+        GROUP BY a.week
+    """,
     "timeseries_locf": """
         SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_sec, event_type,
                last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END
