@@ -725,6 +725,59 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (CCNet-style perplexity ranking): each
+    document's average log2 trigram probability under the corpus MLE
+    trigram model — p(w3|w1w2) = c(w1w2w3) / Σ_w c(w1w2w), trained and
+    scored on the same corpus in one plan. Low scores (high perplexity
+    proxy) mark text unlike the corpus — the standard LM quality filter.
+
+    Shape: one trigram explode (the zip_with slice pattern — no
+    HOF-CSE trap), two count aggregations (gram / context — map-side
+    combinable), two equi-joins back on the gram key, one per-doc
+    reduce. Per-doc float sums are ≤ doc-length terms, snapped on the
+    1e-6 grid; the perplexity proxy is derived from the SNAPPED average
+    so both engines exponentiate the same double.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "  zip_with("
+        "    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),"
+        "    (b, c) -> concat(b, ' ', c)),"
+        "  (a, bc) -> struct(concat(a, ' ', bc) AS gram,"
+        "                    concat(a, ' ', split_part(bc, ' ', 1)) AS ctx))"
+    )
+    ex = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.gram").alias("gram"), F.col("p.ctx").alias("ctx")
+    )
+    c3 = ex.groupBy("gram").agg(F.count("*").alias("c3"))
+    c2 = ex.groupBy("ctx").agg(F.count("*").alias("c2"))
+    scored = (
+        ex.join(c3, "gram")
+        .join(c2, "ctx")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (
+                F.floor(
+                    F.sum(F.log2(F.col("c3") / F.col("c2"))) / F.count("*") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_log2p"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        "avg_log2p",
+        F.round(F.pow(F.lit(2.0), -F.col("avg_log2p")), 4).alias("ppl_proxy"),
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document — the information-theoretic
     quality signal complementing the ratio-based score (low entropy =
@@ -762,6 +815,39 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_lm_score": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), tri AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       AS gram,
+                   tok || ' ' || lead(tok, 1) OVER w AS ctx
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), ex AS (
+            SELECT doc_id, gram, ctx FROM tri WHERE gram IS NOT NULL
+        ), c3 AS (
+            SELECT gram, count(*) AS c3 FROM ex GROUP BY gram
+        ), c2 AS (
+            SELECT ctx, count(*) AS c2 FROM ex GROUP BY ctx
+        ), scored AS (
+            SELECT e.doc_id,
+                   count(*) AS n_trigrams,
+                   floor(sum(log2(CAST(c3.c3 AS DOUBLE) / c2.c2)) / count(*) * 1e6
+                         + 0.5) / 1e6 AS avg_log2p
+            FROM ex e
+            JOIN c3 ON c3.gram = e.gram
+            JOIN c2 ON c2.ctx = e.ctx
+            GROUP BY e.doc_id
+        )
+        SELECT doc_id, n_trigrams, avg_log2p,
+               round(power(2.0, -avg_log2p), 4) AS ppl_proxy
+        FROM scored
+    """,
     "text_inverted_index": f"""
         WITH tf AS (
             SELECT tok, doc_id, count(*) AS tf
