@@ -248,6 +248,88 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier screening per event type (Tukey fences): values
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] are flagged; the witness emits
+    the per-type fences and outlier counts — the standard numeric
+    cleaning gate before stats/training. Two passes over one shuffle
+    key: exact quantiles per type (bounded group count), fences
+    broadcast back onto the rows."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.75]))
+    fences = ev.groupBy("event_type").agg(
+        F.element_at(pct, 1).alias("q1"),
+        F.element_at(pct, 2).alias("q3"),
+    ).select(
+        "event_type",
+        "q1",
+        "q3",
+        # fences snapped at 4dp so a value within 1 ulp of the raw fence
+        # can't flip the count between engines
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 4).alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 4).alias("hi"),
+    )
+    flagged = ev.join(F.broadcast(fences), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("q1"), 4).alias("q1"),
+        F.round(F.max("q3"), 4).alias("q3"),
+        F.sum((F.col("value") < F.col("lo")).cast("int")).alias("n_low"),
+        F.sum((F.col("value") > F.col("hi")).cast("int")).alias("n_high"),
+    )
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order epoch), frequency
+    (order count), monetary (revenue sum) per customer, quartiled by
+    VALUE THRESHOLDS (exact p25/p50/p75 per metric, snapped at 4dp and
+    broadcast back) rather than a global ntile window — rank-based cuts
+    need a customer-dim-wide sort that wedges at 100 TB; threshold cuts
+    are one bounded aggregate + a narrow map. Boundary determinism: the
+    underlying metrics sit on integer / 2dp grids, so the 4dp-snapped
+    thresholds compare identically cross-engine. Emits per-segment
+    cohort sizes and revenue (≤64 rows at any SF)."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        # o_orderdate reads as TIMESTAMP_NTZ; the session is pinned UTC so
+        # the cast is value-preserving (same convention as tables.load)
+        F.unix_seconds(F.max("o_orderdate").cast("timestamp")).alias("recency"),
+        F.count("*").cast("double").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+
+    def cuts(col: str):
+        pct = F.percentile(col, F.lit([0.25, 0.5, 0.75]))
+        return [
+            F.round(F.element_at(pct, i + 1), 4).alias(f"{col}_p{q}")
+            for i, q in enumerate((25, 50, 75))
+        ]
+
+    fences = per_cust.agg(
+        *cuts("recency"), *cuts("frequency"), *cuts("monetary")
+    )
+
+    def quartile(col: str):
+        # 4 = bottom quartile ... 1 = top quartile (value >= p75)
+        return (
+            F.when(F.col(col) >= F.col(f"{col}_p75"), 1)
+            .when(F.col(col) >= F.col(f"{col}_p50"), 2)
+            .when(F.col(col) >= F.col(f"{col}_p25"), 3)
+            .otherwise(4)
+        )
+
+    cut = per_cust.crossJoin(F.broadcast(fences)).select(
+        "monetary",
+        quartile("recency").alias("r_q"),
+        quartile("frequency").alias("f_q"),
+        quartile("monetary").alias("m_q"),
+    )
+    return cut.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+    )
+
+
 _RESERVOIR_K = 10
 
 
@@ -271,6 +353,60 @@ def q_reservoir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "outlier_iqr": """
+        WITH f AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY 1
+        ), fx AS (
+            SELECT event_type, q1, q3,
+                   round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+                   round(q3 + 1.5 * (q3 - q1), 4) AS hi
+            FROM f
+        )
+        SELECT e.event_type, count(*) AS n,
+               round(max(fx.q1), 4) AS q1,
+               round(max(fx.q3), 4) AS q3,
+               CAST(sum(CASE WHEN e.value < fx.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN e.value > fx.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM events e JOIN fx USING (event_type)
+        GROUP BY e.event_type
+    """,
+    "rfm_segmentation": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   epoch_ms(max(o_orderdate)) // 1000 AS recency,
+                   CAST(count(*) AS DOUBLE) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY 1
+        ), f AS (
+            SELECT round(quantile_cont(recency, 0.25), 4) AS r25,
+                   round(quantile_cont(recency, 0.50), 4) AS r50,
+                   round(quantile_cont(recency, 0.75), 4) AS r75,
+                   round(quantile_cont(frequency, 0.25), 4) AS f25,
+                   round(quantile_cont(frequency, 0.50), 4) AS f50,
+                   round(quantile_cont(frequency, 0.75), 4) AS f75,
+                   round(quantile_cont(monetary, 0.25), 4) AS m25,
+                   round(quantile_cont(monetary, 0.50), 4) AS m50,
+                   round(quantile_cont(monetary, 0.75), 4) AS m75
+            FROM pc
+        ), cut AS (
+            SELECT monetary,
+                   CASE WHEN recency >= r75 THEN 1 WHEN recency >= r50 THEN 2
+                        WHEN recency >= r25 THEN 3 ELSE 4 END AS r_q,
+                   CASE WHEN frequency >= f75 THEN 1 WHEN frequency >= f50 THEN 2
+                        WHEN frequency >= f25 THEN 3 ELSE 4 END AS f_q,
+                   CASE WHEN monetary >= m75 THEN 1 WHEN monetary >= m50 THEN 2
+                        WHEN monetary >= m25 THEN 3 ELSE 4 END AS m_q
+            FROM pc CROSS JOIN f
+        )
+        SELECT r_q, f_q, m_q,
+               count(*) AS n_customers,
+               round(sum(monetary), 2) AS segment_revenue
+        FROM cut
+        GROUP BY r_q, f_q, m_q
+    """,
     "agg_regression": """
         WITH e AS (
             SELECT event_type, value AS y,
