@@ -330,6 +330,32 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_K = 25
+
+
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws a deterministic uniform u from its md5 (engine-
+    portable), gets key u^(1/w) with weight w = n_chars, and the global
+    top-25 keys are the sample — longer docs proportionally more likely,
+    no ORDER BY rand(), reruns identical. Keys are snapped at 9dp with
+    a doc_id tiebreak so cross-engine ulp drift can't flip the cut.
+    Top-k is TakeOrdered (no global sort); at 100 TB the same key is a
+    per-group window for per-stratum quotas."""
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_WEIGHTED_K)
+    )
+
+
 _RESERVOIR_K = 10
 
 
@@ -353,6 +379,16 @@ def q_reservoir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "weighted_sample_aes": f"""
+        SELECT doc_id, lang, n_chars,
+               round(power(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           / 4294967296.0,
+                           1.0 / n_chars), 9) AS sample_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY sample_key DESC, doc_id
+        LIMIT {_WEIGHTED_K}
+    """,
     "outlier_iqr": """
         WITH f AS (
             SELECT event_type,

@@ -778,6 +778,49 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_DIMS = 32
+
+
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): each document becomes a
+    fixed 32-dim token-count vector, dim = md5(token) % 32 — the
+    vocabulary-free featurization that feeds linear classifiers /
+    nearest-neighbor dedup without a dictionary build. Dense vector
+    assembly: (doc, dim) counts left-join a bounded doc×32 grid
+    (zero-filled — absent dims ARE features), collected in dim order.
+    The md5 dim assignment is engine-portable, so the whole vector is
+    EXACT-oracled. One token shuffle + one doc-sized assembly shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dim = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % _HASH_DIMS
+    )
+    counts = toks.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count("*").alias("cnt")
+    )
+    dims = spark.range(_HASH_DIMS).select(F.col("id").alias("dim"))
+    grid = docs.select("doc_id").crossJoin(F.broadcast(dims))
+    filled = grid.join(counts, ["doc_id", "dim"], "left").select(
+        "doc_id", "dim", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return (
+        filled.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim", "cnt"))).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(ordered, x -> x.cnt)").alias("features"),
+            F.expr("aggregate(ordered, cast(0 as bigint), (a, x) -> a + x.cnt)").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document — the information-theoretic
     quality signal complementing the ratio-based score (low entropy =
@@ -815,6 +858,28 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_feature_hashing": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), counts AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_HASH_DIMS} AS dim,
+                   count(*) AS cnt
+            FROM toks GROUP BY 1, 2
+        ), grid AS (
+            SELECT d.doc_id, u.dim
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(range({_HASH_DIMS})) AS dim) u
+        ), filled AS (
+            SELECT g.doc_id, g.dim, coalesce(c.cnt, 0) AS cnt
+            FROM grid g LEFT JOIN counts c USING (doc_id, dim)
+        )
+        SELECT doc_id,
+               list(cnt ORDER BY dim) AS features,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM filled
+        GROUP BY doc_id
+    """,
     "text_lm_score": """
         WITH toks AS (
             SELECT doc_id,
