@@ -566,7 +566,11 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: identical segmentation via ``regexp_extract_all`` + the same
     min-key/join/string_agg pipeline in DuckDB — EXACT.
     """
-    docs = load(spark, sf_dir, "documents")
+    return line_dedup(load(spark, sf_dir, "documents"))
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """Core of q_text_line_dedup over any (doc_id, text) frame."""
     seg_arr = F.regexp_extract_all("text", F.lit(_LINE_SEG_PATTERN), 0)
     segs = docs.select(
         "doc_id", F.posexplode(seg_arr).alias("pos", "seg")

@@ -1,0 +1,68 @@
+"""Randomized differential fuzz for the cross-document dedup passes:
+synthetic corpora from a TINY vocabulary (forcing heavy n-gram
+collisions, shared boilerplate, shifted copies) are run through the
+Spark operators AND the same DuckDB oracle SQL the driver uses —
+exactly the driver's check, but on adversarial data the fixture never
+produces.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _random_corpus(seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(6)]  # tiny -> dense collisions
+    boiler = " ".join(rng.choices(vocab, k=rng.randint(8, 12)))
+    docs = []
+    for doc_id in range(rng.randint(6, 12)):
+        n = rng.randint(0, 30)
+        toks = rng.choices(vocab, k=n)
+        # inject the shared boilerplate at a random position in ~half
+        if rng.random() < 0.5:
+            pos = rng.randint(0, max(len(toks) - 1, 0)) if toks else 0
+            toks = toks[:pos] + boiler.split(" ") + toks[pos:]
+        docs.append((doc_id, " ".join(toks)))
+    return docs
+
+
+def _oracle(sql: str, docs: list[tuple[int, str]]):
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    rel = con.execute(sql)
+    cols = [d[0] for d in rel.description]
+    return {tuple(r[cols.index(c)] for c in sorted(cols)) for r in rel.fetchall()}
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_span_dedup_fuzz_vs_duckdb(spark, seed):
+    from gasket_rs_spark.operators.text import ORACLES, span_dedup
+
+    docs = _random_corpus(100 + seed)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _spark_rows(span_dedup(sdf))
+    want = _oracle(ORACLES["text_span_dedup"], docs)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_line_dedup_fuzz_vs_duckdb(spark, seed):
+    from gasket_rs_spark.operators.text import ORACLES, line_dedup
+
+    docs = _random_corpus(200 + seed)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _spark_rows(line_dedup(sdf))
+    want = _oracle(ORACLES["text_line_dedup"], docs)
+    assert got == want
