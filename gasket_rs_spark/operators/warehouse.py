@@ -302,8 +302,14 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("o_custkey") + 1_000_000).alias("key"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("delta"))
     )
-    source = updates.unionByName(inserts)
-    merged = customer.join(source, customer.c_custkey == source.key, "full_outer")
+    return merge_upsert(customer, updates.unionByName(inserts))
+
+
+def merge_upsert(target: DataFrame, source: DataFrame) -> DataFrame:
+    """MERGE core over target(c_custkey, c_acctbal, c_mktsegment) and
+    source(key, delta): matched+large-delta → delete, matched → update,
+    source-only → insert, target-only → keep."""
+    merged = target.join(source, target.c_custkey == source.key, "full_outer")
     matched = F.col("c_custkey").isNotNull() & F.col("key").isNotNull()
     return (
         merged.where(

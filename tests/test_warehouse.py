@@ -182,3 +182,89 @@ def test_interval_merge_fuzz_vs_python_reference(spark, seed):
                 n += 1
         want.add((u, cur_s, cur_e, n))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_merge_upsert_fuzz_vs_python_reference(spark, seed):
+    """Randomized MERGE semantics vs a dict-based reference: overlapping
+    key spaces, deltas straddling the delete threshold, integer-cent
+    values so the reference needs no float care."""
+    import random
+
+    from gasket_rs_spark.operators.warehouse import (
+        _MERGE_DELETE_ABOVE,
+        merge_upsert,
+    )
+
+    rng = random.Random(3000 + seed)
+    target_rows = [
+        (k, float(rng.randint(0, 5000)), rng.choice(["A", "B"]))
+        for k in rng.sample(range(20), rng.randint(5, 12))
+    ]
+    source_rows = [
+        (k, float(rng.choice([100, 900_000, 1_500_000, 2_000_001])))
+        for k in rng.sample(range(30), rng.randint(5, 12))
+    ]
+    t = spark.createDataFrame(
+        target_rows, "c_custkey long, c_acctbal double, c_mktsegment string"
+    )
+    s = spark.createDataFrame(source_rows, "key long, delta double")
+    got = {tuple(r) for r in merge_upsert(t, s).collect()}
+
+    tgt = {k: (bal, seg) for k, bal, seg in target_rows}
+    src = dict(source_rows)
+    want = set()
+    for k, (bal, seg) in tgt.items():
+        if k in src:
+            if src[k] > _MERGE_DELETE_ABOVE:
+                continue  # deleted
+            want.add((k, bal + src[k], seg, "update"))
+        else:
+            want.add((k, bal, seg, "keep"))
+    for k, d in src.items():
+        if k not in tgt:
+            want.add((k, d, "NEW", "insert"))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_scd2_chain_fuzz_properties(spark, seed, sf_dir):
+    """SCD2 chain invariants re-checked under random subsets of the
+    change stream (dropping rows must never break contiguity of the
+    remaining versions)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from gasket_rs_spark.tables import load
+
+    rng = random.Random(4000 + seed)
+    keep_mod = rng.randint(2, 5)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    changes = (
+        load(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % keep_mod != 0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.unix_millis("ts") / F.lit(1000)).alias("ts_sec"),
+        )
+    )
+    dim = changes.select(
+        "user_id",
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )
+    by_user: dict[int, list] = {}
+    for r in dim.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+        assert rows[-1].valid_to is None
