@@ -156,6 +156,50 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COOC_TOPK = 20
+
+
+def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the collaborative-filtering
+    building block): supplier pairs that serve the same orders, scored
+    by cosine over order sets — co(a,b) / sqrt(n(a)·n(b)) — top-20 by
+    support. The pair self-join is keyed on the ORDER (bounded basket:
+    an order has a handful of lines), so pair volume is linear in
+    orders, never suppliers² — the standard market-basket shape. Snap
+    at 6dp; (co DESC, s1, s2) makes the top-k deterministic."""
+    d = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("co"))
+    )
+    n = d.groupBy("l_suppkey").agg(F.count("*").alias("n_orders"))
+    scored = (
+        pairs.join(
+            F.broadcast(n.select(F.col("l_suppkey").alias("s1"), F.col("n_orders").alias("n1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(n.select(F.col("l_suppkey").alias("s2"), F.col("n_orders").alias("n2"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "co",
+            F.round(F.col("co") / F.sqrt(F.col("n1") * F.col("n2")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("co").desc(), "s1", "s2").limit(_COOC_TOPK)
+
+
 _SESSION_GAP_SEC = 1800
 
 
@@ -227,6 +271,25 @@ def q_distribution_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "supplier_cooccurrence": f"""
+        WITH d AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS co
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), n AS (
+            SELECT l_suppkey, count(*) AS n_orders FROM d GROUP BY 1
+        )
+        SELECT p.s1, p.s2, p.co,
+               round(p.co / sqrt(n1.n_orders * n2.n_orders), 6) AS cosine
+        FROM pairs p
+        JOIN n n1 ON n1.l_suppkey = p.s1
+        JOIN n n2 ON n2.l_suppkey = p.s2
+        ORDER BY p.co DESC, p.s1, p.s2
+        LIMIT {_COOC_TOPK}
+    """,
     "session_path_transitions": f"""
         WITH e AS (
             SELECT user_id, event_id, event_type,
