@@ -422,6 +422,104 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SUBSPACES = 8
+_PQ_K = 16
+_PQ_ITERS = 8
+
+
+def train_pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train product-quantization codebooks: the 64-dim space splits
+    into 8 contiguous 8-dim subspaces, each with its own k=16 k-means
+    codebook — trained driver-side on the same bounded md5-bucketed
+    sample as the IVF centroids (corpus size never matters), broadcast
+    back as literals. Returns array (subspaces, k, subdim)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    sample = (
+        emb.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
+            .cast("bigint") % 16,
+        )
+        .where(F.col("bucket") < 4)
+        .select("embedding")
+        .limit(2000)
+    )
+    X = np.array([r["embedding"] for r in sample.collect()], dtype=np.float64)
+    dim = X.shape[1]
+    sub = dim // _PQ_SUBSPACES
+    rng = np.random.RandomState(42)
+    books = []
+    for s in range(_PQ_SUBSPACES):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=_PQ_K, replace=False)].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def q_embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization audit: every vector is PQ-encoded (8 codes ×
+    4 bits of codebook index — an 8-byte vector replacing 256 bytes) and
+    the per-subspace reconstruction distortion is aggregated. This is
+    the storage/ANN compression step after IVF; the witness reports per
+    subspace: rows, codes actually used, and mean squared reconstruction
+    error. Rows-only (k-means codebooks are seeded); compression-quality
+    floors pinned in tests/test_similarity_recall.py (PQ must beat the
+    1-centroid baseline in every subspace, codes in range).
+
+    Scale shape: codebooks are literal broadcast (8×16×8 floats); encode
+    + distortion is ONE Arrow-batched numpy pass emitting 8 partial rows
+    per batch — constant shuffle, any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = train_pq_codebooks(spark, sf_dir)  # (S, K, sub)
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    sub = books.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            rows = []
+            for s in range(_PQ_SUBSPACES):
+                Xs = X[:, s * sub:(s + 1) * sub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                err = d2[np.arange(len(Xs)), assign].sum()
+                rows.append(
+                    (s, len(Xs), float(err), [int(c) for c in np.unique(assign)])
+                )
+            yield pd.DataFrame(
+                rows, columns=["subspace", "n", "sq_err", "codes"]
+            )
+
+    partials = emb.mapInPandas(
+        encode, "subspace int, n long, sq_err double, codes array<int>"
+    )
+    return (
+        partials.groupBy("subspace")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("codes")))).alias(
+                "n_codes_used"
+            ),
+            F.round(F.sum("sq_err") / F.sum("n"), 6).alias("mse"),
+        )
+        .orderBy("subspace")
+    )
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding corpus — the
     whitening/PCA prep every embedding pipeline runs before decorrelation

@@ -141,3 +141,34 @@ def test_semdedup_clustered_floors(spark, sf_dir):
     assert len(captured) >= 0.85 * n_planted, (
         f"captured {len(captured)}/{n_planted} planted copies"
     )
+
+
+def test_pq_beats_single_centroid_baseline(spark, sf_dir):
+    """PQ quality floors: per subspace the k=16 codebook's MSE must be
+    strictly below the 1-centroid (subspace-mean) baseline's, every
+    codebook must actually use multiple codes, and codes stay in range."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_SUBSPACES,
+        q_embedding_pq_distortion,
+        train_pq_codebooks,
+    )
+    from gasket_rs_spark.tables import load
+
+    rows = {r.subspace: r for r in q_embedding_pq_distortion(spark, sf_dir).collect()}
+    assert set(rows) == set(range(_PQ_SUBSPACES))
+
+    X = np.array(
+        [r.embedding for r in load(spark, sf_dir, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    sub = X.shape[1] // _PQ_SUBSPACES
+    for s, r in rows.items():
+        assert 1 < r.n_codes_used <= _PQ_K
+        Xs = X[:, s * sub:(s + 1) * sub]
+        baseline = ((Xs - Xs.mean(axis=0)) ** 2).sum(axis=1).mean()
+        assert r.mse < baseline, f"subspace {s}: {r.mse} !< {baseline}"
