@@ -84,6 +84,23 @@ EXTRAS = [
     "agg_regression",
     "embedding_covariance",
     "fuzzy_vocab_join",
+    "text_lm_score",
+    "text_inverted_index",
+    "text_feature_hashing",
+    "timeseries_locf",
+    "session_path_transitions",
+    "distribution_drift_weekly",
+    "supplier_cooccurrence",
+    "outlier_iqr",
+    "rfm_segmentation",
+    "weighted_sample_aes",
+    "set_ops_all",
+    "sort_null_ordering",
+    "lateral_topk",
+    "multimodal_image_resize_decoded",
+    "multimodal_video_temporal_diff",
+    "multimodal_audio_spectrum",
+    "embedding_pq_distortion",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,
