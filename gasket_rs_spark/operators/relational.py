@@ -1227,7 +1227,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery — the SQL spelling of top-k-per-group. Catalyst decorrelates
     this into a ranked window, which is exactly what the plan should be
     at scale (no per-row re-execution)."""
-    register_views_once(spark, sf_dir)
+    _register_sql_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
@@ -1244,8 +1244,10 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def register_views_once(spark: SparkSession, sf_dir: str) -> None:
-    """Temp views for SQL-surface witnesses (idempotent per session)."""
+def _register_sql_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for SQL-surface witnesses — re-registered per call
+    (createOrReplaceTempView is idempotent and sf_dir can change
+    between calls, so no memoization)."""
     from gasket_rs_spark.tables import register_views
 
     register_views(spark, sf_dir)
