@@ -178,3 +178,34 @@ def test_audio_spectrum_witness_shape(spark, sf_dir):
         assert 0 <= r.dom_bin <= r.n_samples // 2
         assert r.dom_freq_hz <= r.sample_rate / 2 + 1e-9  # Nyquist
         assert 0.0 <= r.centroid_bin <= r.n_samples // 2
+
+
+def test_resize_and_temporal_boundary_payloads(spark):
+    """Size-guard boundaries for the decoded ops: a 24-byte payload is
+    exactly 8 pixels (every resize block exactly 1 pixel); a 6-byte
+    video is 2 pixels -> 2 one-pixel frames -> exactly one diff pair."""
+    import numpy as np
+
+    from gasket_rs_spark.operators.multimodal import (
+        _RESIZE_BLOCKS,
+        build_media_payload,
+        decode_payload,
+        parse_ppm,
+    )
+
+    payload = bytes(range(24))
+    media = decode_payload(build_media_payload(payload, "image"), "image")
+    assert media.width == 8
+    M = media.values.reshape(8, 3)
+    bounds = [b * 8 // _RESIZE_BLOCKS for b in range(_RESIZE_BLOCKS + 1)]
+    assert bounds == list(range(9))  # every block exactly one pixel
+    assert np.array_equal(M.flatten(), np.frombuffer(payload, np.uint8))
+
+    stream = build_media_payload(bytes(range(6)), "video")
+    frames, pos = [], 0
+    while pos < len(stream):
+        w, h, vals, pos = parse_ppm(stream, pos)
+        frames.append(vals)
+    assert len(frames) == 2 and all(f.size == 3 for f in frames)
+    diff = np.abs(frames[0].astype(int) - frames[1].astype(int)).mean()
+    assert diff == 3.0  # bytes 0,1,2 vs 3,4,5
