@@ -80,6 +80,33 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the heuristic language-ID's
+    confusion matrix against the labeled lang column, with per-cell
+    share of the true class — the precision/recall raw material every
+    model-in-the-loop pipeline monitors. Binarized truth ('en' vs
+    'other') matches the predictor's output space; int/int shares
+    floor-snapped."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    markers = F.filter(toks, lambda t: t.isin(*_EN_MARKERS))
+    ratio = F.size(markers) / F.size(toks)
+    labeled = docs.select(
+        F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other")).alias("true_lang"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+    cells = labeled.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    class_tot = labeled.groupBy("true_lang").agg(F.count("*").alias("class_n"))
+    return cells.join(class_tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (F.floor(F.col("n") / F.col("class_n") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "share_of_true"
+        ),
+    )
+
+
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean token length, stopword ratio → score.
 
@@ -1244,6 +1271,22 @@ ORACLES: dict[str, str] = {
                count(DISTINCT source) AS n_sources
         FROM documents
         GROUP BY lang
+    """,
+    "lang_id_confusion": """
+        WITH labeled AS (
+            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS true_lang,
+                   CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+                             / len(string_split(text, ' ')) >= 0.08
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM documents
+        ), cells AS (
+            SELECT true_lang, pred_lang, count(*) AS n FROM labeled GROUP BY 1, 2
+        ), tot AS (
+            SELECT true_lang, count(*) AS class_n FROM labeled GROUP BY 1
+        )
+        SELECT c.true_lang, c.pred_lang, c.n,
+               floor(c.n * 1.0 / t.class_n * 1e6 + 0.5) / 1e6 AS share_of_true
+        FROM cells c JOIN tot t USING (true_lang)
     """,
     "text_lang_id": """
         SELECT doc_id, lang,
