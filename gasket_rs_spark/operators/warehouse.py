@@ -121,6 +121,37 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog derived from two table snapshots — the inverse of
+    MERGE: given per-customer revenue state at cutoff 1996 vs at end of
+    history, emit one change row per key (insert / update / unchanged,
+    with old and new values) — what a downstream incremental consumer
+    replays instead of re-reading the table. One aggregation pass builds
+    BOTH snapshots (conditional sums — the cutoff is a CASE, not a
+    second scan), so the diff needs no self-join at all."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderdate") < cutoff, F.col("o_totalprice")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("rev_v1"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev_v2"),
+        F.count_if(F.col("o_orderdate") < cutoff).alias("n_v1"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.when(F.col("n_v1") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("rev_v1"))
+        .alias("old_revenue"),
+        F.col("rev_v2").alias("new_revenue"),
+        F.when(F.col("n_v1") == 0, F.lit("insert"))
+        .when(F.col("rev_v1") != F.col("rev_v2"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic mergeable Bloom filter (build + broadcast probe)
 # ---------------------------------------------------------------------------
@@ -346,6 +377,23 @@ def _interleave_sql(x: str, y: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "snapshot_diff_changelog": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   round(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                                  THEN o_totalprice ELSE 0.0 END), 2) AS rev_v1,
+                   round(sum(o_totalprice), 2) AS rev_v2,
+                   count(*) FILTER (o_orderdate < TIMESTAMP '1997-01-01') AS n_v1
+            FROM orders GROUP BY 1
+        )
+        SELECT o_custkey,
+               CASE WHEN n_v1 = 0 THEN NULL ELSE rev_v1 END AS old_revenue,
+               rev_v2 AS new_revenue,
+               CASE WHEN n_v1 = 0 THEN 'insert'
+                    WHEN rev_v1 <> rev_v2 THEN 'update'
+                    ELSE 'unchanged' END AS change
+        FROM pc
+    """,
     "merge_into": f"""
         WITH o95 AS (
             SELECT * FROM orders
