@@ -1244,6 +1244,36 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): every supplier walks the
+    implicit binary-tree hierarchy parent(k) = k div 2 up to the root,
+    accumulating depth and the chain's account-balance sum — the
+    org-chart / BOM transitive-closure shape that needed iterative
+    driver loops before recursive CTEs landed. Chain length is
+    log2(maxkey) ≤ ~17, so the recursion is bounded and each step is
+    one equi-join against the (broadcast-sized) supplier dim."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT s_suppkey AS origin, CAST(s_suppkey AS BIGINT) AS node,
+                   0 AS depth, round(s_acctbal, 2) AS bal
+            FROM supplier
+            UNION ALL
+            SELECT w.origin, w.node div 2 AS node, w.depth + 1,
+                   coalesce(round(s.s_acctbal, 2), 0.0) AS bal
+            FROM walk w LEFT JOIN supplier s ON s.s_suppkey = w.node div 2
+            WHERE w.node > 0
+        )
+        SELECT origin AS s_suppkey,
+               max(depth) AS depth_to_root,
+               round(sum(bal), 2) AS chain_balance
+        FROM walk
+        GROUP BY origin
+        """
+    )
+
+
 def _register_sql_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for SQL-surface witnesses — re-registered per call
     (createOrReplaceTempView is idempotent and sf_dir can change
@@ -1672,6 +1702,23 @@ ORACLES: dict[str, str] = {
                CAST(sum(rk_nulls_last) AS BIGINT) AS sum_rk_last
         FROM ranked
         GROUP BY variant IS NULL
+    """,
+    "recursive_hierarchy": """
+        WITH RECURSIVE walk AS (
+            SELECT s_suppkey AS origin, CAST(s_suppkey AS BIGINT) AS node,
+                   0 AS depth, round(s_acctbal, 2) AS bal
+            FROM supplier
+            UNION ALL
+            SELECT w.origin, w.node // 2 AS node, w.depth + 1,
+                   coalesce(round(s.s_acctbal, 2), 0.0) AS bal
+            FROM walk w LEFT JOIN supplier s ON s.s_suppkey = w.node // 2
+            WHERE w.node > 0
+        )
+        SELECT origin AS s_suppkey,
+               CAST(max(depth) AS INT) AS depth_to_root,
+               round(sum(bal), 2) AS chain_balance
+        FROM walk
+        GROUP BY origin
     """,
     "lateral_topk": """
         SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
