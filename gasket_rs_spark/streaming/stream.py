@@ -452,7 +452,76 @@ def q_stream_incremental_dedup_pipeline(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def q_stream_static_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join executed IN the streaming plan: the event
+    stream joins a static event-type dimension (weight = len(type),
+    deterministic) before the sink — Spark re-plans the static side per
+    microbatch, the standard streaming-enrichment shape (dims broadcast;
+    no state store involved). Sink rows carry the batch id (idempotent
+    overwrite per partition, as the other pipelines); the witness
+    aggregates the sink, which is batch-split invariant because the
+    join is row-local — so a real multi-microbatch stream-static join
+    is oracle-checked EXACT against the plain batch join."""
+    from ..tables import load as _load
+
+    src, sink, ckpt = _staged_events_scratch(spark, sf_dir, "sj_sink", "sj_ckpt")
+    schema = spark.read.parquet(src).schema
+    static_dim = (
+        _load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(static_dim), "event_type")  # stream-static join
+        .select("event_id", "event_type", "value", "weight")
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(180):
+        query.stop()
+        raise TimeoutError("stream-static join pipeline exceeded 180s")
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("weight").alias("weight"),
+            (F.floor(F.sum(F.col("value") * F.col("weight")) * 10000 + 0.5) / 10000).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_static_join_pipeline": """
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(len(event_type) AS DOUBLE) AS weight
+            FROM events
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               max(d.weight) AS weight,
+               floor(sum(e.value * d.weight) * 10000 + 0.5) / 10000 AS weighted_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
     "stream_incremental_dedup_pipeline": """
         WITH h AS (
             SELECT event_type,
