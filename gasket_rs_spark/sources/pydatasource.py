@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -78,16 +84,56 @@ class GasketEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        for i in range(partition.start, partition.end):
-            h = _mix64(i)
-            etype = _EVENT_TYPES[h % len(_EVENT_TYPES)]
-            if self.keep_types is not None and etype not in self.keep_types:
+        for row in _gen_rows(partition.start, partition.end):
+            if self.keep_types is not None and row[2] not in self.keep_types:
                 continue
-            yield (i, h % 100, etype, (h >> 8 & 0xFFFF) / 655.36)
+            yield row
+
+
+class GasketEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the connector (Spark 4 Python streaming source):
+    offsets are plain row indexes, each microbatch emits the next
+    ``batch_rows`` rows of the SAME splitmix64 stream the batch reader
+    generates — so stream output is a prefix of the batch scan by
+    construction (pinned in tests/test_sources.py), and any offset range
+    can be regenerated for replay (``readBetweenOffsets`` falls back to
+    ``read`` semantics via the stored start offset).
+
+    Reference parity: this is R4's source stage under R3's
+    WorkSchedule::Unit — initialOffset/read is schedule(), the row range
+    is the unit, and the engine's checkpointed commit() is the tether's
+    progress tracking."""
+
+    def __init__(self, options) -> None:
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self):  # noqa: N802 (API name)
+        return {"idx": 0}
+
+    def read(self, start):
+        lo = start["idx"]
+        hi = lo + self.batch_rows
+        # a LIST, not a generator: the engine pickles prefetched rows
+        # into its block cache for exactly-once replay
+        return list(_gen_rows(lo, hi)), {"idx": hi}
+
+    def readBetweenOffsets(self, start, end):  # noqa: N802 (API name)
+        return list(_gen_rows(start["idx"], end["idx"]))
+
+    def commit(self, end) -> None:
+        pass  # stateless source: nothing to release
+
+
+def _gen_rows(lo: int, hi: int):
+    for i in range(lo, hi):
+        h = _mix64(i)
+        etype = _EVENT_TYPES[h % len(_EVENT_TYPES)]
+        yield (i, h % 100, etype, (h >> 8 & 0xFFFF) / 655.36)
 
 
 class GasketEventsDataSource(DataSource):
-    """spark.read.format("gasket_events").option("rows", N).load()"""
+    """spark.read.format("gasket_events").option("rows", N).load()
+    or spark.readStream.format("gasket_events").load()"""
 
     @classmethod
     def name(cls) -> str:
@@ -98,6 +144,9 @@ class GasketEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> GasketEventsReader:
         return GasketEventsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> GasketEventsStreamReader:  # noqa: N802
+        return GasketEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

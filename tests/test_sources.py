@@ -326,3 +326,44 @@ def test_ignore_corrupt_files_salvages_scan(spark, sf_dir):
                 spark.read.schema(orders.schema).parquet(d).count()
         finally:
             spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+
+
+def test_python_streaming_source_prefix_of_batch(spark):
+    """Spark 4 Python STREAMING data source: the custom connector's
+    stream output must be an exact prefix of its batch scan (same
+    splitmix64 generation), contiguous and duplicate-free across
+    microbatches."""
+    import time
+
+    from gasket_rs_spark.sources.pydatasource import register
+
+    register(spark)
+    query = (
+        spark.readStream.format("gasket_events")
+        .option("batch_rows", 100)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("pyds_stream").count() >= 250:
+                break
+            time.sleep(1)
+        streamed = spark.table("pyds_stream").orderBy("event_id").collect()
+    finally:
+        query.stop()
+    assert len(streamed) >= 250
+    ids = [r.event_id for r in streamed]
+    assert ids == list(range(len(ids))), "contiguous, no dupes/gaps"
+    batch = (
+        spark.read.format("gasket_events")
+        .option("rows", len(ids))
+        .load()
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
