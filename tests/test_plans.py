@@ -413,3 +413,53 @@ def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert count_operator(df, "WindowGroupLimit") >= 2  # partial + final
+
+
+def test_aggregate_pushdown_reaches_v2_parquet_scan(spark, sf_dir):
+    """COUNT(*) pushes into the v2 parquet scan (answered from footer
+    metadata, zero row reads) when aggregate pushdown is on — the
+    100 TB 'count the table' must not scan the table."""
+    from gasket_rs_spark.plans.inspect import explain_formatted
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        plan = explain_formatted(df.agg(F.count("*").alias("n")))
+        assert "PushedAggregation: [COUNT(*)]" in plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        if old is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_runtime_bloom_filter_join_available(spark, sf_dir):
+    """Row-level runtime filtering: with a selective build side and no
+    broadcast, the optimizer injects a bloom filter on the probe side —
+    the shuffle-volume reducer for selective fact-fact joins at scale.
+    (Size thresholds are lowered to make tiny test data eligible; the
+    feature itself ships enabled.)"""
+    from gasket_rs_spark.plans.inspect import explain_formatted as fmt
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = li.join(
+            orders.where(F.col("o_totalprice") > 350000),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        plan = fmt(j.groupBy("l_returnflag").count())
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

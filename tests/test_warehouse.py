@@ -268,3 +268,46 @@ def test_scd2_chain_fuzz_properties(spark, seed, sf_dir):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from
         assert rows[-1].valid_to is None
+
+
+def test_zorder_write_narrows_file_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """The layout payoff, measured on REAL files: writing lineitem
+    range-partitioned + sorted by the Morton key must make per-file
+    min/max ranges narrow on BOTH interleaved dimensions, while a
+    single-dim sort leaves the other dimension's per-file range at full
+    width — the reason z-order beats plain sorting for 2-D predicates."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.warehouse import _interleave
+    from gasket_rs_spark.tables import load
+
+    # hash-derived INDEPENDENT dims (the fixture's partkey/suppkey are
+    # correlated, which would let a single-dim sort cluster both)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(256)).cast("int").alias("px"),
+        F.pmod(F.xxhash64("l_partkey", "l_suppkey"), F.lit(256)).cast("int").alias("sy"),
+    )
+    zed = li.withColumn("zval", _interleave(F.col("px"), F.col("sy")))
+
+    def avg_file_ranges(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        stats = df.groupBy("f").agg(
+            (F.max("px") - F.min("px")).alias("rpx"),
+            (F.max("sy") - F.min("sy")).alias("rsy"),
+        ).agg(F.avg("rpx").alias("apx"), F.avg("rsy").alias("asy")).collect()[0]
+        return stats.apx, stats.asy
+
+    z_path = str(tmp_path / "zorder")
+    zed.repartitionByRange(16, "zval").sortWithinPartitions("zval").write.parquet(z_path)
+    s_path = str(tmp_path / "single")
+    zed.repartitionByRange(16, "px").sortWithinPartitions("px").write.parquet(s_path)
+
+    z_px, z_sy = avg_file_ranges(z_path)
+    s_px, s_sy = avg_file_ranges(s_path)
+    # single-dim layout: px tightly clustered, sy at ~full width
+    assert s_px < 80 and s_sy > 200
+    # z-order: BOTH dimensions well below full width simultaneously
+    # (quantile range boundaries straddle bit prefixes, so per-file
+    # ranges run up to ~2x the ideal prefix width — still far from 255)
+    assert z_px < 176 and z_sy < 176
+    assert z_sy < s_sy / 1.5, "z-order must beat single-dim sort on the other dim"
