@@ -574,6 +574,61 @@ def q_multimodal_image_resize_decoded(spark: SparkSession, sf_dir: str) -> DataF
     return docs.mapInPandas(extract, RESIZE_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by average hash (aHash): each decoded
+    raster reduces to 8 block-gray means, each block contributes one bit
+    (mean above the image's overall mean), and images sharing an 8-bit
+    hash form candidate duplicate groups — the standard cheap
+    image-near-dup baseline, bridging the multimodal decode path into
+    the dedup family. All comparisons are integer-sum / count divisions,
+    so the hash (and thus every group) is engine-exact; the witness
+    emits the collision groups (hash, n_images, representative).
+
+    Scale: one Arrow-batched decode pass emitting 8 bytes per asset,
+    then a groupBy on the hash — the same shuffle shape as exact text
+    dedup. A production variant widens to 64-bit aHash + banded Hamming
+    join (the SimHash machinery in dedup.py applies unchanged)."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "image")
+        & (F.length("payload") >= 3 * _RESIZE_BLOCKS)
+    ).select("doc_id", "payload")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), "image"), "image"
+                )
+                p = media.width
+                M = media.values.reshape(p, 3).astype(np.int64)
+                total_mean = M.sum() / (3 * p)
+                bounds = [b * p // _RESIZE_BLOCKS for b in range(_RESIZE_BLOCKS + 1)]
+                h = 0
+                for b in range(_RESIZE_BLOCKS):
+                    lo, hi = bounds[b], bounds[b + 1]
+                    block_mean = M[lo:hi].sum() / (3 * (hi - lo))
+                    if block_mean > total_mean:
+                        h |= 1 << b
+                rows.append((doc_id, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    hashed = docs.mapInPandas(hashes, AHASH_SCHEMA)
+    return (
+        hashed.groupBy("ahash")
+        .agg(F.count("*").alias("n_images"), F.min("doc_id").alias("rep_doc"))
+        .where(F.col("n_images") >= 2)
+    )
+
+
 TEMPORAL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -726,6 +781,37 @@ ORACLES: dict[str, str] = {
                      i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi AND (i - 1) % 3 = 2)))
                      AS DOUBLE) / (hi - lo) * 1000000 + 0.5) / 1000000 AS mean_b
         FROM blocks
+    """,
+    "image_ahash_dedup": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
+            FROM documents
+            WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 24
+        ), s AS (
+            SELECT doc_id, p,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c))[1 : p * 3] AS b
+            FROM t
+        ), blocks AS (
+            SELECT doc_id, p, b, u.blk,
+                   (p * u.blk) // 8 AS lo, (p * (u.blk + 1)) // 8 AS hi
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS blk) u
+        ), bits AS (
+            SELECT doc_id, blk,
+                   CASE WHEN CAST(list_sum(list_select(b, list_filter(range(1, p * 3 + 1),
+                             i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi)))
+                             AS DOUBLE) / (3 * (hi - lo))
+                        > CAST(list_sum(b) AS DOUBLE) / (3 * p)
+                        THEN 1::BIGINT << blk ELSE 0 END AS bit
+            FROM blocks
+        ), hashed AS (
+            SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ahash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT ahash, count(*) AS n_images, min(doc_id) AS rep_doc
+        FROM hashed
+        GROUP BY ahash
+        HAVING count(*) >= 2
     """,
     "multimodal_video_temporal_diff": """
         WITH t AS (
