@@ -101,6 +101,10 @@ EXTRAS = [
     "multimodal_video_temporal_diff",
     "multimodal_audio_spectrum",
     "embedding_pq_distortion",
+    "image_ahash_dedup",
+    "snapshot_diff_changelog",
+    "lang_id_confusion",
+    "recursive_hierarchy",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,
