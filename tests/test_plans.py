@@ -432,6 +432,10 @@ def test_aggregate_pushdown_reaches_v2_parquet_scan(spark, sf_dir):
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
         if old is not None:
             spark.conf.set("spark.sql.sources.useV1SourceList", old)
+        else:
+            # conf.get returns None for unset templated defaults — a
+            # skipped restore here leaks v2-everywhere to later tests
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
 
 
 def test_runtime_bloom_filter_join_available(spark, sf_dir):
@@ -463,3 +467,5 @@ def test_runtime_bloom_filter_join_available(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
