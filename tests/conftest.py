@@ -30,3 +30,31 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+# Guard against cross-module SQL-conf leaks: a test that sets a session
+# conf and fails to restore it silently changes every LATER module's
+# plans (bit us in round 8: a leaked useV1SourceList broke the DPP test
+# three modules downstream). Snapshot the explicitly-SET conf map per
+# module and diff-restore after it.
+@pytest.fixture(autouse=True, scope="module")
+def _sql_conf_guard(request):
+    if "spark" not in request.fixturenames:
+        yield
+        return
+    spark = request.getfixturevalue("spark")
+
+    def snapshot() -> dict[str, str]:
+        return {r.key: r.value for r in spark.sql("SET").collect()}
+
+    before = snapshot()
+    yield
+    after = snapshot()
+    for k, v in before.items():
+        if after.get(k) != v:
+            spark.conf.set(k, v)
+    for k in after.keys() - before.keys():
+        try:
+            spark.conf.unset(k)
+        except Exception:
+            pass  # non-SQL or immutable key: leave it
