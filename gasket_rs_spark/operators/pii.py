@@ -63,7 +63,60 @@ def q_pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation, audited: a deterministic
+    erasure list (user_id % 97 == 0 — the stand-in for a deletion-request
+    table) is scrubbed from the events fact via anti-join, and the
+    witness emits the compliance evidence per event_type: rows before,
+    rows after, rows erased, and — the self-audit every DPO asks for —
+    the count of erased-user rows REMAINING after the scrub (must be 0,
+    and being part of the hashed output, the oracle proves it is).
+
+    Scale: the erasure list is a broadcast anti-join against the fact
+    (deletion requests are always dim-sized); the audit is one
+    aggregation. The same plan serves TTL enforcement with a time
+    predicate in place of the key list."""
+    ev = load(spark, sf_dir, "events")
+    erase = ev.select("user_id").distinct().where(F.col("user_id") % 97 == 0)
+    scrubbed = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(F.count("*").alias("n_before"))
+    after = scrubbed.groupBy("event_type").agg(F.count("*").alias("n_after"))
+    leak = (
+        scrubbed.join(F.broadcast(erase), "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .join(leak, "event_type", "left")
+        .select(
+            "event_type",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_erased"),
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "gdpr_erasure_audit": """
+        WITH erase AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+        ), before_t AS (
+            SELECT event_type, count(*) AS n_before FROM events GROUP BY 1
+        ), after_t AS (
+            SELECT event_type, count(*) AS n_after
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM erase x WHERE x.user_id = e.user_id)
+            GROUP BY 1
+        )
+        SELECT b.event_type, b.n_before,
+               coalesce(a.n_after, 0) AS n_after,
+               b.n_before - coalesce(a.n_after, 0) AS n_erased,
+               CAST(0 AS BIGINT) AS n_leaked
+        FROM before_t b LEFT JOIN after_t a USING (event_type)
+    """,
     "pii_redact": """
         SELECT c_custkey,
                regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
