@@ -367,3 +367,40 @@ def test_python_streaming_source_prefix_of_batch(spark):
         .collect()
     )
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_manifest_write_verify_roundtrip_and_tamper(spark, sf_dir, tmp_path):
+    """write_with_manifest + verify_manifest: a clean roundtrip (and a
+    repartitioned copy — fingerprint is order/partitioning-insensitive)
+    verifies ok; dropping a data file is detected."""
+    import glob
+    import os
+
+    from gasket_rs_spark.sources.io import (
+        verify_manifest,
+        write_with_manifest,
+    )
+    from gasket_rs_spark.tables import load
+
+    path = str(tmp_path / "with_manifest")
+    df = load(spark, sf_dir, "orders").repartition(4)
+    manifest = write_with_manifest(df, path)
+    assert manifest["rows"] > 0
+
+    res = verify_manifest(spark, path)
+    assert res["ok"], res
+
+    # a differently-partitioned byte-identical copy carries the same facts
+    copy = str(tmp_path / "copy")
+    spark.read.parquet(path).repartition(7).write.parquet(copy)
+    import json, shutil
+
+    shutil.copy(os.path.join(path, "_MANIFEST.json"), os.path.join(copy, "_MANIFEST.json"))
+    assert verify_manifest(spark, copy)["ok"]
+
+    # tamper: drop one data file -> rows and fingerprint both flip
+    victim = sorted(glob.glob(os.path.join(path, "part-*.parquet")))[0]
+    os.remove(victim)
+    res2 = verify_manifest(spark, path)
+    assert not res2["ok"]
+    assert res2["actual"]["rows"] < res2["expected"]["rows"]
