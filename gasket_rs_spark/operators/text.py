@@ -852,6 +852,64 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking — the retrieval capstone over the inverted-index
+    statistics: for the corpus's two highest-df probe terms
+    (deterministic tiebreak), every document is scored with
+    idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avglen)) and the top-10 per term
+    are returned. idf uses the standard Robertson form
+    ln((N−df+0.5)/(df+0.5)+1). One (doc, term) count aggregation, doc
+    lengths ride the same shuffle, N/avglen broadcast from a 1-row
+    aggregate, df from a broadcast of the 2-term probe set — at scale
+    this is the scoring join a search backend runs, shuffling only the
+    postings of the probed terms. Scores floor-snapped at 1e-6; ordering
+    uses the snapped score with doc_id tiebreak so the cut is
+    engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    probes = df_t.orderBy(F.col("df").desc(), "tok").limit(2)
+    scored = (
+        tf.join(F.broadcast(probes), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "score_raw",
+            F.col("idf")
+            * F.col("tf") * (_BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl"))
+            ),
+        )
+        .withColumn("score", F.floor(F.col("score_raw") * 1e6 + F.lit(0.5)) / 1e6)
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select("tok", "rnk", "doc_id", "tf", "dl", "score")
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document — the information-theoretic
     quality signal complementing the ratio-based score (low entropy =
@@ -889,6 +947,38 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), doclen AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl FROM doclen
+        ), df_t AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        ), probes AS (
+            SELECT tok, df FROM df_t ORDER BY df DESC, tok LIMIT 2
+        ), scored AS (
+            SELECT t.tok, t.doc_id, t.tf, d.dl,
+                   floor(ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
+                         * t.tf * ({_BM25_K1} + 1)
+                         / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avg_dl))
+                         * 1e6 + 0.5) / 1e6 AS score
+            FROM tf t
+            JOIN probes p USING (tok)
+            JOIN doclen d USING (doc_id)
+            CROSS JOIN stats s
+        )
+        SELECT tok, CAST(rnk AS INT) AS rnk, doc_id, tf, dl, score
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY tok
+                                         ORDER BY score DESC, doc_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {_BM25_TOPK}
+    """,
     "text_feature_hashing": f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
