@@ -156,6 +156,46 @@ def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_WIN = 10  # rolling frame: the 10 preceding observations
+_Z_THRESH = 3.0
+
+
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value is scored
+    against the mean/stddev of its user's 10 PRECEDING events (frame
+    excludes the current row — scoring against your own value hides
+    spikes), |z| > 3 flags an anomaly; the witness aggregates per event
+    type: points scored, anomalies, and the max |z| — the standard
+    streaming-metrics outlier monitor in batch form. Windows are
+    user-partitioned (scale-safe); z is floor-snapped at 6dp BEFORE the
+    threshold compare so a point within one ulp of 3.0 cannot flip
+    between engines; rows without a full preceding frame (fewer than 2
+    observations or zero variance) are excluded from scoring."""
+    ev = _events_sec(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(-_Z_WIN, -1)
+    )
+    scored = (
+        ev.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sd", F.stddev_samp(F.col("value")).over(w))
+        .where(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        .withColumn(
+            "z",
+            F.floor(
+                F.abs((F.col("value") - F.col("mu")) / F.col("sd")) * 1e6 + F.lit(0.5)
+            )
+            / 1e6,
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.col("z") > _Z_THRESH).cast("int")).alias("n_anomalies"),
+        F.max("z").alias("max_z"),
+    )
+
+
 _COOC_TOPK = 20
 
 
@@ -271,6 +311,29 @@ def q_distribution_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "rolling_zscore_anomalies": f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, value,
+                   epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), scored AS (
+            SELECT event_type,
+                   floor(abs((value - avg(value) OVER w) / (stddev_samp(value) OVER w))
+                         * 1e6 + 0.5) / 1e6 AS z,
+                   stddev_samp(value) OVER w AS sd
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                         ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               count(*) AS n_scored,
+               CAST(sum(CASE WHEN z > {_Z_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_anomalies,
+               max(z) AS max_z
+        FROM scored
+        WHERE sd IS NOT NULL AND sd > 0
+        GROUP BY event_type
+    """,
     "supplier_cooccurrence": f"""
         WITH d AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
