@@ -910,6 +910,77 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: regress log(frequency) on log(rank) over the
+    top-100 tokens — natural corpora sit near slope −1; a synthetic or
+    template-heavy corpus shows up immediately in the slope and fit.
+    Rank via one ordered window over the (bounded) top-k token set;
+    slope/intercept/r2 from the one-pass regr_* aggregates; snapped with
+    the floor-grid trick."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), "tok").limit(100)
+    # single-partition window over the POST-LIMIT 100 rows only — bounded
+    # by construction, not a corpus-wide sort
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("freq").desc(), "tok")
+    ranked = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("freq").cast("double")).alias("ly"),
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+    )
+
+    def snap6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return ranked.agg(
+        F.regr_count("ly", "lx").alias("n_tokens"),
+        snap6(F.regr_slope("ly", "lx")).alias("zipf_slope"),
+        snap6(F.regr_r2("ly", "lx")).alias("fit_r2"),
+    )
+
+
+def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-BIGRAM count as
+    the corpus grows through 10 doc_id-ordered buckets (bigrams, not
+    unigrams: the fixture's unigram vocabulary saturates in the first
+    bucket, which is exactly the degenerate case the curve detects).
+    Computed without any cumulative re-scan: each bigram's FIRST bucket
+    of appearance is a min-aggregate (8-byte state), new-type counts per
+    bucket follow, and the cumulative curve is a 10-row window —
+    sublinear growth is the naturalness sanity check; a flat tail means
+    boilerplate."""
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.agg(F.max("doc_id").alias("mx"))
+    bigrams = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b))"
+    )
+    toks = docs.crossJoin(F.broadcast(bounds)).select(
+        # explicit floor: Spark's double->int cast truncates but DuckDB's
+        # CAST rounds — floor() spelled on both sides removes the trap
+        F.least(
+            F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        F.explode(bigrams).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("bucket").alias("first_bucket"))
+    new_per = firsts.groupBy("first_bucket").agg(F.count("*").alias("new_tokens"))
+    # single-partition window over <= 10 bucket rows — bounded by design
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("first_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return new_per.select(
+        F.col("first_bucket").alias("bucket"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_cum"),
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document — the information-theoretic
     quality signal complementing the ratio-based score (low entropy =
@@ -947,6 +1018,51 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "corpus_zipf_slope": """
+        WITH counts AS (
+            SELECT tok, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ), top AS (
+            SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 100
+        ), ranked AS (
+            SELECT ln(CAST(freq AS DOUBLE)) AS ly,
+                   ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS lx
+            FROM top
+        )
+        SELECT regr_count(ly, lx) AS n_tokens,
+               floor(regr_slope(ly, lx) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+               floor(regr_r2(ly, lx) * 1e6 + 0.5) / 1e6 AS fit_r2
+        FROM ranked
+    """,
+    "corpus_heaps_curve": """
+        WITH mx AS (
+            SELECT max(doc_id) AS mx FROM documents
+        ), ex AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS tok
+            FROM ex
+        ), toks AS (
+            SELECT least(CAST(floor(b.doc_id * 10.0 / (mx.mx + 1)) AS INT), 9) AS bucket,
+                   b.tok
+            FROM bg b CROSS JOIN mx
+            WHERE b.tok IS NOT NULL
+        ), firsts AS (
+            SELECT tok, min(bucket) AS first_bucket FROM toks GROUP BY tok
+        ), new_per AS (
+            SELECT first_bucket, count(*) AS new_tokens FROM firsts GROUP BY 1
+        )
+        SELECT first_bucket AS bucket, new_tokens,
+               CAST(sum(new_tokens) OVER (ORDER BY first_bucket
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_cum
+        FROM new_per
+    """,
     "text_bm25_topk": f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
