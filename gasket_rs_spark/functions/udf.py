@@ -174,9 +174,103 @@ def q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (Spark 4 `useArrow=True`) — the third
+    UDF execution mode next to row-pickled Python UDFs (never used here)
+    and vectorized pandas UDFs: per-row Python semantics but Arrow-batch
+    transfer, the right tool when logic is genuinely scalar (no vector
+    form) yet serialization must not dominate. The witness applies a
+    piecewise fee function no built-in expresses naturally, aggregated
+    per status — oracle recomputes the same piecewise CASE in SQL."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType=DoubleType(), useArrow=True)
+    def shipping_fee(total: float) -> float:
+        if total is None:
+            return 0.0
+        if total < 50_000:
+            return 25.0
+        if total < 150_000:
+            return round(total * 0.0004, 6)
+        return 80.0
+
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("fee", shipping_fee(F.col("o_totalprice")))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.floor(F.sum("fee") * 10000 + F.lit(0.5)) / 10000).alias("total_fees"),
+        )
+    )
+
+
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the RecordBatch-level escape hatch below mapInPandas
+    (no pandas conversion at all; columnar pyarrow compute end to end).
+    The kernel is deliberately per-row-pure (batch-dependent results
+    would vary with partitioning): cents-rounded totals and a price-band
+    tag via pyarrow.compute case_when/round, aggregated per band. The
+    oracle recomputes the same bands in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            total = batch.column("o_totalprice")
+            band = pc.case_when(
+                pc.make_struct(
+                    pc.less(total, 100_000.0),
+                    pc.less(total, 250_000.0),
+                ),
+                pa.scalar("low"),
+                pa.scalar("mid"),
+                pa.scalar("high"),
+            )
+            cents = pc.round(pc.multiply(total, 100.0), 0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("o_orderkey"), band, cents],
+                ["o_orderkey", "band", "cents"],
+            )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    banded = orders.mapInArrow(batches, "o_orderkey bigint, band string, cents double")
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        (F.floor(F.sum("cents") + F.lit(0.5))).cast("bigint").alias("sum_cents"),
+    )
+
+
 from gasket_rs_spark.operators.relational import ORACLES as _RELATIONAL_ORACLES
 
 ORACLES: dict[str, str] = {
+    "arrow_python_udf": """
+        WITH f AS (
+            SELECT o_orderstatus,
+                   CASE WHEN o_totalprice IS NULL THEN 0.0
+                        WHEN o_totalprice < 50000 THEN 25.0
+                        WHEN o_totalprice < 150000 THEN round(o_totalprice * 0.0004, 6)
+                        ELSE 80.0 END AS fee
+            FROM orders
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               floor(sum(fee) * 10000 + 0.5) / 10000 AS total_fees
+        FROM f
+        GROUP BY o_orderstatus
+    """,
+    "map_in_arrow": """
+        WITH b AS (
+            SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                        WHEN o_totalprice < 250000 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   round(o_totalprice * 100.0, 0) AS cents
+            FROM orders
+        )
+        SELECT band, count(*) AS n_orders,
+               CAST(floor(sum(cents) + 0.5) AS BIGINT) AS sum_cents
+        FROM b
+        GROUP BY band
+    """,
     # same contract as the JVM as-of join -- one oracle serves both
     "asof_join_cogrouped": _RELATIONAL_ORACLES["asof_join"],
     "text_bigrams_udtf": """
