@@ -141,9 +141,22 @@ HEADLINE_V1 = [
 ]
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — the container-external-contention proxy
+    the r8/r9 bench forensics used (a shared box inflates every timing
+    uniformly; SCALE.md rounds 4/7/8/9). Recorded in BENCH_DETAIL so a
+    cross-round regression can be read against the load it ran under."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_avg_start = _loadavg()
 
     from gasket_rs_spark.registry import all_queries
     from gasket_rs_spark.session import get_session
@@ -233,6 +246,11 @@ def main() -> None:
             # visibility only; not a median series, not in any headline).
             "extras": extras,
             "extras_total_sec": round(sum(extras.values()), 3),
+            # Load proxy bracketing the run (VERDICT r8 #7): start is the
+            # pre-existing box load; end includes this bench's own local[N]
+            # threads, so START is the contention signal to read.
+            "load_avg_start": load_avg_start,
+            "load_avg_end": _loadavg(),
         }
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -205,7 +205,11 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cosine over order sets — co(a,b) / sqrt(n(a)·n(b)) — top-20 by
     support. The pair self-join is keyed on the ORDER (bounded basket:
     an order has a handful of lines), so pair volume is linear in
-    orders, never suppliers² — the standard market-basket shape. Snap
+    orders, never suppliers² — the standard market-basket shape. The
+    per-supplier count frame is SF-scaled (10k×SF rows), so its joins
+    carry NO broadcast hint — AQE broadcasts while small and sort-merges
+    at the 100× target, same policy as every other SF-scaled join
+    (VERDICT r8 #5; pinned in tests/test_plans.py). Snap
     at 6dp; (co DESC, s1, s2) makes the top-k deterministic."""
     d = (
         load(spark, sf_dir, "lineitem")
@@ -223,11 +227,11 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.groupBy("l_suppkey").agg(F.count("*").alias("n_orders"))
     scored = (
         pairs.join(
-            F.broadcast(n.select(F.col("l_suppkey").alias("s1"), F.col("n_orders").alias("n1"))),
+            n.select(F.col("l_suppkey").alias("s1"), F.col("n_orders").alias("n1")),
             "s1",
         )
         .join(
-            F.broadcast(n.select(F.col("l_suppkey").alias("s2"), F.col("n_orders").alias("n2"))),
+            n.select(F.col("l_suppkey").alias("s2"), F.col("n_orders").alias("n2")),
             "s2",
         )
         .select(

@@ -303,18 +303,18 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
     (min 1.99 s vs 1.61 s) — the premium for bounded executor memory.
     ``element_at`` indexes a materialized attribute (no HOF re-evaluation
     trap, which applies to DERIVED arrays referenced in lambdas)."""
-    from pyspark import StorageLevel
-
-    b = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize the (small, occupancy-capped) candidate set eagerly so
-    # the full banded frame's cache can be released immediately — without
-    # this the persist leaked for the session lifetime (ADVICE r7). Same
-    # pattern as the incremental-ingest path below (localCheckpoint then
-    # unpersist); lineage truncation also stops the verify join from
-    # re-running the banding.
-    cands = _lsh_candidates_plan(b).localCheckpoint(eager=True)
-    b.unpersist()
-    return cands
+    # Share the banding across its three consumers (stats, cold, star) via
+    # localCheckpoint, NOT persist: a persist here leaked for the session
+    # lifetime (ADVICE r7), and the r8 fix — eagerly checkpointing the
+    # CANDIDATE set so the persist could be released — forced a blocking
+    # extra materialization that cost a durable ~2s on
+    # dedup_components_lsh at sf0.1 (round-9 same-session bisect, 3
+    # interleaved passes: eager-candidates 5.1-6.7s vs 3.0-3.5s for this
+    # shape ≈ the round-7 lazy baseline; SCALE.md round-9 forensics).
+    # Checkpoint blocks are freed by the ContextCleaner once the returned
+    # plan is dereferenced, so no session-lifetime leak; the candidate
+    # plan stays lazy and fuses with the caller's verify join.
+    return _lsh_candidates_plan(banded.localCheckpoint(eager=True))
 
 
 def _lsh_candidates_plan(b: DataFrame) -> DataFrame:
@@ -504,14 +504,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with bit_count(XOR) per block. Rows-only oracle (xxhash64 is
     engine-specific).
     """
-    from pyspark import StorageLevel
-
-    # Repartition for the same single-file-input reason as _minhash_base;
-    # persist because banding and both verify branches consume the sigs.
+    # Repartition for the same single-file-input reason as _minhash_base.
     docs = (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-SimHash near-dup pairs over ANY (doc_id, text) frame —
+    shared by the document witness above and the paragraph-granularity
+    witness (q_dedup_simhash_paragraph), so both grains ride the same
+    pigeonhole-complete candidate scheme and Hamming verify."""
+    from pyspark import StorageLevel
+
+    # persist because banding and both verify branches consume the sigs.
     sigs = _simhash_blocks(docs).persist(StorageLevel.MEMORY_AND_DISK)
     candidates = _simhash_candidates(sigs)
     sig_a = sigs.select(

@@ -470,15 +470,22 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral features over decoded PCM: dominant frequency bin (rFFT
     argmax excluding DC) and spectral centroid per clip — the first step
     of any audio fingerprint / content-classification pipeline. numpy
-    rFFT per Arrow batch; the transform is not SQL-expressible, so the
-    witness is rows-only with the physics pinned in pytest instead:
-    synthetic sine WAVs at known frequencies must land their energy in
-    the predicted bin (tests/test_multimodal_decode.py).
+    rFFT per Arrow batch; EXACT-oracled since round 9 (VERDICT r8 #6):
+    clips are ≤~600 samples, so the DuckDB twin runs the naive O(n²) DFT
+    (cos/sin sums with the angle reduced as 2π·((k·i) mod n)/n, keeping
+    both engines' trig arguments in [0, 2π) — measured bit-identical to
+    numpy's rFFT after the 1e-4 snap at every SF). The physics stays
+    pinned in pytest too: synthetic sine WAVs at known frequencies must
+    land their energy in the predicted bin
+    (tests/test_multimodal_decode.py).
 
     Argmax ties break toward the LOWEST bin (np.argmax's first-max rule,
-    stated so reruns and engines can't disagree); centroid is snapped on
-    the 1e-4 grid. Scale shape: identical to the other decode witnesses —
-    one Arrow-batched pass, fixed small output row per asset.
+    mirrored in the oracle as min(k) over max-magnitude bins); centroid
+    is snapped on the 1e-4 grid; dom_freq_hz = dom·8000/n can never land
+    on the half-grid (n ≤ 577 lacks the 2^11 factor the half-grid would
+    need). Scale shape: identical to the other decode witnesses —
+    one Arrow-batched pass, fixed small output row per asset; the
+    quadratic DFT lives only in the oracle.
     """
     docs = with_payload(load(spark, sf_dir, "documents")).where(
         (F.col("modality") == "audio") & (F.length("payload") >= 3)
@@ -853,6 +860,49 @@ ORACLES: dict[str, str] = {
                     i -> list_extract(st, i) * list_extract(st, i + 1) < 0))
                     AS BIGINT) AS zero_crossings
         FROM s
+    """,
+    "multimodal_audio_spectrum": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 3
+        ), s AS (
+            SELECT doc_id, n,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST((unicode(c) - 128) * 256 AS DOUBLE)) AS st
+            FROM t
+        ), ks AS (
+            SELECT doc_id, n, st, unnest(range(1, n // 2 + 1)) AS k FROM s
+        ), mags AS (
+            -- naive O(n^2) DFT magnitude per (doc, bin): angle reduced
+            -- mod n BEFORE the trig so both engines evaluate cos/sin on
+            -- arguments in [0, 2*pi) (large-argument reduction drift is
+            -- the cross-engine risk; numpy's rFFT uses exact roots of
+            -- unity, equivalent to this reduction)
+            SELECT doc_id, n, k,
+                   sqrt(
+                     pow(list_sum(list_transform(range(0, n),
+                         i -> st[i + 1] * cos(2 * pi() * ((k * i) % n) / n))), 2)
+                   + pow(list_sum(list_transform(range(0, n),
+                         i -> st[i + 1] * sin(2 * pi() * ((k * i) % n) / n))), 2)
+                   ) AS mag
+            FROM ks
+        ), agg AS (
+            SELECT doc_id, any_value(n) AS n, max(mag) AS mx,
+                   sum(k * mag) / sum(mag) AS centroid
+            FROM mags GROUP BY doc_id
+        ), dom AS (
+            -- np.argmax first-max rule: lowest bin among max-magnitude
+            SELECT m.doc_id, min(m.k) AS dom
+            FROM mags m JOIN agg a ON m.doc_id = a.doc_id AND m.mag = a.mx
+            GROUP BY m.doc_id
+        )
+        SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_samples,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(d.dom AS BIGINT) AS dom_bin,
+               floor(CAST(d.dom AS DOUBLE) * 8000 / a.n * 10000 + 0.5) / 10000
+                   AS dom_freq_hz,
+               floor(a.centroid * 10000 + 0.5) / 10000 AS centroid_bin
+        FROM agg a JOIN dom d USING (doc_id)
     """,
     "multimodal_decode_stats": """
         WITH t AS (

@@ -443,10 +443,21 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str):
             .cast("bigint") % 16,
         )
         .where(F.col("bucket") < 4)
-        .select("embedding")
+        # Deterministic selection (ADVICE r8): limit() on an unordered
+        # frame is partitioning-dependent, so codebooks (and every
+        # number built on them) would vary run to run once the bucket
+        # filter yields >2000 rows. Min-2000-by-vec_id is a TakeOrdered
+        # (no full sort) and reproducible on any layout.
+        .orderBy("vec_id")
         .limit(2000)
+        .select("embedding")
     )
     X = np.array([r["embedding"] for r in sample.collect()], dtype=np.float64)
+    if len(X) < _PQ_K:
+        raise ValueError(
+            f"PQ training sample has {len(X)} rows; need >= {_PQ_K} "
+            "(k-means init draws K distinct rows without replacement)"
+        )
     dim = X.shape[1]
     sub = dim // _PQ_SUBSPACES
     rng = np.random.RandomState(42)

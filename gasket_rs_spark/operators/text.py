@@ -581,8 +581,9 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation chrome); this is the pass that removes it.
 
     Scale shape (the 100 TB story): the first-occurrence table is a
-    ``groupBy(line)`` **min** over an int64 ``doc_id*2^20+pos`` key —
-    fixed 8-byte state, fully map-side combinable, so a boilerplate line
+    ``groupBy(line)`` **min** over a ``(doc_id, pos)`` struct key —
+    fixed 16-byte state, fully map-side combinable (and collision-free
+    for any document size, unlike an int64 bit-packing), so a boilerplate line
     repeated a billion times still contributes one row per map partition
     to the shuffle. The keep-filter is then an equi-join back on the line
     (1:1 against the firsts table, AQE skew-split for hot lines), and
@@ -599,13 +600,17 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def line_dedup(docs: DataFrame) -> DataFrame:
     """Core of q_text_line_dedup over any (doc_id, text) frame."""
     seg_arr = F.regexp_extract_all("text", F.lit(_LINE_SEG_PATTERN), 0)
-    segs = docs.select(
-        "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
-    ).withColumn("k", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
-    firsts = segs.groupBy("seg").agg(F.min("k").alias("first_k"))
+    # First-occurrence key is a (doc_id, pos) STRUCT min — lexicographic,
+    # fixed 16-byte aggregation state, map-side combinable, and correct
+    # for ANY doc size. The previous doc_id*2^20+pos int64 encoding
+    # silently collided across documents past 2^20 segments (ADVICE r8).
+    segs = docs.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_k")
+    )
     kept = (
         segs.join(firsts, "seg")
-        .where(F.col("k") == F.col("first_k"))
+        .where(F.struct("doc_id", "pos") == F.col("first_k"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),
@@ -649,8 +654,9 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-partitioned window — O(L) per doc and ONE shuffle on doc_id,
     never the posexplode-the-array-per-position formulation (O(L²) row
     width) nor a slice() inside a HOF lambda (re-splits text per element
-    — the CSE trap). First-occurrence is groupBy(gram).min(int64 key) —
-    8-byte map-side-combinable state, hot boilerplate grams cost one row
+    — the CSE trap). First-occurrence is groupBy(gram).min((doc_id, pos)
+    struct) — fixed 16-byte map-side-combinable state, collision-free for
+    any per-doc token count; hot boilerplate grams cost one row
     per map partition. Span merging reuses the cumulative-max island
     technique (interval_merge). Production note: gram strings would be
     xxhash64'd before the shuffle (8-byte keys); kept as text here so
@@ -670,15 +676,16 @@ def span_dedup(docs: DataFrame) -> DataFrame:
         F.col("tok"),
         *[x for i in range(1, _SPAN_W) for x in (F.lit(" "), F.lead("tok", i).over(w))],
     )
-    grams = (
-        toks.withColumn("gram", gram)
-        .where(F.col("gram").isNotNull())
-        .withColumn("k", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
+    # (doc_id, pos) struct min: same collision-free first-occurrence key
+    # as line_dedup (ADVICE r8 — the old doc_id*2^20+pos int64 encoding
+    # broke ordering for documents past 2^20 tokens).
+    grams = toks.withColumn("gram", gram).where(F.col("gram").isNotNull())
+    firsts = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_k")
     )
-    firsts = grams.groupBy("gram").agg(F.min("k").alias("first_k"))
     dup_spans = (
         grams.join(firsts, "gram")
-        .where(F.col("k") > F.col("first_k"))
+        .where(F.struct("doc_id", "pos") > F.col("first_k"))
         .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + _SPAN_W).alias("e"))
     )
     w_span = Window.partitionBy("doc_id").orderBy("s", "e")
@@ -820,7 +827,13 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly: (doc, dim) counts left-join a bounded doc×32 grid
     (zero-filled — absent dims ARE features), collected in dim order.
     The md5 dim assignment is engine-portable, so the whole vector is
-    EXACT-oracled. One token shuffle + one doc-sized assembly shuffle."""
+    EXACT-oracled. One token shuffle + one doc-sized assembly shuffle.
+
+    The vector is emitted FLATTENED (comma-joined string), not as a
+    top-level array column: the driver's pandas canonicalizer cannot
+    sort list-typed columns (`TypeError: unhashable type: 'list'` —
+    the r1 `array_ops` / r8 `text_feature_hashing` failure class;
+    see scripts/verify_local.py's schema guard)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -844,7 +857,9 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr("transform(ordered, x -> x.cnt)").alias("features"),
+            F.array_join(
+                F.expr("transform(ordered, x -> cast(x.cnt as string))"), ","
+            ).alias("features"),
             F.expr("aggregate(ordered, cast(0 as bigint), (a, x) -> a + x.cnt)").alias(
                 "n_tokens"
             ),
@@ -1112,7 +1127,7 @@ ORACLES: dict[str, str] = {
             FROM grid g LEFT JOIN counts c USING (doc_id, dim)
         )
         SELECT doc_id,
-               list(cnt ORDER BY dim) AS features,
+               string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY dim) AS features,
                CAST(sum(cnt) AS BIGINT) AS n_tokens
         FROM filled
         GROUP BY doc_id
@@ -1184,18 +1199,19 @@ ORACLES: dict[str, str] = {
                    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
                        || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
                        || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
-                       || ' ' || lead(tok, 7) OVER w AS gram,
-                   doc_id * 1048576 + pos AS k
+                       || ' ' || lead(tok, 7) OVER w AS gram
             FROM toks
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ), g2 AS (
             SELECT * FROM grams WHERE gram IS NOT NULL
         ), firsts AS (
-            SELECT gram, min(k) AS first_k FROM g2 GROUP BY gram
+            -- (doc_id, pos) struct min, same as Spark: collision-free
+            -- for any per-doc token count (ADVICE r8)
+            SELECT gram, min(row(doc_id, pos)) AS first_k FROM g2 GROUP BY gram
         ), dups AS (
             SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
             FROM g2 g JOIN firsts f USING (gram)
-            WHERE g.k > f.first_k
+            WHERE row(g.doc_id, g.pos) > f.first_k
         ), flagged AS (
             SELECT doc_id, s, e,
                    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -1258,18 +1274,16 @@ ORACLES: dict[str, str] = {
                    ) - 1 AS pos  -- 0-based, matching Spark posexplode
             FROM documents
         ),
-        keyed AS (
-            SELECT doc_id, pos, seg,
-                   doc_id * 1048576 + pos AS k  -- 2^20, same as Spark
-            FROM segs
+        firsts AS (
+            -- (doc_id, pos) struct min, same as Spark (ADVICE r8)
+            SELECT seg, min(row(doc_id, pos)) AS first_k FROM segs GROUP BY seg
         ),
-        firsts AS (SELECT seg, min(k) AS first_k FROM keyed GROUP BY seg),
         kept AS (
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_kept,
                    string_agg(seg, ' ' ORDER BY pos) AS kept_text
-            FROM keyed JOIN firsts USING (seg)
-            WHERE k = first_k
+            FROM segs JOIN firsts USING (seg)
+            WHERE row(doc_id, pos) = first_k
             GROUP BY doc_id
         )
         SELECT d.doc_id,

@@ -308,9 +308,14 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-only → keep.
 
     The change batch is itself derived deterministically from orders
-    (1995 revenue per customer; urgent-priority revenue re-keyed +1e6 as
-    the new-customer stream). Sums land on the 2-cent decimal grid, so
-    round(2) snaps identically cross-engine.
+    (1995 revenue per customer; urgent-priority revenue re-keyed past the
+    dim's ACTUAL key space — max(c_custkey) via a broadcast 1-row
+    aggregate — as the new-customer stream). A fixed +1e6 offset collided
+    with real customers at SF ≥ 7 (c_custkey reaches 150k×SF), silently
+    turning inserts into matches (ADVICE r8); deriving it from the data
+    is collision-free at every SF, and o_custkey ≥ 1 keeps the offset
+    keys strictly above the dim. Sums land on the 2-cent decimal grid,
+    so round(2) snaps identically cross-engine.
 
     Scale: a real MERGE at 100 TB is exactly this plan — co-partitioned
     full-outer join on the key (bucketed target makes it exchange-free
@@ -328,9 +333,11 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = o95.groupBy(F.col("o_custkey").alias("key")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("delta")
     )
+    max_key = customer.agg(F.max("c_custkey").alias("_maxk"))
     inserts = (
         o95.where(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy((F.col("o_custkey") + 1_000_000).alias("key"))
+        .crossJoin(F.broadcast(max_key))
+        .groupBy((F.col("o_custkey") + F.col("_maxk")).alias("key"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("delta"))
     )
     return merge_upsert(customer, updates.unionByName(inserts))
@@ -403,7 +410,8 @@ ORACLES: dict[str, str] = {
             SELECT o_custkey AS key, round(sum(o_totalprice), 2) AS delta
             FROM o95 GROUP BY 1
             UNION ALL
-            SELECT o_custkey + 1000000 AS key, round(sum(o_totalprice), 2) AS delta
+            SELECT o_custkey + (SELECT max(c_custkey) FROM customer) AS key,
+                   round(sum(o_totalprice), 2) AS delta
             FROM o95 WHERE o_orderpriority = '1-URGENT' GROUP BY 1
         ), merged AS (
             SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,

@@ -45,6 +45,7 @@ _MODULES = (
     "gasket_rs_spark.operators.sketches",
     "gasket_rs_spark.operators.warehouse",
     "gasket_rs_spark.operators.graph",
+    "gasket_rs_spark.operators.bpe",
 )
 
 

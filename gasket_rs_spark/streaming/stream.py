@@ -19,6 +19,7 @@ import os
 import shutil
 import tempfile
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -385,6 +386,40 @@ def q_stream_sketch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_from_sketch(merged, ["event_type"])
 
 
+def _incremental_dedup_batch(batch_df: DataFrame, batch_id: int, sink: str) -> None:
+    """One microbatch of the incremental-dedup sink (module-level so the
+    at-least-once replay semantics are directly testable): dedup within
+    the batch (min event_id per content hash), drop hashes already in the
+    sink, overwrite this batch_id's partition with the survivors.
+
+    Replay-safe (ADVICE r8): `seen` is built with basePath partition
+    discovery and EXCLUDES this batch's own partition — on a foreachBatch
+    retry the batch's previously-written rows would otherwise count as
+    already seen and the retry's overwrite would empty the partition,
+    losing those hashes forever. The fallback is narrowed to
+    AnalysisException (sink path missing = genuine first batch); any
+    transient read failure propagates instead of silently degrading to
+    "first batch" and appending duplicates."""
+    spark_b = batch_df.sparkSession
+    h = F.md5(F.concat_ws(":", "user_id", "event_type"))
+    hashed = batch_df.select("event_id", "user_id", "event_type", h.alias("h"))
+    # within-batch first-per-hash (min event_id — deterministic)
+    w_min = hashed.groupBy("h").agg(F.min("event_id").alias("event_id"))
+    batch_first = hashed.join(w_min, ["h", "event_id"])
+    try:
+        seen = (
+            spark_b.read.option("basePath", sink)
+            .parquet(sink)
+            .where(F.col("batch_id") != F.lit(batch_id))
+            .select("h")
+            .distinct()
+        )
+        fresh = batch_first.join(seen, "h", "left_anti")
+    except AnalysisException:
+        fresh = batch_first
+    fresh.write.mode("overwrite").parquet(os.path.join(sink, f"batch_id={batch_id}"))
+
+
 def q_stream_incremental_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental dedup against a growing sink index — the
     real-stream twin of `dedup_incremental`: each microbatch (1) drops
@@ -407,23 +442,7 @@ def q_stream_incremental_dedup_pipeline(spark: SparkSession, sf_dir: str) -> Dat
     schema = spark.read.parquet(src).schema
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark_b = batch_df.sparkSession
-        h = F.md5(F.concat_ws(":", "user_id", "event_type"))
-        hashed = batch_df.select(
-            "event_id", "user_id", "event_type", h.alias("h")
-        )
-        # within-batch first-per-hash (min event_id — deterministic)
-        w_min = hashed.groupBy("h").agg(F.min("event_id").alias("event_id"))
-        batch_first = hashed.join(w_min, ["h", "event_id"])
-        try:
-            seen = spark_b.read.parquet(sink).select("h").distinct()
-            fresh = batch_first.join(seen, "h", "left_anti")
-        except Exception:  # first batch: no sink yet
-            fresh = batch_first
-        (
-            fresh.write.mode("overwrite")
-            .parquet(os.path.join(sink, f"batch_id={batch_id}"))
-        )
+        _incremental_dedup_batch(batch_df, batch_id, sink)
 
     query = (
         spark.readStream.schema(schema)

@@ -44,6 +44,18 @@ def sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+def _driver_unsortable_columns(schema) -> list[str]:
+    """Column names whose top-level type the driver's pandas canonicalizer
+    cannot sort (ArrayType/MapType become Python lists/dicts → `TypeError:
+    unhashable type` in sort_values). Struct columns arrive as tuples and
+    sort fine; only arrays/maps are fatal."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    return [
+        f.name for f in schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+
+
 def rows_match(a, b) -> tuple[bool, str]:
     if len(a) != len(b):
         return False, f"row count {len(a)} vs {len(b)}"
@@ -90,6 +102,24 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            if name in oracles:
+                # Driver parity: the driver canonicalizes via pandas
+                # sort_values, which raises `TypeError: unhashable type:
+                # 'list'` on any top-level array/map column (killed
+                # array_ops in r1 and text_feature_hashing in r8). This
+                # harness used to tuple-ize lists (the old canon() path)
+                # and so could never catch that class — reject it here
+                # instead of silently passing.
+                bad = _driver_unsortable_columns(sdf.schema)
+                if bad:
+                    print(
+                        f"FAIL  {name}: oracled witness exposes top-level "
+                        f"array/map column(s) {bad} — the driver's pandas "
+                        "canonicalizer cannot sort these; flatten "
+                        "(array_join) or explode to rows"
+                    )
+                    failures.append(name)
+                    continue
             scols = sorted(sdf.columns)
             srows = [tuple(canon(r[c]) for c in scols) for r in sdf.collect()]
             srows.sort(key=sort_key)

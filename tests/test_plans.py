@@ -42,6 +42,7 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir):
     target (the round-5 verdict's `weak` mark). The probe counts hints in
     the OPTIMIZED LOGICAL plan — physical BroadcastHashJoin counts can't
     distinguish forced from size-chosen at tiny test SF."""
+    from gasket_rs_spark.operators.analytics import q_supplier_cooccurrence
     from gasket_rs_spark.operators.relational import (
         q_tpch_q3_unshipped,
         q_tpch_q5_local_supplier,
@@ -59,6 +60,8 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir):
         "q7": (q_tpch_q7_volume, 3),  # supplier, n1, n2
         "q10": (q_tpch_q10_returns, 1),  # nation
         "q18": (q_tpch_q18_big_orders, 0),
+        # per-supplier count frame is 10k×SF — left to AQE (VERDICT r8 #5)
+        "cooccurrence": (q_supplier_cooccurrence, 0),
     }
     for name, (fn, want) in expected.items():
         got = broadcast_hint_count(fn(spark, sf_dir))

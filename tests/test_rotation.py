@@ -46,4 +46,15 @@ def test_driver_artifact_drop_does_not_fail_suite():
     finally:
         os.remove(path)
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert f"rounds [{fake_round}] postdate" in proc.stdout, proc.stdout
+    # Assert only that the fake round is noted as postdating — NOT the
+    # exact bracket list: a real driver artifact sitting untracked in the
+    # tree (exactly the situation this test exists for) would otherwise
+    # fail the string match, as round 8's real CORRECTNESS_r08.json did
+    # (`rounds [8, 97] postdate` vs the asserted `rounds [97]`).
+    assert "postdate" in proc.stdout, proc.stdout
+    import re
+
+    m = re.search(r"rounds \[([0-9, ]+)\] postdate", proc.stdout)
+    assert m, proc.stdout
+    noted = [int(x) for x in m.group(1).split(",")]
+    assert fake_round in noted, proc.stdout

@@ -577,3 +577,66 @@ def test_stream_incremental_dedup_never_appends_a_seen_hash(spark, sf_dir):
     assert sunk.select("batch_id").distinct().count() > 1, "need >1 microbatch"
     dupes = sunk.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1)
     assert dupes.count() == 0
+
+
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay (ADVICE r8): re-running the SAME batch_id must
+    reproduce its partition exactly — the previous formulation read the
+    batch's own prior write as 'seen', so a retry overwrote the partition
+    with zero rows and those hashes were lost forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.streaming.stream import _incremental_dedup_batch
+
+    sink = str(tmp_path / "sink")
+    rows = [(1, 10, "click"), (2, 10, "click"), (3, 11, "view")]
+    b0 = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    _incremental_dedup_batch(b0, 0, sink)
+    first = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert len(first) == 2  # within-batch dedup kept min event_id per hash
+
+    # replay batch 0 (foreachBatch retry): partition must be unchanged
+    _incremental_dedup_batch(b0, 0, sink)
+    replay = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert replay == first, "retry emptied or altered its own partition"
+
+    # a later batch still drops cross-batch duplicates
+    b1 = spark.createDataFrame(
+        [(4, 10, "click"), (5, 12, "buy")],
+        "event_id long, user_id long, event_type string",
+    )
+    _incremental_dedup_batch(b1, 1, sink)
+    sunk = spark.read.parquet(sink)
+    after_b1 = sorted(tuple(r) for r in sunk.collect())
+    assert len(after_b1) == 3
+    assert sunk.groupBy("h").count().where(F.col("count") > 1).count() == 0
+    # and replaying batch 1 is also a no-op
+    _incremental_dedup_batch(b1, 1, sink)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(sink).collect()) == after_b1
+    )
+
+
+def test_incremental_dedup_batch_transient_read_failure_propagates(spark, tmp_path):
+    """A non-missing-path sink read failure must RAISE, not be treated as
+    'first batch' (which would append duplicate hashes)."""
+    import os
+
+    import pytest
+
+    from gasket_rs_spark.streaming.stream import _incremental_dedup_batch
+
+    sink = str(tmp_path / "sink")
+    # Plant a corrupt file where a parquet partition should be: the read
+    # now fails with a non-path-missing error.
+    os.makedirs(os.path.join(sink, "batch_id=0"))
+    with open(os.path.join(sink, "batch_id=0", "part-0.parquet"), "w") as f:
+        f.write("not parquet")
+    b1 = spark.createDataFrame(
+        [(9, 10, "click")], "event_id long, user_id long, event_type string"
+    )
+    with pytest.raises(Exception) as exc:
+        _incremental_dedup_batch(b1, 1, sink)
+    assert "PATH_NOT_FOUND" not in str(exc.value)

@@ -134,9 +134,18 @@ def test_merge_into_exercises_all_actions(spark, sf_dir):
     # must number strictly fewer than the full target dimension
     n_target = load(spark, sf_dir, "customer").count()
     assert actions["keep"] + actions["update"] < n_target
-    # inserted rows carry the offset key space and the NEW segment
+    # inserted rows carry the offset key space — STRICTLY above the
+    # dim's real keys (data-derived max(c_custkey) offset, ADVICE r8:
+    # a fixed +1e6 collided with real customers at SF >= 7) — and the
+    # NEW segment
+    max_key = load(spark, sf_dir, "customer").agg(F.max("c_custkey")).collect()[0][0]
     news = out.where(F.col("action") == "insert")
-    assert news.where((F.col("custkey") < 1_000_000) | (F.col("mktsegment") != "NEW")).count() == 0
+    assert (
+        news.where(
+            (F.col("custkey") <= max_key) | (F.col("mktsegment") != "NEW")
+        ).count()
+        == 0
+    )
 
 
 import pytest
