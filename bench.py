@@ -105,6 +105,9 @@ EXTRAS = [
     "snapshot_diff_changelog",
     "lang_id_confusion",
     "recursive_hierarchy",
+    # round-9 additions
+    "bpe_vocab_merges",
+    "dedup_simhash_paragraph",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,

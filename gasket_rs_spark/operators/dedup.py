@@ -543,6 +543,142 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- Paragraph-granularity SimHash (VERDICT r8 #9) -------------------------
+# The line/span passes catch exact substrings; doc-level SimHash/MinHash
+# catch whole-document near-dups. Near-dup PARAGRAPHS — boilerplate blocks
+# with small edits or reordered tokens — fall between them: reordering
+# defeats ExactSubstr entirely (no 8-token window survives), and a one-
+# paragraph overlap is invisible at document granularity. This witness
+# explodes documents into 32-token paragraphs and reruns the banded
+# SimHash machinery at that grain.
+_PARA_W = 32
+_PARA_PATTERN = r"\S+( \S+){0,31}"
+_PARA_POS_BITS = 12  # paragraphs per doc bound for the int64 para key
+_PARA_PLANT_ROT = 1 << 40  # planted chunk-REVERSAL copies (Hamming = 0)
+_PARA_PLANT_EDIT = 1 << 41  # planted one-token-EDIT copies
+_PARA_PLANT_EVERY = 29
+_PARA_PLANT_MIN_TOKENS = 8
+
+
+def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) at PARAGRAPH grain: documents segmented into
+    32-token paragraphs (para key = doc_id·2^12 + pos, with a runtime
+    assert_true on the 2^12 paragraphs-per-doc bound — the ADVICE-r8
+    encoding lesson: never silently truncate a packed key), UNIONED with
+    two deterministic planted families per ``_PARA_PLANT_EVERY``
+    eligible paragraphs:
+
+    - REORDER plants (key + 2^40): the paragraph's 4-token chunks in
+      REVERSED order — every 8-token window now straddles a chunk seam
+      whose reversed adjacency never occurs in the source, so the
+      ExactSubstr span pass structurally finds nothing (a simple
+      rotation would NOT do: it leaves one long contiguous run the span
+      pass still catches — pinned in tests), while bag-of-tokens SimHash
+      sees an IDENTICAL signature (Hamming 0), so capture must be 100%
+      (pytest-pinned).
+    - EDIT plants (key + 2^41): token[2] replaced — expected signature
+      Hamming ≈ 64·P(flip) ≈ 3-4 for a 1-of-32 token change, straddling
+      the ≤3 verify threshold by construction; capture is measured and
+      floor-pinned (≥0.25) rather than assumed.
+    """
+    seg = F.regexp_extract_all("text", F.lit(_PARA_PATTERN), 0)
+    paras = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(seg).alias("pos", "ptext"))
+        .select(
+            F.when(
+                F.col("pos") < F.lit(1 << _PARA_POS_BITS),
+                F.col("doc_id") * F.lit(1 << _PARA_POS_BITS) + F.col("pos"),
+            )
+            .otherwise(
+                F.expr(
+                    "assert_true(false, 'paragraph pos exceeds the 2^12 "
+                    "per-doc bound the packed para key relies on')"
+                ).cast("bigint")
+            )
+            .alias("doc_id"),
+            F.col("ptext").alias("text"),
+        )
+    )
+    toks = F.split("text", " ")
+    eligible = paras.where(
+        (F.col("doc_id") % _PARA_PLANT_EVERY == 0)
+        & (F.size(toks) >= _PARA_PLANT_MIN_TOKENS)
+    )
+    reordered = eligible.select(
+        (F.col("doc_id") + F.lit(_PARA_PLANT_ROT)).alias("doc_id"),
+        F.array_join(
+            F.flatten(
+                F.reverse(
+                    F.expr(
+                        "transform(sequence(0, int(ceil(size(split(text, ' ')) "
+                        "/ 4.0)) - 1, 1), i -> slice(split(text, ' '), "
+                        "i * 4 + 1, 4))"
+                    )
+                )
+            ),
+            " ",
+        ).alias("text"),
+    )
+    edited = eligible.select(
+        (F.col("doc_id") + F.lit(_PARA_PLANT_EDIT)).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                F.slice(toks, 1, 2),
+                F.array(F.concat(F.element_at(toks, 3), F.lit("~"))),
+                F.slice(toks, 4, 1 << 30),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return paras.unionByName(reordered).unionByName(edited)
+
+
+def q_dedup_simhash_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity SimHash near-dup summary: banded SimHash
+    (same pigeonhole-complete scheme as q_dedup_simhash) over exploded
+    32-token paragraphs with planted reorder/edit near-copies, reduced
+    to capture accounting per plant family plus the organic pair count.
+
+    Rows-only at the driver (xxhash64 signatures are engine-internal);
+    the floors — reorder capture = 1.0 exactly, edit capture ≥ 0.25,
+    organic ≥ 0 — are pinned in tests/test_dedup_simhash.py, mirroring
+    the planted-embedding discipline (dedup.py _planted_corpus).
+
+    Scale shape: paragraph explosion is a linear flatMap (rows ×~L/32),
+    and everything downstream is the document SimHash plan at paragraph
+    cardinality — same block-triple equi-joins, same bounded occupancy.
+    """
+    pairs = simhash_pairs(_paragraph_corpus(spark, sf_dir))
+    lo = F.least("doc_a", "doc_b")
+    hi = F.greatest("doc_a", "doc_b")
+    # Classify each SIDE by its plant family (high bits), not the pair by
+    # its key difference — reorder(X) and edit(X) differ by exactly 2^40
+    # too, which a difference-only rule misfiles as a reorder capture.
+    kinds = F.array(F.lit("organic"), F.lit("reorder"), F.lit("edit"))
+    k_lo = F.element_at(kinds, (F.floor(lo / F.lit(_PARA_PLANT_ROT)) + 1).cast("int"))
+    k_hi = F.element_at(kinds, (F.floor(hi / F.lit(_PARA_PLANT_ROT)) + 1).cast("int"))
+    # source-capture = the pair links a plant to ITS OWN source paragraph
+    src_capture = (
+        ((hi - lo == F.lit(_PARA_PLANT_ROT)) & (k_hi == F.lit("reorder")))
+        | ((hi - lo == F.lit(_PARA_PLANT_EDIT)) & (k_hi == F.lit("edit")))
+    )
+    return (
+        pairs.select(
+            F.concat_ws("|", k_lo, k_hi).alias("family"),
+            src_capture.cast("long").alias("src"),
+            "hamming",
+        )
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("src").alias("n_source_pairs"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .orderBy("family")
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine similarity >= 0.4 (all-pairs
     witness; the ANN/LSH scale path lives in operators/similarity.py)."""

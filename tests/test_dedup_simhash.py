@@ -101,3 +101,68 @@ def test_block_values_fit_widths(spark):
     for row in sigs.collect():
         for b, w in enumerate(D._SIMHASH_BLOCK_BITS):
             assert 0 <= row[f"block{b}"] < (1 << w)
+
+
+def test_paragraph_simhash_planted_capture_floors(spark, sf_dir):
+    """Planted-capture floors for the paragraph-grain witness (VERDICT
+    r8 #9), mirroring the planted-embedding discipline: chunk-REVERSAL
+    plants share the exact bag of tokens, so SimHash MUST capture 100%
+    of them at Hamming 0-vs-source; one-token-EDIT plants straddle the
+    <=3 threshold by construction — capture is measured, floor 0.25."""
+    import pyspark.sql.functions as F
+
+    corpus = D._paragraph_corpus(spark, sf_dir)
+    n_planted = corpus.where(
+        (F.col("doc_id") >= D._PARA_PLANT_ROT)
+        & (F.col("doc_id") < D._PARA_PLANT_EDIT)
+    ).count()
+    assert n_planted > 0, "plant fixture is vacuous"
+
+    rows = {
+        r["family"]: r
+        for r in D.q_dedup_simhash_paragraph(spark, sf_dir).collect()
+    }
+    reorder = rows["organic|reorder"]
+    assert reorder["n_source_pairs"] == n_planted, (
+        f"reorder capture {reorder['n_source_pairs']}/{n_planted} — bag-"
+        "of-tokens invariance broke"
+    )
+    edit = rows.get("organic|edit")
+    captured = edit["n_source_pairs"] if edit else 0
+    assert captured >= 0.25 * n_planted, (
+        f"edit capture {captured}/{n_planted} below the 0.25 floor"
+    )
+
+
+def test_paragraph_reorder_defeats_exact_substring_dedup(spark):
+    """The reason this witness exists: reversing a paragraph's 4-token
+    chunks escapes the 8-token ExactSubstr span pass ENTIRELY (every
+    8-window straddles a seam whose reversed adjacency never occurs in
+    the source; windows inside one chunk are only 4 tokens) but is
+    Hamming-0 to bag-of-tokens SimHash. A simple ROTATION would NOT
+    demonstrate this — it leaves one long contiguous run the span pass
+    still catches — which is why the plant is chunk reversal."""
+    import pyspark.sql.functions as F
+
+    from gasket_rs_spark.operators.text import span_dedup
+
+    toks = [f"tok{i}" for i in range(24)]
+    chunks = [toks[i : i + 4] for i in range(0, 24, 4)]
+    reordered = [t for c in reversed(chunks) for t in c]
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(reordered))],
+        "doc_id long, text string",
+    )
+    spans = span_dedup(docs)
+    assert spans.agg(F.sum("n_removed")).collect()[0][0] == 0
+    pairs = D.simhash_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(0, 1, 0)]
+
+    # contrast: rotation by 11 leaves a 13-token contiguous run -> the
+    # span pass DOES remove tokens there (the structural difference the
+    # plant design rests on)
+    rot = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(toks[11:] + toks[:11]))],
+        "doc_id long, text string",
+    )
+    assert span_dedup(rot).agg(F.sum("n_removed")).collect()[0][0] > 0
