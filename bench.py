@@ -107,7 +107,12 @@ EXTRAS = [
     "recursive_hierarchy",
     # round-9 additions
     "bpe_vocab_merges",
+    "bpe_encode",
     "dedup_simhash_paragraph",
+    "heavy_hitters_mg",
+    "mixture_temperature",
+    "winsorize_by_group",
+    "lang_source_chisq",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,

@@ -152,8 +152,84 @@ def q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("merge_idx", "left", "right", "new_symbol", "pair_freq")
 
 
+def encode_words(words: DataFrame, merges: list[dict]) -> DataFrame:
+    """(w, n_subtok, encoding) for a frame of DISTINCT words: apply the
+    learned merges in rank order (each merge leftmost-nonoverlapping
+    within the word — the training convention, so train+encode round-trip
+    on the training corpus is self-consistent). Arrow-batched Python
+    kernel over the BOUNDED vocabulary frame — the corpus itself is never
+    touched here; the merge table rides the closure (a few hundred
+    strings, broadcast-sized by construction)."""
+    import pandas as pd
+
+    merge_list = [(m["left"], m["right"]) for m in merges]
+
+    def kernel(batches):
+        for pdf in batches:
+            out_n, out_enc = [], []
+            for w in pdf["w"]:
+                syms = list(w)
+                for l, r in merge_list:
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                            merged.append(l + r)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out_n.append(len(syms))
+                out_enc.append(" ".join(syms))
+            yield pd.DataFrame({"w": pdf["w"], "n_subtok": out_n, "encoding": out_enc})
+
+    return words.mapInPandas(kernel, "w string, n_subtok bigint, encoding string")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the production tokenization step after training:
+    every document's text is segmented with the learned merge table and
+    the witness reports per-doc accounting (word count, BPE token count,
+    floor-snapped chars-per-token compression).
+
+    Scale shape (the point): encoding runs ONCE PER DISTINCT WORD — the
+    kernel maps over the bounded Heaps-law vocabulary frame, never the
+    corpus — and per-doc counts are then an equi-join of the exploded
+    token stream against that (word → n_subtok) table plus one doc_id
+    aggregation. At 100 TB the Python cost is vocabulary-sized; the
+    corpus-sized work is all JVM split/explode/join/agg. Rows-only at
+    the driver (inherits training's iterative argmax); exact-pinned
+    train→encode round trip vs the pure-Python reference in
+    tests/test_bpe.py."""
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(spark, docs, _BPE_MERGES)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = encode_words(toks.select("w").distinct(), merges)
+    per_doc = (
+        toks.join(vocab.select("w", "n_subtok"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subtok").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        (
+            F.floor(F.col("n_chars") / F.col("n_bpe_tokens") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("chars_per_token"),
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 QUERIES = {
     "bpe_vocab_merges": q_bpe_vocab_merges,
+    "bpe_encode": q_bpe_encode,
 }

@@ -317,7 +317,118 @@ _CM_ORACLE = f"""
 """
 
 
+# --- Misra-Gries heavy hitters (round 9) -----------------------------------
+# The deterministic frequent-items summary (Misra & Gries 1982; merge rule
+# from Agarwal et al., "Mergeable Summaries", PODS'12): k counters per
+# partition, batched decrement-by-(k+1)-th-largest on overflow. Guarantee:
+# any item with true frequency > n/(k+1) survives every partition summary,
+# so the union of partition summaries is a SUPERSET of the true heavy
+# hitters — which a cheap exact recount of candidates then filters to the
+# exact answer. Two passes, both scale-shaped: pass 1 is an Arrow-batched
+# bounded-state kernel (k counters, never a full groupBy of the tail);
+# pass 2 shuffles ONLY candidate-item rows (broadcast semi-join on the
+# ≤ k·n_partitions candidate set). The full-tail groupBy a naive top-k
+# would pay — 100k+ distinct keys here, billions at 100 TB — never runs.
+_MG_K = 256  # counters per partition
+_MG_REPORT_FRAC = 64  # report items with freq > n/64
+
+
+def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item) stream with planted deterministic skew: the TPC-H fixtures
+    are uniform (no key exceeds ~1% share at any SF — measured), so a
+    heavy-hitter witness over a raw column is vacuous. Half the rows map
+    to 7 hot items (~7.1% share each, well above the n/64 report
+    threshold), half to a ~100k-item uniform tail (~0.0005% each, well
+    below) — the same planted-mass discipline as the embedding-LSH and
+    paragraph-SimHash witnesses. 100k distinct >> k=256 counters, so MG
+    eviction is exercised for real (pinned non-vacuous in
+    tests/test_sketches.py)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    return li.select(
+        F.when(
+            F.col("l_orderkey") % 4 < 2, F.col("l_orderkey") % 7
+        )
+        .otherwise(F.lit(100) + F.col("l_orderkey") % 99991)
+        .alias("item")
+    )
+
+
+def _mg_summaries(stream: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k (item, mg_count) rows per
+    partition. Arrow-batched: each batch collapses through np.unique
+    before touching the dict, so Python cost is per-DISTINCT-per-batch,
+    not per-row; overflow applies the mergeable-summaries combine
+    (subtract the (k+1)-th largest, drop ≤ 0 — decrement is bounded by
+    n_partition/(k+1) total, preserving the superset guarantee)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            vals, cnts = np.unique(pdf["item"].to_numpy(), return_counts=True)
+            for v, c in zip(vals.tolist(), cnts.tolist()):
+                counters[v] = counters.get(v, 0) + c
+            if len(counters) > k:
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - d for v, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    return stream.mapInPandas(kernel, "item bigint, mg_count bigint")
+
+
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > n/64) via the Misra-Gries two-pass:
+    bounded-state candidate generation, then exact recount of candidates
+    only. EXACT-oracled — the DuckDB twin computes the true heavy
+    hitters directly, so a candidate set that ever dropped a true heavy
+    hitter (the only way MG can fail) hash-mismatches; the sketch's
+    superset guarantee is also pinned under resharding in
+    tests/test_sketches.py. Output: (item, freq, share) sorted-stable."""
+    stream = _hh_stream(spark, sf_dir)
+    candidates = (
+        _mg_summaries(stream, _MG_K).select("item").distinct()
+    )
+    totals = stream.agg(F.count("*").alias("n_total"))
+    exact = (
+        stream.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("freq") > F.col("n_total") / _MG_REPORT_FRAC)
+    )
+    return exact.select(
+        "item",
+        "freq",
+        (
+            F.floor(F.col("freq") / F.col("n_total") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("share"),
+    )
+
+
+_HH_ITEM_SQL = (
+    "CASE WHEN l_orderkey % 4 < 2 THEN l_orderkey % 7 "
+    "ELSE 100 + l_orderkey % 99991 END"
+)
+
+
 ORACLES: dict[str, str] = {
+    "heavy_hitters_mg": f"""
+        WITH stream AS (
+            SELECT {_HH_ITEM_SQL} AS item FROM lineitem
+        ), tot AS (
+            SELECT count(*) AS n_total FROM stream
+        )
+        SELECT item, CAST(count(*) AS BIGINT) AS freq,
+               floor(count(*) / (SELECT n_total FROM tot) * 1e6 + 0.5) / 1e6
+                   AS share
+        FROM stream GROUP BY item
+        HAVING count(*) > (SELECT n_total FROM tot) / {_MG_REPORT_FRAC}
+    """,
     "sketch_count_min": _CM_ORACLE,
     "quantile_sketch_mergeable": """
         WITH b AS (

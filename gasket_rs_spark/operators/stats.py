@@ -196,6 +196,51 @@ def q_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_ALPHA = 0.3  # temperature exponent (multilingual-T5 / UniMax style)
+_MIX_BUDGET = 10_000  # epoch token budget the quotas divide
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights — the data-mixing step that sets
+    per-domain sampling rates for training (p_i ∝ n_i^α with α < 1
+    up-weights small domains; α = 0.3 is the multilingual-T5 convention):
+    per source, raw corpus share, temperature share, the resulting boost
+    factor, and the epoch quota a loader would draw against a fixed
+    budget.
+
+    Scale shape: ONE count aggregation over the corpus (map-side
+    combinable), then the normalizer is a broadcast 1-row sum over the
+    source-cardinality frame — no second corpus pass, no window over
+    data-sized frames. n^α is spelled exp(α·ln n) identically on both
+    engines so the libm call sequence matches; shares snap on the 1e-6
+    floor grid (pow ratios never land on the half-grid)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn(
+        "w", F.exp(F.lit(_MIX_ALPHA) * F.log(F.col("n_docs").cast("double")))
+    )
+    norm = powed.agg(
+        F.sum("w").alias("w_sum"), F.sum("n_docs").alias("n_total")
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            snap6(F.col("n_docs") / F.col("n_total")).alias("raw_share"),
+            snap6(F.col("w") / F.col("w_sum")).alias("temp_share"),
+            snap6(
+                (F.col("w") / F.col("w_sum"))
+                / (F.col("n_docs") / F.col("n_total"))
+            ).alias("boost"),
+            F.floor(F.col("w") / F.col("w_sum") * _MIX_BUDGET + F.lit(0.5))
+            .cast("bigint")
+            .alias("epoch_quota"),
+        )
+    )
+
+
 def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training shuffle + sharding: every doc gets a
     shard (md5 bucket of 32) and a within-shard ordinal (md5-ordered) —
@@ -220,6 +265,96 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ordinal", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "ordinal")
+    )
+
+
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+
+def q_winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the standard robust-preprocessing clip
+    before statistics/training: per event type, the exact p01/p99 order
+    statistics (k-th smallest with k = ceil(q·n) — rank-based, no
+    interpolation, so both engines select the SAME stored value) and the
+    mean before/after clipping to them.
+
+    Scale shape: one row_number window PARTITIONED by group (parallel
+    per-group sort, never a global one), the two cut rows join back
+    broadcast-sized (2 rows per group), and the clipped mean is a second
+    map-side aggregation. Means snap on the 1e-6 floor grid."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    cuts = (
+        ranked.where(
+            (F.col("rn") == F.ceil(F.lit(_WINSOR_LO) * F.col("n")))
+            | (F.col("rn") == F.ceil(F.lit(_WINSOR_HI) * F.col("n")))
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p_lo"), F.max("value").alias("p_hi"))
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p_lo").alias("p01"),
+            F.min("p_hi").alias("p99"),
+            snap6(F.avg("value")).alias("mean_raw"),
+            snap6(F.avg(clipped)).alias("mean_winsorized"),
+        )
+    )
+
+
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the lang × source contingency
+    table — the distribution-QA check a corpus build runs to detect
+    source-conditional language skew. Expected counts are
+    row_total·col_total/N over the FULL zero-filled grid (absent cells
+    contribute their expected mass — the same zero-fill lesson as the
+    drift witness); the statistic snaps at 6dp, dof = (R−1)(C−1).
+
+    Scale: one (lang, source) count aggregation; the grid is |langs|×
+    |sources| (dimension-sized, broadcast cross join); N and the
+    marginals are broadcast 1-row/dim-sized frames."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        row_t.crossJoin(F.broadcast(col_t))
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    cell = F.pow(F.col("o") - F.col("e"), 2) / F.col("e")
+    r_c = row_t.crossJoin(F.broadcast(col_t)).agg(
+        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("c")
+    )
+    return (
+        grid.agg(
+            (F.floor(F.sum(cell) * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+            F.count("*").alias("n_cells"),
+            F.sum("o").alias("n"),
+        )
+        .crossJoin(F.broadcast(r_c))
+        .select(
+            "chi2",
+            "n_cells",
+            "n",
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        )
     )
 
 
@@ -510,6 +645,72 @@ ORACLES: dict[str, str] = {
                    md5(CAST(doc_id AS VARCHAR)) AS md5hex
             FROM documents
         ) t
+    """,
+    "winsorize_by_group": f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value)
+                       AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), cuts AS (
+            SELECT event_type, min(value) AS p_lo, max(value) AS p_hi
+            FROM ranked
+            WHERE rn = ceil({_WINSOR_LO} * n) OR rn = ceil({_WINSOR_HI} * n)
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               min(c.p_lo) AS p01,
+               min(c.p_hi) AS p99,
+               floor(avg(e.value) * 1e6 + 0.5) / 1e6 AS mean_raw,
+               floor(avg(least(greatest(e.value, c.p_lo), c.p_hi)) * 1e6 + 0.5)
+                   / 1e6 AS mean_winsorized
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type
+    """,
+    "lang_source_chisq": """
+        WITH obs AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+            FROM documents GROUP BY 1, 2
+        ), rt AS (
+            SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY lang
+        ), ct AS (
+            SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY source
+        ), nt AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+        ), grid AS (
+            SELECT r.lang, c.source, coalesce(o.o, 0) AS o,
+                   r.rt * c.ct / CAST(n.n AS DOUBLE) AS e
+            FROM rt r CROSS JOIN ct c
+            LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+            CROSS JOIN nt n
+        )
+        SELECT floor(sum(pow(o - e, 2) / e) * 1e6 + 0.5) / 1e6 AS chi2,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(o) AS BIGINT) AS n,
+               CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+                   * ((SELECT count(*) FROM ct) - 1) AS dof
+        FROM grid
+    """,
+    "mixture_temperature": f"""
+        WITH counts AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   exp({_MIX_ALPHA} * ln(CAST(count(*) AS DOUBLE))) AS w
+            FROM documents GROUP BY source
+        ), norm AS (
+            SELECT sum(w) AS w_sum, CAST(sum(n_docs) AS BIGINT) AS n_total
+            FROM counts
+        )
+        SELECT source, n_docs,
+               floor(n_docs / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS raw_share,
+               floor(w / w_sum * 1e6 + 0.5) / 1e6 AS temp_share,
+               floor((w / w_sum) / (n_docs / CAST(n_total AS DOUBLE)) * 1e6
+                     + 0.5) / 1e6 AS boost,
+               CAST(floor(w / w_sum * {_MIX_BUDGET} + 0.5) AS BIGINT)
+                   AS epoch_quota
+        FROM counts, norm
     """,
     "mixture_weighted_sample": """
         SELECT source,

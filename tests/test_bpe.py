@@ -96,3 +96,92 @@ def test_bpe_fuzz_random_corpora(spark, seed):
         for _ in range(30)
     ]
     assert spark_bpe(spark, texts, 12) == ref_bpe(texts, 12)
+
+
+def ref_encode(texts: list[str], merges: list[tuple]) -> dict:
+    """Per-doc (n_words, n_bpe_tokens, n_chars) under rank-order merge
+    application — independent twin of bpe.encode_words + the doc agg."""
+    out = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        n_tok = 0
+        for w in words:
+            syms = list(w)
+            for _, l, r, _, _ in merges:
+                merged, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                        merged.append(l + r)
+                        j += 2
+                    else:
+                        merged.append(syms[j])
+                        j += 1
+                syms = merged
+            n_tok += len(syms)
+        out[i] = (len(words), n_tok, sum(len(w) for w in words))
+    return out
+
+
+def test_bpe_encode_round_trip_matches_reference(spark):
+    import math
+
+    rng = random.Random(5)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(3, 20))
+        )
+        for _ in range(40)
+    ]
+    from gasket_rs_spark.operators.bpe import encode_words, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(spark, docs, 10)
+    ref_m = ref_bpe(texts, 10)
+    assert [
+        (m["merge_idx"], m["left"], m["right"], m["new_symbol"], m["pair_freq"])
+        for m in merges
+    ] == ref_m
+
+    import pyspark.sql.functions as F
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") > 0
+    )
+    vocab = encode_words(toks.select("w").distinct(), merges)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subtok").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .collect()
+    }
+    assert got == ref_encode(texts, ref_m)
+
+
+def test_bpe_encode_reconstructs_words(spark):
+    """Concatenating a word's encoding must reproduce the word — BPE
+    merges never lose or reorder characters."""
+    from gasket_rs_spark.operators.bpe import encode_words, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "banana bandana cabana"), (1, "banana banana")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(spark, docs, 6)
+    import pyspark.sql.functions as F
+
+    vocab = encode_words(
+        docs.select(F.explode(F.split("text", " ")).alias("w")).distinct(), merges
+    ).collect()
+    assert len(vocab) == 3
+    for r in vocab:
+        assert r["encoding"].replace(" ", "") == r["w"]
+        assert r["n_subtok"] == len(r["encoding"].split(" "))
+        assert r["n_subtok"] < len(r["w"])  # merges actually applied

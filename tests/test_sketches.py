@@ -191,3 +191,53 @@ def test_count_min_merge_invariance(spark, sf_dir):
         for cell, cnt in shard.items():
             merged[cell] = merged.get(cell, 0) + cnt
     assert merged == full
+
+
+def test_misra_gries_superset_and_eviction(spark, sf_dir):
+    """The MG candidate set must (1) contain every true heavy hitter on
+    ANY partitioning — the superset guarantee the EXACT oracle builds on
+    — and (2) actually evict (candidates << distinct items), otherwise
+    the bounded-state claim is vacuous."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators import sketches as K
+
+    stream = K._hh_stream(spark, sf_dir)
+    n = stream.count()
+    n_distinct = stream.distinct().count()
+    truth = {
+        r.item
+        for r in stream.groupBy("item")
+        .agg(F.count("*").alias("f"))
+        .where(F.col("f") > n / K._MG_REPORT_FRAC)
+        .collect()
+    }
+    assert truth, "planted skew produced no heavy hitters — fixture broken"
+    for parts in (1, 8):
+        cands = {
+            r.item
+            for r in K._mg_summaries(stream.repartition(parts), K._MG_K)
+            .select("item")
+            .distinct()
+            .collect()
+        }
+        assert truth <= cands, f"MG dropped a true heavy hitter at {parts} partitions"
+        # bounded state: <= k candidates per partition
+        assert len(cands) <= K._MG_K * parts
+        # non-vacuous: the stream carries more distinct items than a
+        # single summary may hold, so eviction must have run
+        assert n_distinct > K._MG_K, "fixture too small to exercise eviction"
+        assert len(cands) < n_distinct, (
+            f"{len(cands)} candidates vs {n_distinct} distinct — no eviction"
+        )
+
+
+def test_misra_gries_final_answer_partition_invariant(spark, sf_dir):
+    """End to end, the reported heavy hitters are EXACT and identical on
+    any layout (candidates vary with partitioning; the recount doesn't)."""
+    from gasket_rs_spark.operators import sketches as K
+
+    base = {tuple(r) for r in K.q_heavy_hitters_mg(spark, sf_dir).collect()}
+    assert len(base) > 0
+    # shares must all clear the report threshold
+    assert all(r[2] > 1.0 / K._MG_REPORT_FRAC for r in base)
