@@ -194,8 +194,6 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     membership must match the exact witness, which the Jaccard verify
     step guarantees.
     """
-    from pyspark import StorageLevel
-
     m = _MERSENNE
     perm_a = np.array([a for a, _ in _MINHASH_AB], dtype=np.int64)[:, None]
     perm_b = np.array([b for _, b in _MINHASH_AB], dtype=np.int64)[:, None]
@@ -226,11 +224,16 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
             )
 
     token_hashes = F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
-    # Persisted because three plan branches consume it (banding,
-    # verify-left, verify-right) — ~8 bytes/shingle, spills cleanly.
+    # Shared across three plan branches (banding, verify-left,
+    # verify-right) via localCheckpoint, NOT persist: a persist here was
+    # the same session-lifetime leak class as the r7-ADVICE banding leak
+    # (never unpersisted; CacheManager holds it until session end), and
+    # the round-9 3-pass A/B measured the checkpoint equal-or-faster
+    # (minhash 2.4-3.0s vs 2.4-3.3s, components 3.1-3.8 vs 3.2-4.7 at
+    # sf0.1). Blocks are ContextCleaner-freed on dereference.
     return docs.select("doc_id", token_hashes.alias("th")).mapInPandas(
         sig_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>, n_sh int"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
 
 def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,10 +520,9 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     shared by the document witness above and the paragraph-granularity
     witness (q_dedup_simhash_paragraph), so both grains ride the same
     pigeonhole-complete candidate scheme and Hamming verify."""
-    from pyspark import StorageLevel
-
-    # persist because banding and both verify branches consume the sigs.
-    sigs = _simhash_blocks(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # banding + both verify branches consume the sigs; checkpoint, not
+    # persist (the session-lifetime leak class — see _minhash_sigs).
+    sigs = _simhash_blocks(docs).localCheckpoint(eager=True)
     candidates = _simhash_candidates(sigs)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -859,9 +861,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — structurally > 0 at every SF.
     """
     corpus = _planted_corpus(spark, sf_dir)
-    from pyspark import StorageLevel
-
-    vecs = _emb_buckets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    # candidates + both verify branches consume the bucketed vectors;
+    # checkpoint, not persist (session-lifetime leak class — see
+    # _minhash_sigs).
+    vecs = _emb_buckets(corpus).localCheckpoint(eager=True)
     candidates = _emb_candidates(vecs)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")

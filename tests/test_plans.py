@@ -472,3 +472,21 @@ def test_runtime_bloom_filter_join_available(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """The Misra-Gries two-pass promise: the exact recount must be a
+    broadcast semi-join on the bounded candidate set (never a shuffle of
+    the full stream against it), and no cartesian anywhere."""
+    from gasket_rs_spark.operators.sketches import q_heavy_hitters_mg
+    from gasket_rs_spark.plans.inspect import (
+        assert_broadcasts,
+        assert_no_cartesian,
+        broadcast_hint_count,
+    )
+
+    df = q_heavy_hitters_mg(spark, sf_dir)
+    # candidates + the 1-row totals frame are both explicitly broadcast
+    assert broadcast_hint_count(df) == 2
+    assert_broadcasts(df, at_least=1)
+    assert_no_cartesian(df)
