@@ -25,6 +25,14 @@ def _scratch_dir(prefix: str) -> str:
 
 
 def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> SparkSession:
+    # Before the JVM exists: export the system protobuf runtime onto
+    # PYTHONPATH so JVM-spawned Python workers (the
+    # transformWithStateInPandas state server) can import it. Must happen
+    # pre-launch — workers inherit the JVM's env, which inherits ours at
+    # JVM start. Idempotent, no-op if protobuf already importable.
+    from gasket_rs_spark.compat import enable_system_protobuf
+
+    enable_system_protobuf()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (

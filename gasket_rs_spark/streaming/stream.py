@@ -527,7 +527,49 @@ def q_stream_static_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_stateful_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator as a DRIVER-CHECKABLE witness —
+    the arbitrary-state escape hatch run end to end: the staged
+    4-microbatch events stream flows through ``stateful_user_counts``
+    (``applyInPandasWithState`` — per-user GroupState surviving across
+    microbatches), and the Update-mode emissions reduce to the
+    arrival-order-independent fact: the FINAL running count per user,
+    which must equal the batch groupBy — EXACT against DuckDB (integer
+    counts, drift-free). Latest emission per key = max(n_events), which
+    strictly increases per touched key.
+
+    Why this API and not ``transformWithStateInPandas``: the witness
+    must be runnable from ANY driver session, and TWS's state-server
+    protocol needs google.protobuf on PYTHONPATH *before the JVM
+    launches* (``compat.enable_system_protobuf``) — an ordering this
+    repo controls in its own entry points (session.py, conftest) but
+    not in an external harness. The TWS twin
+    (``stateful_user_stats_tws``) runs for real, RocksDB store and all,
+    in tests/test_streaming.py where conftest guarantees the ordering."""
+    src, = _staged_events_scratch(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory_sink(
+        stateful_user_counts(stream),
+        "stateful_pipeline_sink",
+        output_mode="update",
+    )
+    return (
+        spark.table("stateful_pipeline_sink")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_stateful_pipeline": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
     "stream_static_join_pipeline": """
         WITH dim AS (
             SELECT DISTINCT event_type,
