@@ -64,14 +64,14 @@ def get_session(app_name: str = "gasket_rs_spark", cpus: int | None = None) -> S
 def clear_caches(spark: SparkSession) -> None:
     """Drop every persisted DataFrame in the session.
 
-    The sketch operators (MinHash/SimHash signature bases, embedding-LSH
-    bucket tables) persist their compact per-doc bases because multiple
-    plan branches consume them; the persists are plan-keyed, so Spark's
-    CacheManager both dedups repeat invocations and keeps the blocks
-    alive for the session. In a long multi-query session (the driver's
-    50-query gate, bench passes) call this between independent units of
-    work to return executor storage memory — at 100 TB the equivalent
-    lever is an explicit unpersist policy per pipeline stage, not
-    session-lifetime LRU. See SCALE.md "Cache lifetime".
+    Since round 9 the dedup/similarity sketch bases use
+    ``localCheckpoint(eager=True)`` instead of persist (checkpoint blocks
+    are ContextCleaner-freed once the plan is dereferenced — no
+    session-lifetime CacheManager residency; see SCALE.md round-9
+    forensics), so this mostly guards remaining ad-hoc persists and the
+    bench's pass isolation (CacheManager dedups identical plans, which
+    would otherwise turn bench passes 2-3 into warm-cache reads of any
+    cached frame). At 100 TB the equivalent lever is an explicit
+    unpersist policy per pipeline stage, not session-lifetime LRU.
     """
     spark.catalog.clearCache()

@@ -58,7 +58,19 @@ def test_incremental_neardup_index(spark, sf_dir):
             lines = plan.splitlines()
             for i, line in enumerate(lines):
                 if "nd_keys" in line or "nd_docs" in line:
-                    above = [x for x in lines[max(0, i - 8) : i] if "Exchange" in x]
+                    # The BATCH side of each join legitimately shuffles
+                    # (its columns are batch_*-prefixed); the invariant is
+                    # that no Exchange repartitions CORPUS data — i.e. no
+                    # nearby exchange hash-partitions on non-batch keys.
+                    # (Proximity alone misfired once the signature frames
+                    # became checkpoints: the plan text compressed and the
+                    # sibling batch child's Exchange fell inside the 8-line
+                    # window.)
+                    above = [
+                        x
+                        for x in lines[max(0, i - 8) : i]
+                        if "Exchange" in x and "batch_" not in x
+                    ]
                     assert not above, (line, above)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
