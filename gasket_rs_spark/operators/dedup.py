@@ -1095,7 +1095,8 @@ def build_corpus_minhash_index(
         .mode("overwrite")
         .saveAsTable(docs_table)
     )
-    base.unpersist()
+    # base is a checkpoint (see _minhash_sigs); its blocks free via the
+    # ContextCleaner once this frame goes out of scope — no unpersist.
 
 
 def incremental_neardup_against_index(
@@ -1119,13 +1120,12 @@ def incremental_neardup_against_index(
     signature and survive by definition.
 
     ``eager`` (default): the survivor set — batch-sized, id-only — is
-    materialized via localCheckpoint and the batch signature cache is
-    unpersisted before returning, so a long-running ingest loop does NOT
-    accumulate one persisted frame per batch. Pass ``eager=False`` to
-    get the fully lazy plan instead (plan inspection, composing into a
-    larger query); the signature frame then stays persisted until the
-    caller's action completes, and releasing it is the caller's job
-    (``session.clear_caches()``).
+    materialized via localCheckpoint before returning, so a long-running
+    ingest loop holds only id-sized state per batch; the batch signature
+    checkpoint (see ``_minhash_sigs``) is then unreferenced and its
+    blocks are ContextCleaner-freed. Pass ``eager=False`` to get the
+    fully lazy plan instead (plan inspection, composing into a larger
+    query).
     """
     b = _minhash_sigs(batch.select("doc_id", "text"))
     probes = _band_keys(b).select(
@@ -1166,11 +1166,10 @@ def incremental_neardup_against_index(
     dups = verify.select(F.col("batch_doc").alias("doc_id")).distinct()
     out = batch.select("doc_id").join(dups, "doc_id", "left_anti")
     if eager:
-        # Execute now (survivors are batch-sized ids — cheap to hold),
-        # then release the signature cache so per-batch callers never
-        # leak a persisted frame per ingest batch.
+        # Execute now (survivors are batch-sized ids — cheap to hold);
+        # dropping the reference to `b` lets the ContextCleaner free its
+        # checkpoint blocks.
         out = out.localCheckpoint(eager=True)
-        b.unpersist()
     return out
 
 
