@@ -113,6 +113,8 @@ EXTRAS = [
     "mixture_temperature",
     "winsorize_by_group",
     "lang_source_chisq",
+    "dq_expectations",
+    "graph_triangles",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,

@@ -23,7 +23,7 @@ is a sum, so salting composes if needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gasket_rs_spark.tables import load
@@ -125,6 +125,150 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_EDGE_Q = 0.9  # edge = co-purchase pair in the top decile of strength
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the STRONG
+    supplier co-purchase graph — edges are the top-decile pairs by
+    shared-order count (a data-derived p90 threshold: a fixed count
+    degenerates with corpus density — measured, co ≥ 2 yields a complete
+    clique at sf ≤ 0.01 and coefficient ≡ 1.0). The standard
+    node-iterator/ordered-adjacency formulation: edges stored once as
+    (a < b), triangles counted by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈
+    e3(a,c) with a < b < c — each triangle generated exactly once, no
+    dedup/division pass, join fan per edge bounded by node degree (at
+    100 TB the degeneracy-ordered variant of this exact plan is the
+    published MapReduce algorithm). Edge generation reuses the
+    market-basket shape: keyed on the ORDER, linear in orders, never
+    suppliers².
+
+    The p90 threshold comes from the CO-COUNT HISTOGRAM (distinct
+    shared-order counts — bounded by max basket statistics, ~hundreds of
+    rows), cumulated with a single-partition window over that bounded
+    frame (the Heaps-curve pattern) — never a global sort of the pairs.
+
+    Output: one row — n_edges, n_wedges, n_triangles, clustering
+    coefficient 3·triangles/wedges snapped at 6dp. EXACT oracle
+    (identical SQL)."""
+    d = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    co = (
+        a.join(b, "ok")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy(F.col("s1").alias("ea"), F.col("s2").alias("eb"))
+        .agg(F.count("*").alias("co"))
+    )
+    hist = co.groupBy("co").agg(F.count("*").alias("cnt"))
+    # single-partition window over the bounded co histogram (<= distinct
+    # shared-order counts) — the Heaps-curve bounded-window pattern
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("co")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "co",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_pairs"),
+    )
+    thr = cum.where(
+        F.col("cum") >= F.ceil(F.lit(_TRI_EDGE_Q) * F.col("n_pairs"))
+    ).agg(F.min("co").alias("thr"))
+    edges = (
+        co.crossJoin(F.broadcast(thr))
+        .where(F.col("co") >= F.col("thr"))
+        .select("ea", "eb")
+    )
+    deg = (
+        edges.select(F.col("ea").alias("node"))
+        .unionByName(edges.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
+    e2 = edges.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
+    e3 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges") * 1e6 + F.lit(0.5)
+                )
+                / 1e6,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+_TRI_ORACLE = f"""
+    WITH d AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+    ), co AS (
+        SELECT a.s AS ea, b.s AS eb, count(*) AS co
+        FROM d a JOIN d b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY 1, 2
+    ), hist AS (
+        SELECT co, count(*) AS cnt FROM co GROUP BY co
+    ), cum AS (
+        SELECT co,
+               sum(cnt) OVER (ORDER BY co
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               sum(cnt) OVER () AS n_pairs
+        FROM hist
+    ), thr AS (
+        SELECT min(co) AS thr FROM cum
+        WHERE cum >= ceil({_TRI_EDGE_Q} * n_pairs)
+    ), edges AS (
+        SELECT ea, eb FROM co, thr WHERE co.co >= thr.thr
+    ), deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT ea AS node FROM edges
+            UNION ALL SELECT eb FROM edges
+        ) GROUP BY node
+    ), w AS (
+        SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.ea = e1.eb
+        JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+    ), ne AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS clustering_coeff
+    FROM ne, w, tri
+"""
+
+
 def _pr_oracle() -> str:
     body = [
         """
@@ -180,4 +324,5 @@ def _pr_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "graph_pagerank": _pr_oracle(),
+    "graph_triangles": _TRI_ORACLE,
 }

@@ -74,7 +74,110 @@ def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the contract check a warehouse
+    runs per ingest (Great-Expectations-shaped, expressed relationally):
+    one row per named check with its violation count, so `WHERE
+    n_violations > 0` is the alert feed. Checks cover the four families:
+    NOT NULL (order keys), UNIQUENESS (o_orderkey), REFERENTIAL
+    INTEGRITY (orders→customer, lineitem→orders — broadcast-anti-join
+    shaped; at scale the dim side is the smaller and AQE picks the
+    strategy), and DOMAIN/RANGE (non-negative totals, discount within
+    [0,1], shipdate inside the TPC-H calendar).
+
+    Scale: every check is one aggregation or one anti-join; nothing
+    quadratic, nothing driver-side. The union of 1-row frames is
+    dimension-sized."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+    )
+    checks = [
+        one("orders.o_orderkey.not_null", orders.where(F.col("o_orderkey").isNull())),
+        one("orders.o_custkey.not_null", orders.where(F.col("o_custkey").isNull())),
+        one("orders.o_orderkey.unique", dup_keys),
+        one(
+            "orders.o_custkey.fk_customer",
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem.l_orderkey.fk_orders",
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "orders.o_totalprice.non_negative",
+            orders.where(F.col("o_totalprice") < 0),
+        ),
+        one(
+            "lineitem.l_discount.in_unit_interval",
+            lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one(
+            "lineitem.l_shipdate.in_calendar",
+            lineitem.where(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_DQ_ORACLE = """
+    SELECT 'orders.o_orderkey.not_null' AS check,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM orders WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders.o_custkey.not_null', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique', CAST(count(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders.o_custkey.fk_customer', CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.fk_orders', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_totalprice.non_negative', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_totalprice < 0
+    UNION ALL
+    SELECT 'lineitem.l_discount.in_unit_interval', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'lineitem.l_shipdate.in_calendar', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1992-01-01'
+                     OR l_shipdate >= TIMESTAMP '1999-01-01'
+"""
+
+
 ORACLES: dict[str, str] = {
+    "dq_expectations": _DQ_ORACLE,
     "profile_columns": """
         -- CAST on every integer sum: DuckDB sums into HUGEINT, which the
         -- driver canonicalizes to float64 and hash-mismatches Spark int64.
