@@ -143,3 +143,67 @@ def test_entropy_degenerate_and_uniform(spark, sf_dir):
     for r in rows:
         assert -1e-9 <= r.norm_entropy <= 1.0 + 1e-9
         assert r.entropy >= -1e-9
+
+
+def test_round9_operators_survive_degenerate_inputs(spark):
+    """Degenerate-input pins for the round-9 additions: empty streams,
+    single-row groups, and merge-free corpora must produce well-formed
+    (possibly empty) results, never raise."""
+    import pandas as pd
+
+    from gasket_rs_spark.operators import sketches as K
+    from gasket_rs_spark.operators.bpe import encode_words, train_bpe
+    from gasket_rs_spark.operators.dedup import simhash_pairs
+
+    # Misra-Gries: empty stream -> empty summary, empty candidates
+    empty = spark.createDataFrame([], "item bigint")
+    assert K._mg_summaries(empty, 8).count() == 0
+
+    # MG: stream smaller than k -> lossless passthrough (counts exact)
+    tiny = spark.createDataFrame([(1,), (1,), (2,)], "item bigint").coalesce(1)
+    got = {(r.item, r.mg_count) for r in K._mg_summaries(tiny, 8).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+    # BPE: single-char words have no pairs -> zero merges; encode of an
+    # empty merge list is the identity segmentation
+    docs = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
+    merges = train_bpe(spark, docs, 5)
+    assert merges == []
+    enc = encode_words(
+        spark.createDataFrame([("ab",)], "w string"), merges
+    ).collect()
+    assert enc[0]["encoding"] == "a b" and enc[0]["n_subtok"] == 2
+
+    # paragraph-grain simhash core: single doc -> no pairs, no error
+    one = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    assert simhash_pairs(one).count() == 0
+
+
+def test_winsorize_single_row_group_is_identity(spark):
+    """n = 1: ceil(0.01*1) = ceil(0.99*1) = 1, so p01 = p99 = the value
+    and the winsorized mean equals the raw mean."""
+    from gasket_rs_spark.operators import stats as S
+
+    import gasket_rs_spark.operators.stats as stats_mod
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(
+        [("a", 7.0), ("b", 1.0), ("b", 3.0)], "event_type string, value double"
+    )
+    # replicate the witness body over an in-memory frame
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    cuts = (
+        ranked.where(
+            (F.col("rn") == F.ceil(F.lit(S._WINSOR_LO) * F.col("n")))
+            | (F.col("rn") == F.ceil(F.lit(S._WINSOR_HI) * F.col("n")))
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p_lo"), F.max("value").alias("p_hi"))
+    )
+    got = {r.event_type: (r.p_lo, r.p_hi) for r in cuts.collect()}
+    assert got["a"] == (7.0, 7.0)
+    assert got["b"] == (1.0, 3.0)
