@@ -163,8 +163,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s1") < F.col("s2"))
         .groupBy(F.col("s1").alias("ea"), F.col("s2").alias("eb"))
         .agg(F.count("*").alias("co"))
+        # co feeds TWO consumers (histogram, edge filter) and its derived
+        # edges frame feeds FIVE more — without lineage truncation the
+        # basket self-join (the dominant shuffle) re-executed per branch.
+        # Round-10 interleaved A/B (scripts/ab_triangles_r10.py, load 0.12):
+        # shipped r9 shape min 4.10 s / med 5.09 s → this shape min 3.19 s /
+        # med 3.43 s at sf0.1, identical output. Same storage rule as
+        # pagerank/dedup: share multi-consumer frames via
+        # localCheckpoint(eager=True), keep single-consumer plans lazy.
+        .localCheckpoint(eager=True)
     )
     hist = co.groupBy("co").agg(F.count("*").alias("cnt"))
+    # n_pairs as a 1-row broadcast agg (not a second full-frame window):
+    # one window pass over the bounded histogram is all the sort we need.
+    n_pairs = hist.agg(F.sum("cnt").alias("n_pairs"))
     # single-partition window over the bounded co histogram (<= distinct
     # shared-order counts) — the Heaps-curve bounded-window pattern
     w = (
@@ -172,14 +184,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("co")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.select(
-        "co",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n_pairs"),
+    cum = hist.select("co", F.sum("cnt").over(w).alias("cum")).crossJoin(
+        F.broadcast(n_pairs)
     )
     thr = cum.where(
         F.col("cum") >= F.ceil(F.lit(_TRI_EDGE_Q) * F.col("n_pairs"))
@@ -188,6 +194,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.crossJoin(F.broadcast(thr))
         .where(F.col("co") >= F.col("thr"))
         .select("ea", "eb")
+        # the small post-p90 decile, consumed by deg/e1/e2/e3/n_edges —
+        # cheap to materialize, saves 5 re-filters of co.
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("ea").alias("node"))
