@@ -10,11 +10,12 @@ evidence can silently age out. This check fails loudly when the committed
    (cohort 2 -> 1) and therefore changes the derived order; this rule
    forces ``scripts/gen_registry_order.py`` to be re-run before the
    end-of-round commit.
-2. **Window coverage**: no query with invalid evidence (cohort 0 failed,
-   or cohort 1 changed-since-checked / never-checked) may sit outside the
-   next window's 50-prefix while a green-and-unchanged (cohort 2) query
-   occupies a prefix slot. When more than 50 queries are stale, the prefix
-   must be the 50 *oldest-checked* stale ones.
+2. **Window coverage**: no query needing a re-check (rank 0 failed,
+   rank 1 evidence-over-age-cap, or rank 2 changed-since-checked /
+   never-checked) may sit outside the next window's 50-prefix while a
+   fresh green-and-unchanged (rank 3) query occupies a prefix slot. When
+   more than 50 queries need re-checks, the prefix must be the 50
+   *highest-priority* (rank, then oldest-checked) ones.
 
 Run: ``python scripts/check_rotation.py`` — exit 0 = invariant holds.
 """
@@ -78,10 +79,10 @@ def check() -> list[str]:
     # Window coverage is judged on the *current* derived order (what the
     # driver will actually walk once the regenerated file is committed).
     prefix = set(order_now[:WINDOW])
-    stale = [n for n in order_now if meta[n][0] < 2]
+    stale = [n for n in order_now if meta[n][0] < 3]
     outside = [n for n in stale if n not in prefix]
     if outside:
-        green_inside = [n for n in order_now[:WINDOW] if meta[n][0] == 2]
+        green_inside = [n for n in order_now[:WINDOW] if meta[n][0] == 3]
         if green_inside:
             problems.append(
                 f"{len(outside)} stale-evidence queries sit outside the "

@@ -5,12 +5,20 @@ may cover only a prefix of the catalog, so the catalog is emitted in
 *evidence-validity* order to maximize the information each round's check
 produces and to guarantee full-catalog rotation across rounds:
 
-1. primary key — current evidence validity:
+1. primary key — current evidence validity (rank):
    - 0: last check FAILED (hash mismatch) — re-verify first;
-   - 1: no currently-valid evidence — never checked, or green but the
+   - 1: green AND unchanged but the driver evidence is OLDER than
+     AGE_CAP rounds — the round-10 age cap (VERDICT r9 #5): with a
+     200+ query catalog and a 50-entry driver window, queries in
+     *stable* modules were sitting un-rechecked indefinitely (R5-R14
+     last driver-checked round 2 as of round 9); promoting them ahead
+     of changed-module re-checks bounds worst-case driver-evidence age
+     at ~AGE_CAP+catalog/WINDOW rounds;
+   - 2: no currently-valid evidence — never checked, or green but the
      implementing module file changed since the checked snapshot commit
      (a green row for code that no longer exists proves nothing);
-   - 2: green AND unchanged — the old evidence still holds verbatim.
+   - 3: green AND unchanged, within the age cap — the old evidence
+     still holds verbatim and is recent enough.
 2. within a validity class: last-checked round, oldest first
    (never-checked sorts before round 1) — this is the rotation that ages
    out even valid evidence over time;
@@ -21,7 +29,11 @@ after round 2): a query whose code changed since its green check has NO
 standing evidence and must outrank a green-unchanged query whose older
 evidence is still literally valid — otherwise a prefix-limited checker
 spends its budget re-proving what is already proven while changed code
-goes unchecked.
+goes unchecked. The AGE_CAP class is the bounded exception: evidence
+older than AGE_CAP rounds is valid but geologically so, and one window
+slot per such query per ~6 rounds is cheap insurance against silent
+environment drift (driver harness, Spark/DuckDB versions, testdata
+regeneration) that module-content hashing cannot see.
 
 Inputs are all committed artifacts: ``CORRECTNESS_r*.json`` (driver
 output) and git history (module content at each round's snapshot commit).
@@ -45,6 +57,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# Max driver-evidence age (in rounds) before a green-and-unchanged query
+# is promoted ahead of changed-module re-checks (rank 3 -> 1). Age is
+# measured against the UPCOMING round (max recorded round + 1) — the
+# round whose window the generated order feeds.
+AGE_CAP = 6
 
 
 def _round_snapshot_commits() -> dict[int, str]:
@@ -102,10 +120,11 @@ def compute_order(
     drop alone never invalidates the committed order — only module edits
     or hand-tampering do.
 
-    Returns ``(order, meta)`` where ``meta[name] = (cohort, last_round)``
-    with cohort 0=failed-last-check, 1=no-valid-evidence (never checked or
-    module changed since the checked snapshot), 2=green-and-unchanged, and
-    last_round = -1 for never-checked queries.
+    Returns ``(order, meta)`` where ``meta[name] = (rank, last_round)``
+    with rank 0=failed-last-check, 1=green-and-unchanged-but-over-age-cap,
+    2=no-valid-evidence (never checked or module changed since the checked
+    snapshot), 3=green-and-unchanged-within-cap, and last_round = -1 for
+    never-checked queries.
     """
     from gasket_rs_spark.registry import collect_raw
 
@@ -133,31 +152,34 @@ def compute_order(
 
     snapshots = _round_snapshot_commits()
     changed_cache: dict[tuple[str, str], bool] = {}
+    considered = rounds if rounds is not None else set(available_rounds())
+    # the order feeds the NEXT round's window; evidence age is vs that round
+    upcoming = (max(considered) + 1) if considered else 1
 
-    def cohort_rank(name: str) -> int:
+    def rank(name: str) -> int:
+        if name not in last_checked:
+            return 2  # never checked — no valid evidence
         if not last_green.get(name, False):
             return 0  # failed at last check — re-verify first
         rnd = last_checked[name]
         commit = snapshots.get(rnd)
         if commit is None:
-            return 1  # can't prove the code is unchanged — treat as stale
+            return 2  # can't prove the code is unchanged — treat as stale
         mod = sys.modules[queries[name].__module__]
         rel = os.path.relpath(mod.__file__, REPO)
         key = (rel, commit)
         if key not in changed_cache:
             changed_cache[key] = _module_changed_since(rel, commit)
-        return 1 if changed_cache[key] else 2
+        if changed_cache[key]:
+            return 2
+        # valid evidence — but promote ahead of changed-module re-checks
+        # once it is more than AGE_CAP rounds old (VERDICT r9 #5)
+        return 1 if (upcoming - rnd) > AGE_CAP else 3
 
     order = sorted(
-        queries,
-        key=lambda n: (cohort_rank(n) if n in last_checked else 1,
-                       last_checked.get(n, -1), n),
+        queries, key=lambda n: (rank(n), last_checked.get(n, -1), n)
     )
-    meta = {
-        n: (cohort_rank(n) if n in last_checked else 1,
-            last_checked.get(n, -1))
-        for n in order
-    }
+    meta = {n: (rank(n), last_checked.get(n, -1)) for n in order}
     return order, meta
 
 
@@ -170,8 +192,10 @@ def main() -> None:
         "",
         "Catalog emission order = evidence staleness (see the generator's",
         "docstring for the full policy). Derivation inputs at generation",
-        "time, per query: (last_checked_round, cohort) where cohort is",
-        "0=failed-last-check, 1=green-but-code-changed-since, 2=green.",
+        "time, per query: (last_checked_round, rank) where rank is",
+        "0=failed-last-check, 1=green-but-evidence-over-age-cap,",
+        "2=no-valid-evidence (never checked / code changed since),",
+        "3=green-and-unchanged within the age cap.",
         '"""',
         "",
         "# Correctness rounds this order was derived from. check_rotation.py",
@@ -182,9 +206,9 @@ def main() -> None:
         "ORDER = (",
     ]
     for n in order:
-        cohort, rnd = meta[n]
+        rk, rnd = meta[n]
         lines.append(
-            f"    {n!r},  # r{rnd if rnd >= 0 else '-'} cohort={cohort}"
+            f"    {n!r},  # r{rnd if rnd >= 0 else '-'} rank={rk}"
         )
     lines.append(")")
     out_path = os.path.join(REPO, "gasket_rs_spark", "registry_order.py")

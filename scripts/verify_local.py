@@ -6,6 +6,11 @@ and order-insensitive values (exact for ints/strings, tight tolerance for
 floats so we notice any value the driver's hash could flip on).
 
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
+
+``scripts/local_verify_sweep.py`` drives this across all three SFs and
+commits the results as ``LOCALVERIFY_r{N}.json`` (VERDICT r9 #4) so the
+evidence the 207-query catalog relies on between driver windows is
+auditable, not just claimed.
 """
 
 from __future__ import annotations
@@ -78,14 +83,13 @@ def rows_match(a, b) -> tuple[bool, str]:
     return True, ("EXACT" if exact else "FLOAT-CLOSE (driver hash may flip!)")
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def verify(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, dict]:
+    """Run the differential gate at one SF; return per-query results.
 
+    Result rows: ``{"status": "EXACT" | "FLOAT-CLOSE" | "rows-only" |
+    "FAIL", "rows": int | None, "detail": str, "sec": float}``.
+    """
     import __spark_entry__ as entrymod
-    from gasket_rs_spark.session import get_session
-
-    spark = get_session("verify_local", cpus=8)
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -95,7 +99,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows, detail, t0):
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "detail": detail,
+            "sec": round(time.time() - t0, 1),
+        }
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -118,7 +131,7 @@ def main() -> int:
                         "canonicalizer cannot sort these; flatten "
                         "(array_join) or explode to rows"
                     )
-                    failures.append(name)
+                    record(name, "FAIL", None, f"unsortable columns {bad}", t0)
                     continue
             scols = sorted(sdf.columns)
             srows = [tuple(canon(r[c]) for c in scols) for r in sdf.collect()]
@@ -126,10 +139,11 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc()
-            failures.append(name)
+            record(name, "FAIL", None, "spark error", t0)
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            record(name, "rows-only", len(srows), "no oracle by design", t0)
             continue
         try:
             rel = con.execute(oracles[name])
@@ -138,26 +152,44 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: DUCKDB ERROR")
             traceback.print_exc()
-            failures.append(name)
+            record(name, "FAIL", len(srows), "duckdb error", t0)
             continue
         dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
         dcols = [dcols_raw[i] for i in dorder]
         if scols != dcols:
             print(f"FAIL  {name}: columns {scols} vs {dcols}")
-            failures.append(name)
+            record(name, "FAIL", len(srows), f"columns {scols} vs {dcols}", t0)
             continue
         drows = [tuple(canon(r[i]) for i in dorder) for r in drows_raw]
         drows.sort(key=sort_key)
         ok, detail = rows_match(srows, drows)
         status = "ok   " if ok else "FAIL "
         print(f"{status} {name}: {len(srows)} rows, {detail}, {time.time()-t0:.1f}s")
+        record(
+            name,
+            ("EXACT" if detail == "EXACT" else "FLOAT-CLOSE") if ok else "FAIL",
+            len(srows),
+            detail,
+            t0,
+        )
         if not ok:
-            failures.append(name)
             for i, (ra, rb) in enumerate(zip(srows, drows)):
                 if ra != rb:
                     print(f"   first diff at sorted row {i}:\n   spark : {ra}\n   duckdb: {rb}")
                     break
+    con.close()
+    return results
 
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from gasket_rs_spark.session import get_session
+
+    spark = get_session("verify_local", cpus=8)
+    results = verify(spark, sf_dir, only or None)
+    failures = [n for n, r in results.items() if r["status"] == "FAIL"]
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0

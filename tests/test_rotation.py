@@ -27,6 +27,33 @@ def test_rotation_invariant_holds():
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def test_age_cap_promotes_stale_green_evidence():
+    """Round-10 age cap (VERDICT r9 #5): a green-and-unchanged query whose
+    driver evidence is older than AGE_CAP rounds must be promoted ahead of
+    changed-module re-checks (rank 1, before every rank-2 entry), so
+    worst-case driver-evidence age is bounded instead of indefinite."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_registry_order import AGE_CAP, available_rounds, compute_order
+
+    assert AGE_CAP == 6
+    rounds = available_rounds()
+    order, meta = compute_order(set(rounds))
+    upcoming = max(rounds) + 1
+
+    ranks = [meta[n][0] for n in order]
+    assert ranks == sorted(ranks), "order must be non-decreasing in rank"
+    for n in order:
+        rk, rnd = meta[n]
+        if rk == 1:  # promoted = valid evidence, but over the cap
+            assert upcoming - rnd > AGE_CAP, (n, rnd)
+        if rk == 3:  # fresh green must be within the cap
+            assert upcoming - rnd <= AGE_CAP, (n, rnd)
+    # within each rank class the rotation is oldest-checked first
+    for a, b in zip(order, order[1:]):
+        if meta[a][0] == meta[b][0]:
+            assert meta[a][1] <= meta[b][1], (a, b)
+
+
 def test_driver_artifact_drop_does_not_fail_suite():
     """Self-healing rule (VERDICT r7 #2): a new CORRECTNESS_r{N}.json
     appearing at round end — rounds not in registry_order.ROUNDS — must
