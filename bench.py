@@ -59,11 +59,14 @@ HEADLINE = [
     "stream_session",
 ]
 
-# Round-8 scale-path additions, timed SINGLE-PASS and reported only in
-# BENCH_DETAIL.json ("extras"): visibility without touching either
-# headline composition (cross-round series stay comparable) or the
-# bounded stdout line. Median claims don't apply to these — one pass is
-# cost visibility, not a regression series.
+# Round-8+ scale-path additions, reported only in BENCH_DETAIL.json
+# ("extras"): visibility without touching either headline composition
+# (cross-round series stay comparable) or the bounded stdout line.
+# Since round 10 extras run TWO passes (VERDICT r9 #7): "extras" stays
+# the first cold pass (series-comparable with r8/r9 single-pass values)
+# and "extras_min" is min-of-2 — the noise-robust floor, so a one-off
+# GC/IO stall no longer reads as a regression and real ones can't hide
+# behind one.
 EXTRAS = [
     "text_line_dedup",
     "text_span_dedup",
@@ -115,6 +118,8 @@ EXTRAS = [
     "lang_source_chisq",
     "dq_expectations",
     "graph_triangles",
+    # round-10 additions
+    "bpe_pair_counts",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,
@@ -208,12 +213,20 @@ def main() -> None:
     timings_min = {n: round(min(ts), 3) for n, ts in samples.items()}
 
     extras: dict[str, float] = {}
+    extras_min: dict[str, float] = {}
     if not witness_mode:
-        clear_caches(spark)
-        for name in EXTRAS:
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            extras[name] = round(time.perf_counter() - t0, 3)
+        extras_samples: dict[str, list[float]] = {n: [] for n in EXTRAS}
+        for _ in range(2):
+            clear_caches(spark)
+            for name in EXTRAS:
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                extras_samples[name].append(time.perf_counter() - t0)
+        # first pass = the r8/r9-comparable cold value; min = robust floor
+        extras = {n: round(ts[0], 3) for n, ts in extras_samples.items()}
+        extras_min = {n: round(min(ts), 3) for n, ts in extras_samples.items()}
 
     if witness_mode:
         out = {
@@ -252,10 +265,13 @@ def main() -> None:
             ),
             "headline_queries": HEADLINE,
             "headline_v1_queries": HEADLINE_V1,
-            # Single-pass timings of the round-8 scale additions (cost
-            # visibility only; not a median series, not in any headline).
+            # Timings of the round-8+ scale additions (cost visibility
+            # only; not in any headline). "extras" = first cold pass
+            # (r8/r9-comparable); "extras_min" = min-of-2 (VERDICT r9 #7).
             "extras": extras,
             "extras_total_sec": round(sum(extras.values()), 3),
+            "extras_min": extras_min,
+            "extras_min_total_sec": round(sum(extras_min.values()), 3),
             # Load proxy bracketing the run (VERDICT r8 #7): start is the
             # pre-existing box load; end includes this bench's own local[N]
             # threads, so START is the contention signal to read.

@@ -244,9 +244,50 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {}
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-0 adjacent-pair count table — the kernel every BPE merge
+    round rests on, promoted to a hash-level EXACT witness (VERDICT r9
+    #6): the full training loop is rows-only by necessity (iterative
+    argmax), but its one non-trivial aggregate IS one-query expressible,
+    so the driver gets cross-engine evidence of the weighted pair count
+    while the loop's control flow stays pinned by tests/test_bpe.py.
+
+    Output: (sym_l, sym_r, pair_freq) for every adjacent character pair,
+    weighted by word frequency — bounded by charset² rows, never
+    corpus-sized. Columns renamed from the internal left/right (reserved
+    words in ANSI SQL)."""
+    words = word_frequencies(load(spark, sf_dir, "documents"))
+    return _pair_counts(words).select(
+        F.col("left").alias("sym_l"),
+        F.col("right").alias("sym_r"),
+        "pair_freq",
+    )
+
+
+_PAIR_COUNTS_ORACLE = """
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS sym_l,
+               substr(w, CAST(i AS INT) + 1, 1) AS sym_r,
+               freq
+        FROM words, unnest(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT sym_l, sym_r, CAST(sum(freq) AS BIGINT) AS pair_freq
+    FROM pairs GROUP BY 1, 2
+"""
+
+
+ORACLES: dict[str, str] = {
+    "bpe_pair_counts": _PAIR_COUNTS_ORACLE,
+}
 
 QUERIES = {
     "bpe_vocab_merges": q_bpe_vocab_merges,
     "bpe_encode": q_bpe_encode,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }

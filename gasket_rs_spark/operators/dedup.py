@@ -231,6 +231,14 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     # the round-9 3-pass A/B measured the checkpoint equal-or-faster
     # (minhash 2.4-3.0s vs 2.4-3.3s, components 3.1-3.8 vs 3.2-4.7 at
     # sf0.1). Blocks are ContextCleaner-freed on dereference.
+    # Reliability tradeoff (ADVICE r9): localCheckpoint blocks are
+    # UNREPLICATED and lineage is severed — on a real cluster an executor
+    # loss makes the frame unrecoverable and fails the query, where
+    # persist would recompute from lineage. Correct for local[N] and for
+    # short-lived frames inside one query; a 1000-executor run should
+    # swap these sites to reliable checkpoint() (setCheckpointDir on
+    # HDFS/S3) or persist(MEMORY_AND_DISK_2) — 1-line swap, same plan
+    # shapes. See SCALE.md "Round-10 first wave".
     return docs.select("doc_id", token_hashes.alias("th")).mapInPandas(
         sig_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>, n_sh int"
     ).localCheckpoint(eager=True)
@@ -584,18 +592,28 @@ def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       floor-pinned (≥0.25) rather than assumed.
     """
     seg = F.regexp_extract_all("text", F.lit(_PARA_PATTERN), 0)
+    # Both packing bounds carry runtime assert_true guards (the ADVICE-r8
+    # silent-packed-key lesson, completed per ADVICE r9): pos must fit its
+    # 12 bits AND the packed organic key must stay strictly below the
+    # lowest plant band (doc_id < 2^28) — otherwise organic keys spill
+    # into the +2^40/+2^41 plant bands and silently corrupt the family
+    # classification and capture accounting.
+    _max_organic_doc = _PARA_PLANT_ROT >> _PARA_POS_BITS  # 2^28
     paras = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(seg).alias("pos", "ptext"))
         .select(
             F.when(
-                F.col("pos") < F.lit(1 << _PARA_POS_BITS),
+                (F.col("pos") < F.lit(1 << _PARA_POS_BITS))
+                & (F.col("doc_id") < F.lit(_max_organic_doc)),
                 F.col("doc_id") * F.lit(1 << _PARA_POS_BITS) + F.col("pos"),
             )
             .otherwise(
                 F.expr(
-                    "assert_true(false, 'paragraph pos exceeds the 2^12 "
-                    "per-doc bound the packed para key relies on')"
+                    "assert_true(false, 'packed para key would exceed the "
+                    "plant band base: pos must fit 2^12 and doc_id must be "
+                    "< 2^28 for the +2^40/+2^41 plant families to stay "
+                    "collision-free')"
                 ).cast("bigint")
             )
             .alias("doc_id"),
@@ -603,19 +621,25 @@ def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = F.split("text", " ")
+    # token array hoisted into a named column before the transform
+    # (ADVICE r9: the split previously sat INSIDE the chunking lambda —
+    # the HOF re-evaluation pattern this codebase forbids elsewhere).
+    # Caveat, kept honest: project-collapse can re-inline a referenced
+    # alias into the lambda body, so the hoist is a source-discipline
+    # guarantee, not an optimizer barrier — acceptable only because the
+    # frame is bounded (≤32-token paragraphs → ≤8 chunk slices).
     eligible = paras.where(
         (F.col("doc_id") % _PARA_PLANT_EVERY == 0)
         & (F.size(toks) >= _PARA_PLANT_MIN_TOKENS)
-    )
+    ).select("doc_id", "text", toks.alias("toks"))
     reordered = eligible.select(
         (F.col("doc_id") + F.lit(_PARA_PLANT_ROT)).alias("doc_id"),
         F.array_join(
             F.flatten(
                 F.reverse(
                     F.expr(
-                        "transform(sequence(0, int(ceil(size(split(text, ' ')) "
-                        "/ 4.0)) - 1, 1), i -> slice(split(text, ' '), "
-                        "i * 4 + 1, 4))"
+                        "transform(sequence(0, int(ceil(size(toks) "
+                        "/ 4.0)) - 1, 1), i -> slice(toks, i * 4 + 1, 4))"
                     )
                 )
             ),
@@ -626,9 +650,9 @@ def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(_PARA_PLANT_EDIT)).alias("doc_id"),
         F.array_join(
             F.concat(
-                F.slice(toks, 1, 2),
-                F.array(F.concat(F.element_at(toks, 3), F.lit("~"))),
-                F.slice(toks, 4, 1 << 30),
+                F.slice("toks", 1, 2),
+                F.array(F.concat(F.element_at("toks", 3), F.lit("~"))),
+                F.slice("toks", 4, 1 << 30),
             ),
             " ",
         ).alias("text"),

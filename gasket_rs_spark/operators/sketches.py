@@ -358,22 +358,38 @@ def _mg_summaries(stream: DataFrame, k: int) -> DataFrame:
     partition. Arrow-batched: each batch collapses through np.unique
     before touching the dict, so Python cost is per-DISTINCT-per-batch,
     not per-row; overflow applies the mergeable-summaries combine
-    (subtract the (k+1)-th largest, drop ≤ 0 — decrement is bounded by
-    n_partition/(k+1) total, preserving the superset guarantee)."""
+    (subtract the (k+1)-th largest, drop ≤ 0 — total decrement is bounded
+    by n_partition/(k+1) because each eviction removes ≥ (k+1)·d mass,
+    preserving the superset guarantee regardless of eviction FREQUENCY).
+
+    Transient state is genuinely bounded (ADVICE r9): the unique arrays
+    are merged in fixed-size chunks with a re-evict whenever the dict
+    exceeds 2k, so peak dict size is O(k + chunk) — not O(k + distinct-
+    per-Arrow-batch), which with large batches over a 100k-distinct tail
+    used to hold the whole batch's key set in the dict between
+    evictions."""
     import numpy as np
     import pandas as pd
+
+    chunk = 4096
+
+    def evict(counters: dict[int, int]) -> dict[int, int]:
+        d = sorted(counters.values(), reverse=True)[k]
+        return {v: c - d for v, c in counters.items() if c - d > 0}
 
     def kernel(batches):
         counters: dict[int, int] = {}
         for pdf in batches:
             vals, cnts = np.unique(pdf["item"].to_numpy(), return_counts=True)
-            for v, c in zip(vals.tolist(), cnts.tolist()):
-                counters[v] = counters.get(v, 0) + c
-            if len(counters) > k:
-                d = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    v: c - d for v, c in counters.items() if c - d > 0
-                }
+            for lo in range(0, len(vals), chunk):
+                for v, c in zip(
+                    vals[lo : lo + chunk].tolist(), cnts[lo : lo + chunk].tolist()
+                ):
+                    counters[v] = counters.get(v, 0) + c
+                if len(counters) > 2 * k:
+                    counters = evict(counters)
+        if len(counters) > k:
+            counters = evict(counters)
         yield pd.DataFrame(
             {"item": list(counters.keys()), "mg_count": list(counters.values())}
         )

@@ -4,9 +4,19 @@ expose a top-level ArrayType/MapType column.
 The driver canonicalizes results via pandas ``sort_values``, which raises
 ``TypeError: unhashable type: 'list'`` on list/dict cells — this killed
 ``array_ops`` in round 1 and ``text_feature_hashing`` in round 8, and the
-local harness's old tuple-izing canon() masked both. Building the
-DataFrame is lazy (plan analysis only), so sweeping all oracled entries
-is cheap; rows-only witnesses are exempt (the driver never hashes them).
+local harness's old tuple-izing canon() masked both. Rows-only witnesses
+are exempt (the driver never hashes them).
+
+Cost honesty (ADVICE r9): building a DataFrame is *usually* lazy (plan
+analysis only), but several oracled witnesses execute real work on
+construction — the stream_* pipeline functions run complete streaming
+queries before returning their result frame, iterative operators
+(BPE-derived, PageRank) run driver loops, and dedup constructors fire
+eager localCheckpoint jobs. The sweep therefore runs at sf0.001 where
+those executions cost ~seconds, and this is accepted: schema-from-
+execution at the smallest SF is still the cheapest faithful source
+(deriving schemas any other way would not exercise the code path the
+driver actually calls).
 """
 
 from __future__ import annotations
