@@ -208,7 +208,74 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_CAP_FRAC = 0.6  # keep at most 60% of the largest domain's count
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document capping — the web-corpus curation step that
+    stops a handful of giant domains from dominating the mixture (C4,
+    RefinedWeb, FineWeb all apply a per-domain cap before sampling):
+    every source keeps at most ``ceil(0.6 · max domain size)`` documents,
+    chosen in deterministic md5(doc_id) priority order — the same
+    engine-independent pseudo-random order as the reservoir/shard
+    witnesses, so the SELECTION (not just the count) is reproducible
+    across runs, engines, and re-ingests; kept_docid_sum pins exact
+    membership at the driver.
+
+    The cap is data-derived (a fraction of the LARGEST domain) so it
+    stays binding at every SF regardless of fixture growth — a fixed
+    count would degenerate to a no-op as SF grows.
+
+    Scale shape: one count agg for the cap (broadcast 1-row), one
+    row_number window PARTITIONED by source (parallel per-domain sort of
+    n/|domains| rows — never a global one), one final per-source agg.
+    At 100 TB the md5 sort key is computed in-scan (whole-stage codegen)
+    and the window shuffle is the only corpus-sized exchange."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    cap = docs.groupBy("source").agg(F.count("*").alias("n")).agg(
+        F.ceil(F.max("n") * F.lit(_DOMAIN_CAP_FRAC)).cast("bigint").alias("cap")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("rn") <= F.col("cap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= F.col("cap"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_docid_sum"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "domain_cap": f"""
+        WITH cap AS (
+            SELECT CAST(ceil(max(n) * {_DOMAIN_CAP_FRAC}) AS BIGINT) AS cap
+            FROM (SELECT count(*) AS n FROM documents GROUP BY source)
+        ), ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rn <= cap THEN doc_id END) AS BIGINT)
+                   AS kept_docid_sum
+        FROM ranked CROSS JOIN cap
+        GROUP BY source
+    """,
     "llm_corpus_pipeline": """
         WITH base AS (
             SELECT doc_id, text, source, n_chars,

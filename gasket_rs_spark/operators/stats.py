@@ -513,7 +513,127 @@ def q_reservoir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIMAX_EMAX = 2  # max epochs per stratum; integer so capacities stay exact
+
+
+def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a token budget over source strata, capping each
+    stratum at ``_UNIMAX_EMAX`` epochs of its own data and waterfilling
+    the remainder uniformly over the uncapped strata. Complements
+    q_mixture_temperature (smooth n^alpha re-weighting) with the
+    hard-epoch-cap policy large multilingual runs actually use.
+
+    The fixture's 20 sources are deliberately size-uniform, so strata are
+    formed by UNEQUAL source grouping (10/5/3/2 sources → ~50/25/15/10%
+    token mass) — the planted-skew discipline (_hh_stream): with budget =
+    one epoch of the full corpus and E_max = 2, the smallest stratum caps
+    (2×10% = 20% < the 25% fair share) and the other three waterfill,
+    so both branches of the policy are exercised at every SF.
+
+    The waterfill split uses the closed form — stratum x is capped iff
+    Σ_j min(c_j, c_x) ≤ B (equivalent to c_x ≤ τ where τ solves
+    Σ min(c_i, τ) = B, since Σ min(c_j, t) is nondecreasing in t) — so
+    the whole allocation is joins + aggregates over the 4-row strata
+    frame: no iteration, no single-partition window, integer-exact until
+    the two final divisions (snapped at 6dp identically cross-engine).
+
+    Scale shape: ONE corpus pass (token count agg, map-side combinable);
+    everything downstream operates on the stratum-cardinality frame via
+    broadcast cross joins — the mixture_temperature pattern."""
+    docs = load(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 8).cast("int")
+    stratum = (
+        F.when(src_num < 10, F.lit("a"))
+        .when(src_num < 15, F.lit("b"))
+        .when(src_num < 18, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    strata = (
+        docs.select(stratum.alias("stratum"), ntok.alias("nt"))
+        .groupBy("stratum")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "cap_tokens", (F.col("n_tokens") * _UNIMAX_EMAX).cast("bigint")
+        )
+    )
+    budget = strata.agg(F.sum("n_tokens").cast("bigint").alias("budget"))
+    minsums = (
+        strata.crossJoin(
+            F.broadcast(strata.select(F.col("cap_tokens").alias("c_j")))
+        )
+        .groupBy("stratum", "n_tokens", "cap_tokens")
+        .agg(F.sum(F.least("c_j", "cap_tokens")).cast("bigint").alias("minsum"))
+    )
+    flagged = minsums.crossJoin(F.broadcast(budget)).withColumn(
+        "capped", F.col("minsum") <= F.col("budget")
+    )
+    pools = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_cap"),
+        F.sum(F.when(F.col("capped"), F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("k_un"),
+    )
+    alloc_raw = F.when(F.col("capped"), F.col("cap_tokens").cast("double")).otherwise(
+        (F.col("budget") - F.col("s_cap")) / F.col("k_un")
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return flagged.crossJoin(F.broadcast(pools)).select(
+        "stratum",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        snap6(alloc_raw).alias("alloc_tokens"),
+        snap6(alloc_raw / F.col("n_tokens")).alias("epochs"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "mixture_unimax_waterfill": f"""
+        WITH strata AS (
+            SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a'
+                        WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'b'
+                        WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'c'
+                        ELSE 'd' END AS stratum,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1
+        ), caps AS (
+            SELECT stratum, n_tokens,
+                   CAST(n_tokens * {_UNIMAX_EMAX} AS BIGINT) AS cap_tokens
+            FROM strata
+        ), b AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS budget FROM caps
+        ), minsums AS (
+            SELECT x.stratum, x.n_tokens, x.cap_tokens,
+                   CAST(sum(least(j.cap_tokens, x.cap_tokens)) AS BIGINT)
+                       AS minsum
+            FROM caps x CROSS JOIN caps j
+            GROUP BY 1, 2, 3
+        ), flagged AS (
+            SELECT m.*, b.budget, (m.minsum <= b.budget) AS capped
+            FROM minsums m CROSS JOIN b
+        ), pools AS (
+            SELECT CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                        AS BIGINT) AS s_cap,
+                   CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+                       AS k_un
+            FROM flagged
+        )
+        SELECT stratum, n_tokens, cap_tokens, capped,
+               floor((CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                           ELSE (budget - s_cap) / k_un END) * 1e6 + 0.5)
+                   / 1e6 AS alloc_tokens,
+               floor((CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                           ELSE (budget - s_cap) / k_un END) / n_tokens
+                     * 1e6 + 0.5) / 1e6 AS epochs
+        FROM flagged CROSS JOIN pools
+    """,
     "weighted_sample_aes": f"""
         SELECT doc_id, lang, n_chars,
                round(power(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
