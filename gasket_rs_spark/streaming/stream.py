@@ -527,6 +527,93 @@ def q_stream_static_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_stream_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join run end to end — the last
+    uncovered Structured Streaming join family (stream-static and
+    stateful are witnessed above): click→purchase attribution, purchases
+    joined to every click by the same user in the preceding 24 hours.
+    Both sides are derived from the staged 4-microbatch file stream,
+    carry ``withWatermark`` on their event-time columns, and join on an
+    equi-key PLUS an event-time range condition — exactly the plan shape
+    Spark requires for state-bounded stream-stream joins (each side's
+    join state is evicted once the other side's watermark passes the
+    range bound).
+
+    Determinism contract (what lets a REAL two-sided stream be
+    oracle-checked EXACT): the watermark delay (90 days) exceeds the
+    fixture's full 30-day event span, so no row is ever late, state is
+    never evicted early, and the inner join emits exactly the batch-join
+    pair set regardless of file arrival order — the witness pins
+    SEMANTICS (join correctness over real microbatches), while the
+    late-drop behavior itself is pinned separately by the X31 watermark
+    witnesses. In production the delay is the measured out-of-orderness
+    bound (minutes), which bounds state at stream-rate·delay rows per
+    side — that sizing is the whole point of the interval condition.
+
+    Sink rows are the joined pairs partitioned by batch_id (idempotent
+    overwrite — at-least-once foreachBatch replays replace, never
+    double-count); the returned frame aggregates the sink per user, so
+    the result is batch-split invariant (pair set is microbatching-
+    independent, aggregation runs over the union)."""
+    src, sink, ckpt = _staged_events_scratch(spark, sf_dir, "ssj_sink", "ssj_ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "90 days")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"), "p_id", "c_id", "p_value"
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    query = (
+        joined.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(180):
+        query.stop()
+        raise TimeoutError("stream-stream join pipeline exceeded 180s")
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct(F.col("p_id")).alias("n_purchases_attr"),
+            F.min("p_id").alias("first_purchase"),
+            (F.floor(F.sum("p_value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "attr_value"
+            ),
+        )
+    )
+
+
 def q_stream_stateful_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator as a DRIVER-CHECKABLE witness —
     the arbitrary-state escape hatch run end to end: the staged
@@ -566,6 +653,28 @@ def q_stream_stateful_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # The stream-stream inner join with an everything-covering watermark
+    # emits exactly the batch join's pair set (see the witness docstring),
+    # so the oracle is the plain batch interval join.
+    "stream_stream_join_pipeline": """
+        WITH c AS (
+            SELECT user_id, ts AS cts, event_id AS c_id
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts AS pts, event_id AS p_id, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT p.p_id) AS BIGINT) AS n_purchases_attr,
+               CAST(min(p.p_id) AS BIGINT) AS first_purchase,
+               floor(sum(p.value) * 10000 + 0.5) / 10000 AS attr_value
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND p.pts >= c.cts
+         AND p.pts <= c.cts + INTERVAL 24 HOURS
+        GROUP BY p.user_id
+    """,
     "stream_stateful_pipeline": """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id
