@@ -598,6 +598,97 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_K = 8  # components reported by the PCA witness
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA / whitening over the embedding corpus — the decorrelation
+    step embedding pipelines run before indexing, compression, or drift
+    analysis. Split exactly the way a 100 TB run must be:
+
+    1. the covariance matrix comes from the DISTRIBUTED Gram pass
+       (q_embedding_covariance — one mapInPandas over the corpus with
+       constant 2080-cell output per partition), collected to the driver
+       as d(d+1)/2 bounded cells (documented collect: dimension-sized,
+       never corpus-sized);
+    2. the eigendecomposition runs driver-side on the d×d matrix
+       (np.linalg.eigh — O(d³) on 64×64 is microseconds; no distributed
+       eigensolver is warranted below d≈10⁴);
+    3. the top-K projection matrix broadcasts back into ONE Arrow-batched
+       corpus pass that accumulates per-component moment partials
+       (n, Σy, Σy²) — constant K×3 output per partition.
+
+    The witness reports, per component: the driver-side eigenvalue and
+    explained-variance ratio, and the DISTRIBUTED variance of the
+    projected coordinates — which must reproduce the eigenvalue (the
+    self-consistency that proves the projection plumbing end to end;
+    pinned within float tolerance in tests/test_similarity_recall.py
+    against a pure-numpy PCA of the same corpus).
+
+    Rows-only at the driver: DuckDB has no eigensolver, and the sign/
+    order conventions of LAPACK are not SQL-reproducible — but variance-
+    per-component is sign-invariant, which is why that (and not the
+    eigenvector entries) is the reported quantity."""
+    import numpy as np
+    import pandas as pd
+
+    cells = q_embedding_covariance(spark, sf_dir).collect()  # ≤ d(d+1)/2 rows
+    d = max(r["j"] for r in cells) + 1
+    C = np.zeros((d, d))
+    for r in cells:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(evals)[::-1][:_PCA_K]
+    top_vals = evals[order]
+    total_var = float(evals.sum())
+    P = evecs[:, order]  # d × K, rides the task closure (d·K doubles)
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def moment_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Y = M @ P  # rows × K
+            yield pd.DataFrame(
+                {
+                    "component": np.arange(_PCA_K, dtype="int32"),
+                    "n": np.full(_PCA_K, len(Y), dtype="int64"),
+                    "s": Y.sum(axis=0),
+                    "ss": (Y * Y).sum(axis=0),
+                }
+            )
+
+    moments = (
+        emb.mapInPandas(moment_batches, "component int, n bigint, s double, ss double")
+        .groupBy("component")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss"))
+    )
+    eig = spark.createDataFrame(
+        [
+            (int(k), float(top_vals[k]), float(top_vals[k] / total_var))
+            for k in range(_PCA_K)
+        ],
+        "component int, eigenvalue double, explained_ratio double",
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        moments.join(F.broadcast(eig), "component")
+        .select(
+            "component",
+            snap6(F.col("eigenvalue")).alias("eigenvalue"),
+            snap6(F.col("explained_ratio")).alias("explained_ratio"),
+            snap6(
+                F.col("ss") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            ).alias("proj_var"),
+        )
+        .orderBy("component")
+    )
+
+
 ORACLES: dict[str, str] = {
     "embedding_covariance": """
         WITH ex AS (

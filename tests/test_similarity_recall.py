@@ -172,3 +172,36 @@ def test_pq_beats_single_centroid_baseline(spark, sf_dir):
         Xs = X[:, s * sub:(s + 1) * sub]
         baseline = ((Xs - Xs.mean(axis=0)) ** 2).sum(axis=1).mean()
         assert r.mse < baseline, f"subspace {s}: {r.mse} !< {baseline}"
+
+
+def test_pca_matches_pure_numpy_and_is_self_consistent(spark, sf_dir):
+    """The PCA witness must reproduce a pure-numpy PCA of the same corpus
+    (eigenvalues + explained ratios within float tolerance) AND be
+    self-consistent: the DISTRIBUTED variance of each projected component
+    must equal its driver-side eigenvalue — the end-to-end proof that the
+    broadcast projection matrix and the moment-partial aggregation are
+    wired correctly. Ratios must be non-increasing and in (0, 1]."""
+    import numpy as np
+
+    from gasket_rs_spark.operators.similarity import _PCA_K, q_embedding_pca
+    from gasket_rs_spark.tables import load
+
+    rows = sorted(q_embedding_pca(spark, sf_dir).collect(), key=lambda r: r.component)
+    assert [r.component for r in rows] == list(range(_PCA_K))
+
+    X = np.array(
+        [r.embedding for r in load(spark, sf_dir, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(C))[::-1]
+    total = evals.sum()
+    for k, r in enumerate(rows):
+        # the witness eigendecomposes the 6dp-SNAPPED distributed
+        # covariance cells, so agreement is at that grid, not machine eps
+        assert abs(r.eigenvalue - evals[k]) < 1e-4, (k, r.eigenvalue, evals[k])
+        assert abs(r.explained_ratio - evals[k] / total) < 1e-4
+        assert abs(r.proj_var - r.eigenvalue) < 1e-4, (k, r.proj_var, r.eigenvalue)
+        assert 0.0 < r.explained_ratio <= 1.0
+    ratios = [r.explained_ratio for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
