@@ -120,6 +120,11 @@ EXTRAS = [
     "graph_triangles",
     # round-10 additions
     "bpe_pair_counts",
+    "mixture_unimax_waterfill",
+    "domain_cap",
+    "quality_filter_funnel",
+    "quantile_normalize_sketch",
+    "embedding_pca",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,

@@ -208,6 +208,78 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL — per-rule attrition accounting, the
+    diagnostic every corpus curation run ships alongside its filtered
+    output (Gopher/FineWeb-style rule suites report exactly this): for
+    each rule, how many documents fail it INDEPENDENTLY, and how many
+    survive the rules applied CUMULATIVELY in pipeline order. Rules are
+    the standard heuristic battery: min length, min word count, mean
+    word length in [3, 12], alphabetic-character ratio ≥ 0.6, distinct-
+    word ratio ≥ 0.3 (repetition gate).
+
+    Scale shape: every rule is a row-local boolean computed in ONE scan
+    (no per-rule passes — the funnel is a single wide aggregate over the
+    flag columns), and the row-per-stage output is an explode of the
+    1-row aggregate. Ratios are int/int → IEEE double, bit-identical
+    cross-engine, so threshold comparisons agree exactly; the regex
+    char-class is spelled identically (DuckDB needs the explicit 'g'
+    flag to match Spark's replace-all default)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    mean_wlen = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / n_words
+    flags = docs.select(
+        (F.col("n_chars") >= 100).alias("b1"),
+        (n_words >= 20).alias("b2"),
+        ((mean_wlen >= 3.0) & (mean_wlen <= 12.0)).alias("b3"),
+        (n_alpha.cast("double") / F.length("text") >= 0.6).alias("b4"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / n_words >= 0.3
+        ).alias("b5"),
+    )
+    cnt = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        cnt(~F.col("b1")).alias("f1"),
+        cnt(~F.col("b2")).alias("f2"),
+        cnt(~F.col("b3")).alias("f3"),
+        cnt(~F.col("b4")).alias("f4"),
+        cnt(~F.col("b5")).alias("f5"),
+        cnt(F.col("b1")).alias("c1"),
+        cnt(F.col("b1") & F.col("b2")).alias("c2"),
+        cnt(F.col("b1") & F.col("b2") & F.col("b3")).alias("c3"),
+        cnt(F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4")).alias("c4"),
+        cnt(
+            F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4") & F.col("b5")
+        ).alias("c5"),
+    )
+    rules = ["min_chars", "min_words", "mean_word_len", "alpha_ratio", "distinct_ratio"]
+    stages = F.array(
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit("(input)").alias("rule"),
+            F.lit(0).cast("bigint").alias("n_fail_rule"),
+            F.col("n0").cast("bigint").alias("n_pass_cumulative"),
+        ),
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(rules[i]).alias("rule"),
+                F.col(f"f{i + 1}").alias("n_fail_rule"),
+                F.col(f"c{i + 1}").alias("n_pass_cumulative"),
+            )
+            for i in range(5)
+        ],
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.rule", "s.n_fail_rule", "s.n_pass_cumulative"
+    )
+
+
 _DOMAIN_CAP_FRAC = 0.6  # keep at most 60% of the largest domain's count
 
 
@@ -255,6 +327,52 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "quality_filter_funnel": """
+        WITH flags AS (
+            SELECT n_chars >= 100 AS b1,
+                   nw >= 20 AS b2,
+                   (mwl >= 3.0 AND mwl <= 12.0) AS b3,
+                   na / CAST(len(text) AS DOUBLE) >= 0.6 AS b4,
+                   nd / CAST(nw AS DOUBLE) >= 0.3 AS b5
+            FROM (
+                SELECT text, n_chars,
+                       len(list_filter(string_split(text, ' '), x -> x <> ''))
+                           AS nw,
+                       CAST(list_sum(list_transform(
+                           list_filter(string_split(text, ' '), x -> x <> ''),
+                           x -> len(x))) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '), x -> x <> ''))
+                           AS mwl,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+                       len(list_distinct(list_filter(string_split(text, ' '),
+                                                     x -> x <> ''))) AS nd
+                FROM documents
+            )
+        ), a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN NOT b1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN NOT b2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   CAST(sum(CASE WHEN NOT b3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                   CAST(sum(CASE WHEN NOT b4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+                   CAST(sum(CASE WHEN NOT b5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+                   CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(sum(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c3,
+                   CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c4,
+                   CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 AND b5
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c5
+            FROM flags
+        )
+        SELECT 0 AS stage, '(input)' AS rule,
+               CAST(0 AS BIGINT) AS n_fail_rule, n0 AS n_pass_cumulative FROM a
+        UNION ALL SELECT 1, 'min_chars', f1, c1 FROM a
+        UNION ALL SELECT 2, 'min_words', f2, c2 FROM a
+        UNION ALL SELECT 3, 'mean_word_len', f3, c3 FROM a
+        UNION ALL SELECT 4, 'alpha_ratio', f4, c4 FROM a
+        UNION ALL SELECT 5, 'distinct_ratio', f5, c5 FROM a
+    """,
     "domain_cap": f"""
         WITH cap AS (
             SELECT CAST(ceil(max(n) * {_DOMAIN_CAP_FRAC}) AS BIGINT) AS cap

@@ -397,6 +397,57 @@ def _mg_summaries(stream: DataFrame, k: int) -> DataFrame:
     return stream.mapInPandas(kernel, "item bigint, mg_count bigint")
 
 
+def q_quantile_normalize_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile NORMALIZATION via the mergeable sketch grid — mapping
+    every value to its global mid-rank CDF position WITHOUT a global
+    sort: the score-calibration transform mixing pipelines apply before
+    comparing quality scores across sources/models (a raw score is
+    meaningless; its corpus quantile is comparable).
+
+    Scale shape (the point): the naive calibration is ORDER BY over the
+    corpus (single-task global sort — the round-2 defect class). Here
+    the global distribution is the log-bucket sketch (bounded rows),
+    cumulated by a bounded-frame THETA JOIN (bucket < bucket — never a
+    single-partition window), and values calibrate by a BROADCAST join
+    on their bucket: calibrated = (cum_below + 0.5·cnt_in_bucket) / N,
+    the standard mid-rank estimator, grid-exact because bucket counts
+    are integers. One corpus pass to build, one to apply.
+
+    Witness: per event_type, n + mean/min/max calibrated value of the
+    events stream — EXACT (the oracle reproduces the same grid; the
+    irrational log-bucket edges never coincide with decimal data, per
+    the _qbucket contract)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    hist = ev.groupBy(_qbucket(F.col("value")).alias("qb")).agg(
+        F.count("*").alias("cnt_eq")
+    )
+    hb = hist.select(F.col("qb").alias("qb2"), F.col("cnt_eq").alias("cnt2"))
+    below = (
+        hist.join(hb, F.col("qb2") < F.col("qb"), "left")
+        .groupBy("qb", "cnt_eq")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).cast("bigint").alias("cum_below"))
+    )
+    total = ev.agg(F.count("*").cast("bigint").alias("n_total"))
+    cal = below.crossJoin(F.broadcast(total)).select(
+        "qb",
+        (
+            (F.col("cum_below") + F.lit(0.5) * F.col("cnt_eq")) / F.col("n_total")
+        ).alias("cal"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        ev.select("event_type", _qbucket(F.col("value")).alias("qb"))
+        .join(F.broadcast(cal), "qb")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            snap6(F.avg("cal")).alias("mean_cal"),
+            snap6(F.min("cal")).alias("min_cal"),
+            snap6(F.max("cal")).alias("max_cal"),
+        )
+    )
+
+
 def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (freq > n/64) via the Misra-Gries two-pass:
     bounded-state candidate generation, then exact recount of candidates
@@ -433,6 +484,35 @@ _HH_ITEM_SQL = (
 
 
 ORACLES: dict[str, str] = {
+    "quantile_normalize_sketch": """
+        WITH b AS (
+            SELECT event_type,
+                   CASE WHEN value > 0
+                        THEN CAST(floor(ln(value) / ln(1.001)) AS BIGINT)
+                        ELSE -1099511627776
+                   END AS qb
+            FROM events
+        ), hist AS (
+            SELECT qb, CAST(count(*) AS BIGINT) AS cnt_eq FROM b GROUP BY qb
+        ), below AS (
+            SELECT h.qb, h.cnt_eq,
+                   CAST(coalesce(sum(h2.cnt_eq), 0) AS BIGINT) AS cum_below
+            FROM hist h LEFT JOIN hist h2 ON h2.qb < h.qb
+            GROUP BY h.qb, h.cnt_eq
+        ), t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total FROM b
+        ), cal AS (
+            SELECT qb, (cum_below + 0.5 * cnt_eq) / n_total AS cal
+            FROM below CROSS JOIN t
+        )
+        SELECT b.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(avg(cal.cal) * 1e6 + 0.5) / 1e6 AS mean_cal,
+               floor(min(cal.cal) * 1e6 + 0.5) / 1e6 AS min_cal,
+               floor(max(cal.cal) * 1e6 + 0.5) / 1e6 AS max_cal
+        FROM b JOIN cal ON cal.qb = b.qb
+        GROUP BY b.event_type
+    """,
     "heavy_hitters_mg": f"""
         WITH stream AS (
             SELECT {_HH_ITEM_SQL} AS item FROM lineitem
