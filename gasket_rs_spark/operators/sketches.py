@@ -418,8 +418,14 @@ def q_quantile_normalize_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrational log-bucket edges never coincide with decimal data, per
     the _qbucket contract)."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
-    hist = ev.groupBy(_qbucket(F.col("value")).alias("qb")).agg(
-        F.count("*").alias("cnt_eq")
+    # hist feeds three consumers (both theta-join sides + the total);
+    # bounded rows — checkpoint so the corpus bucket pass runs once, and
+    # derive the total FROM the sketch (sum of bucket counts) instead of
+    # a second corpus scan: build pass + apply pass are the only two.
+    hist = (
+        ev.groupBy(_qbucket(F.col("value")).alias("qb"))
+        .agg(F.count("*").alias("cnt_eq"))
+        .localCheckpoint(eager=True)
     )
     hb = hist.select(F.col("qb").alias("qb2"), F.col("cnt_eq").alias("cnt2"))
     below = (
@@ -427,7 +433,7 @@ def q_quantile_normalize_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qb", "cnt_eq")
         .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).cast("bigint").alias("cum_below"))
     )
-    total = ev.agg(F.count("*").cast("bigint").alias("n_total"))
+    total = hist.agg(F.sum("cnt_eq").cast("bigint").alias("n_total"))
     cal = below.crossJoin(F.broadcast(total)).select(
         "qb",
         (

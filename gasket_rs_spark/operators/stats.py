@@ -558,6 +558,11 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cap_tokens", (F.col("n_tokens") * _UNIMAX_EMAX).cast("bigint")
         )
+        # strata feeds THREE consumers (minsum self-join both sides +
+        # budget agg): without truncation the corpus token-count pass
+        # re-executes per branch (6 scans in the physical plan — measured
+        # round 10). The frame is 4 rows; materializing it is free.
+        .localCheckpoint(eager=True)
     )
     budget = strata.agg(F.sum("n_tokens").cast("bigint").alias("budget"))
     minsums = (

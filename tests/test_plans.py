@@ -496,6 +496,53 @@ def test_runtime_bloom_filter_join_available(spark, sf_dir):
                 spark.conf.unset(k)
 
 
+def test_round10_plan_shapes(spark, sf_dir):
+    """Round-10 operators keep their scale shapes. Funnel: ONE corpus
+    scan, one 1-row aggregate exchange (every rule a row-local boolean —
+    never a per-rule pass). Waterfill + quantile-normalization: the
+    checkpointed corpus pass must not re-execute per consumer (≤1 scan in
+    the final plan), and the only nested-loop joins are over bounded
+    frames (strata / sketch buckets / 1-row totals). Domain cap: the cap
+    probe is a broadcast, no cartesian, and its window is partitioned (by
+    source), never global. PCA: ONE corpus scan for the moment pass and a
+    broadcast join against the dimension-sized eigen frame."""
+    from gasket_rs_spark.operators.curation import (
+        q_domain_cap,
+        q_quality_filter_funnel,
+    )
+    from gasket_rs_spark.operators.similarity import q_embedding_pca
+    from gasket_rs_spark.operators.sketches import q_quantile_normalize_sketch
+    from gasket_rs_spark.operators.stats import q_mixture_unimax_waterfill
+
+    funnel = q_quality_filter_funnel(spark, sf_dir)
+    assert count_operator(funnel, "Scan parquet") == 1
+    assert count_operator(funnel, "Exchange") == 1
+    assert_no_cartesian(funnel)
+
+    wf = q_mixture_unimax_waterfill(spark, sf_dir)
+    assert count_operator(wf, "Scan parquet") <= 1
+    assert_no_cartesian(wf)
+
+    qn = q_quantile_normalize_sketch(spark, sf_dir)
+    assert count_operator(qn, "Scan parquet") <= 1  # apply pass only
+    assert count_operator(qn, "BroadcastHashJoin") >= 1  # bucket→cal map
+    assert_no_cartesian(qn)
+
+    dc = q_domain_cap(spark, sf_dir)
+    assert_no_cartesian(dc)
+    assert count_operator(dc, "Window") == 1
+    # the cap frame is a 1-row broadcast; the corpus is scanned at most
+    # twice (single-column count probe + full ranked pass); the window
+    # itself is partitioned by source (the package-wide regex guard pins
+    # that no global-sort window can appear in source at all)
+    assert count_operator(dc, "Scan parquet") <= 2
+
+    pca = q_embedding_pca(spark, sf_dir)
+    assert count_operator(pca, "Scan parquet") == 1
+    assert count_operator(pca, "BroadcastHashJoin") >= 1
+    assert_no_cartesian(pca)
+
+
 def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
     """The Misra-Gries two-pass promise: the exact recount must be a
     broadcast semi-join on the bounded candidate set (never a shuffle of
