@@ -125,6 +125,10 @@ EXTRAS = [
     "quality_filter_funnel",
     "quantile_normalize_sketch",
     "embedding_pca",
+    "hard_negative_mining",
+    "text_novelty",
+    "epoch_shard_order",
+    "stream_stream_join_pipeline",
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,

@@ -598,6 +598,52 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    every 100th vector, the top-5 most-similar vectors with a DIFFERENT
+    label — the "hardest negatives" a contrastive batch builder pairs
+    with each anchor (easy random negatives teach nothing; the highest-
+    cosine wrong-label examples carry the gradient signal).
+
+    Same scale shape as q_similarity_topk (this IS its exact twin with a
+    label-disagreement predicate pushed below the ranking): the bounded
+    anchor set broadcasts against the corpus — one pass, no shuffle of
+    the big side; the label filter prunes candidates BEFORE the per-query
+    ranking window. The quadratic-in-anchors cost is bounded by the
+    anchor sample (1%); the 100 TB path swaps the scored join for the
+    ANN candidate generators, identical downstream."""
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    anchors = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = emb.join(
+        broadcast(anchors),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("anchor_label")),
+    ).withColumn(
+        "cosine",
+        F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select(
+            "query_id",
+            "anchor_label",
+            "rk",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cosine",
+        )
+    )
+
+
 _PCA_K = 8  # components reported by the PCA witness
 
 
@@ -749,6 +795,32 @@ ORACLES: dict[str, str] = {
         FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM scored
+        ) t
+        WHERE rk <= 5
+    """,
+    "hard_negative_mining": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm,
+                   label AS anchor_label
+            FROM v WHERE vec_id % 100 = 0
+        ), scored AS (
+            SELECT q.query_id, q.anchor_label,
+                   v.vec_id AS negative_id, v.label AS negative_label,
+                   round(list_dot_product(q.qvec, v.vec) / (q.qnrm * v.nrm), 6)
+                       AS cosine
+            FROM q JOIN v
+              ON v.vec_id <> q.query_id AND v.label <> q.anchor_label
+        )
+        SELECT query_id, anchor_label, rk, negative_id, negative_label, cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, negative_id) AS rk
             FROM scored
         ) t
         WHERE rk <= 5

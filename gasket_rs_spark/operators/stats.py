@@ -268,6 +268,52 @@ def q_train_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_N = 3
+_EPOCH_SHARDS = 32
+
+
+def q_epoch_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EPOCH training order: the per-epoch reshuffle a data loader
+    needs (same corpus, different deterministic order every epoch —
+    repeating one fixed order measurably hurts convergence). Extends
+    q_train_shard_order by salting the md5 shard/order key with the epoch
+    number, so each epoch gets an independent pseudo-random permutation
+    that is still reproducible across runs, engines, and re-ingests.
+
+    Witness output is per (epoch, shard) accounting: document count, the
+    first document in loader order, and the Σ doc_id·ordinal checksum —
+    which pins the ENTIRE within-shard permutation (any swap of two
+    distinct docs changes the sum), so the driver's hash check covers the
+    full order without emitting corpus-sized rows.
+
+    Scale shape: the epoch dimension is a 3-row broadcast cross join
+    (corpus scanned once, rows ×epochs — exactly what a loader
+    materializes anyway); ordering is a window PARTITIONED by
+    (epoch, shard) — 96-way parallel sort of n/32 rows, never global."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCH_N).select(F.col("id").cast("int").alias("epoch"))
+    salted = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string"))
+    )
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        salted.alias("md5hex"),
+        (
+            F.conv(F.substring(salted, 1, 2), 16, 10).cast("bigint") % _EPOCH_SHARDS
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("md5hex", "doc_id")
+    ranked = keyed.withColumn("ordinal", F.row_number().over(w).cast("bigint"))
+    return ranked.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.when(F.col("ordinal") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_doc"),
+        F.sum(F.col("doc_id") * F.col("ordinal")).cast("bigint").alias("order_checksum"),
+    )
+
+
 _WINSOR_LO = 0.01
 _WINSOR_HI = 0.99
 
@@ -598,6 +644,32 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "epoch_shard_order": f"""
+        WITH keyed AS (
+            SELECT d.doc_id, CAST(e.epoch AS INT) AS epoch,
+                   md5(CAST(d.doc_id AS VARCHAR) || ':'
+                       || CAST(e.epoch AS VARCHAR)) AS md5hex
+            FROM documents d CROSS JOIN range({_EPOCH_N}) e(epoch)
+        ), ranked AS (
+            SELECT doc_id, epoch,
+                   ('0x' || substr(md5hex, 1, 2))::BIGINT % {_EPOCH_SHARDS}
+                       AS shard,
+                   row_number() OVER (
+                       PARTITION BY epoch,
+                                    ('0x' || substr(md5hex, 1, 2))::BIGINT
+                                        % {_EPOCH_SHARDS}
+                       ORDER BY md5hex, doc_id
+                   ) AS ordinal
+            FROM keyed
+        )
+        SELECT epoch, shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(CASE WHEN ordinal = 1 THEN doc_id END) AS BIGINT)
+                   AS first_doc,
+               CAST(sum(doc_id * ordinal) AS BIGINT) AS order_checksum
+        FROM ranked
+        GROUP BY epoch, shard
+    """,
     "mixture_unimax_waterfill": f"""
         WITH strata AS (
             SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a'

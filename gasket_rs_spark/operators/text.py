@@ -1032,7 +1032,89 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY score — the curation-order diagnostic
+    for incremental corpus growth: for each document, the fraction of its
+    distinct 8-token grams whose FIRST corpus occurrence (min doc_id) is
+    this document. Low-novelty documents are recombinations of text
+    already in the corpus (templated/boilerplate-heavy); the score is the
+    standard dial for dedup-adjacent downsampling where span dedup is too
+    aggressive (it removes; this prices).
+
+    Plan shape: grams ride the span-dedup machinery — 7 lead() calls over
+    ONE doc-partitioned window (O(L) per doc, one doc_id shuffle), then
+    distinct per (doc_id, gram), a groupBy(gram).min(doc_id) first-
+    occurrence table (8-byte map-side-combinable state), an equi-join
+    back on gram, and a final doc_id aggregation. No self-joins, no HOF
+    slice lambdas, the same first-occurrence discipline as line/span
+    dedup. EXACT oracle (identical lead/window formulation in SQL)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat(
+        F.col("tok"),
+        *[x for i in range(1, _SPAN_W) for x in (F.lit(" "), F.lead("tok", i).over(w))],
+    )
+    doc_grams = (
+        toks.withColumn("gram", gram)
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    firsts = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        doc_grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.floor(F.col("n_novel") / F.col("n_grams") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("novelty"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                       || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                       || ' ' || lead(tok, 7) OVER w AS gram
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), dg AS (
+            SELECT DISTINCT doc_id, gram FROM grams WHERE gram IS NOT NULL
+        ), firsts AS (
+            SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram
+        )
+        SELECT dg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               floor(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty
+        FROM dg JOIN firsts f USING (gram)
+        GROUP BY dg.doc_id
+    """,
     "corpus_zipf_slope": """
         WITH counts AS (
             SELECT tok, count(*) AS freq
