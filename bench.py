@@ -128,7 +128,8 @@ EXTRAS = [
     "hard_negative_mining",
     "text_novelty",
     "epoch_shard_order",
-    "stream_stream_join_pipeline",
+    # stream_* pipeline witnesses stay out of the bench (house rule since
+    # r8: their cost is streaming-machinery setup, not data-path work)
 ]
 
 # Quadratic-by-design correctness witnesses: timed only under --witnesses,
