@@ -280,14 +280,22 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOMAIN_CAP_FRAC = 0.6  # keep at most 60% of the largest domain's count
+# keep at most 60% (= _CAP_NUM/_CAP_DEN) of the largest domain's count.
+# Kept as an exact integer ratio, never a float literal: ceil(n * 0.6)
+# computed in IEEE doubles on Spark vs DECIMAL(2,1) in DuckDB can disagree
+# exactly when n*0.6 lands on an integer (ADVICE r10) — so both engines
+# compute ceil(n·3/5) as (n*3 + 4) DIV 5 in pure int64 arithmetic.
+_CAP_NUM = 3
+_CAP_DEN = 5
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document capping — the web-corpus curation step that
     stops a handful of giant domains from dominating the mixture (C4,
     RefinedWeb, FineWeb all apply a per-domain cap before sampling):
-    every source keeps at most ``ceil(0.6 · max domain size)`` documents,
+    every source keeps at most ``ceil(3/5 · max domain size)`` documents
+    (computed as ``(n*3 + 4) DIV 5`` in int64 on BOTH engines — never a
+    float/DECIMAL ``0.6`` literal, whose rounding grids differ),
     chosen in deterministic md5(doc_id) priority order — the same
     engine-independent pseudo-random order as the reservoir/shard
     witnesses, so the SELECTION (not just the count) is reproducible
@@ -305,7 +313,12 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the window shuffle is the only corpus-sized exchange."""
     docs = load(spark, sf_dir, "documents").select("source", "doc_id")
     cap = docs.groupBy("source").agg(F.count("*").alias("n")).agg(
-        F.ceil(F.max("n") * F.lit(_DOMAIN_CAP_FRAC)).cast("bigint").alias("cap")
+        # integer-exact ceil(max_n · 3/5): (n*3 + 4) DIV 5 — identical
+        # int64 arithmetic on both engines, no float/DECIMAL grid
+        F.expr(
+            f"CAST((max(n) * {_CAP_NUM} + {_CAP_DEN - 1}) DIV {_CAP_DEN}"
+            " AS BIGINT)"
+        ).alias("cap")
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -375,7 +388,10 @@ ORACLES: dict[str, str] = {
     """,
     "domain_cap": f"""
         WITH cap AS (
-            SELECT CAST(ceil(max(n) * {_DOMAIN_CAP_FRAC}) AS BIGINT) AS cap
+            -- integer-exact ceil(max_n * {_CAP_NUM}/{_CAP_DEN}), matching
+            -- the Spark side's (n*{_CAP_NUM} + {_CAP_DEN - 1}) DIV {_CAP_DEN}
+            SELECT CAST((max(n) * {_CAP_NUM} + {_CAP_DEN - 1}) // {_CAP_DEN}
+                        AS BIGINT) AS cap
             FROM (SELECT count(*) AS n FROM documents GROUP BY source)
         ), ranked AS (
             SELECT source, doc_id,
