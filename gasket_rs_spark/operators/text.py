@@ -1032,7 +1032,9 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_novelty(
+    spark: SparkSession, sf_dir: str, hashed: bool = False
+) -> DataFrame:
     """Per-document n-gram NOVELTY score — the curation-order diagnostic
     for incremental corpus growth: for each document, the fraction of its
     distinct 8-token grams whose FIRST corpus occurrence (min doc_id) is
@@ -1047,7 +1049,17 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence table (8-byte map-side-combinable state), an equi-join
     back on gram, and a final doc_id aggregation. No self-joins, no HOF
     slice lambdas, the same first-occurrence discipline as line/span
-    dedup. EXACT oracle (identical lead/window formulation in SQL)."""
+    dedup. EXACT oracle (identical lead/window formulation in SQL).
+
+    Production note (same discipline as span_dedup, text.py ~660): the
+    default path shuffles raw 8-token gram STRINGS three times (distinct,
+    groupBy, join) — at 100 TB that is ~8× corpus bytes through the
+    exchanges. ``hashed=True`` is the deployment shape: grams are
+    xxhash64'd in-scan, so every shuffle key is 8 bytes. Scores are
+    identical in the collision-free regime (64-bit keys; birthday bound
+    ~10¹⁸ grams) — pinned by tests/test_text_pipeline.py::
+    test_novelty_hashed_matches_string. Kept string-keyed by default so
+    the DuckDB twin stays byte-comparable."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -1056,12 +1068,15 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok"),
         *[x for i in range(1, _SPAN_W) for x in (F.lit(" "), F.lead("tok", i).over(w))],
     )
-    doc_grams = (
-        toks.withColumn("gram", gram)
-        .where(F.col("gram").isNotNull())
-        .select("doc_id", "gram")
-        .distinct()
-    )
+    doc_grams = toks.withColumn("gram", gram).where(F.col("gram").isNotNull())
+    if hashed:
+        # 8-byte shuffle keys from here down — the 100 TB variant
+        doc_grams = doc_grams.select(
+            "doc_id", F.xxhash64("gram").alias("gram")
+        )
+    else:
+        doc_grams = doc_grams.select("doc_id", "gram")
+    doc_grams = doc_grams.distinct()
     firsts = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         doc_grams.join(firsts, "gram")

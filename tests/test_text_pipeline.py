@@ -219,3 +219,17 @@ def test_span_dedup_merges_overlapping_spans(spark):
     assert out[3].n_dup_windows == 2
     assert out[3].n_removed == 16
     assert out[3].keep_ratio == 0.0
+
+
+def test_novelty_hashed_matches_string(spark, sf_dir):
+    """The 100 TB deployment shape of q_text_novelty (xxhash64'd 8-byte
+    gram keys through every shuffle) must produce IDENTICAL per-doc
+    scores to the string-keyed oracle path in the collision-free regime
+    — the docstring's equivalence claim, pinned on the real fixture."""
+    from gasket_rs_spark.operators.text import q_text_novelty
+
+    s = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+         for r in q_text_novelty(spark, sf_dir).collect()}
+    h = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+         for r in q_text_novelty(spark, sf_dir, hashed=True).collect()}
+    assert s == h
