@@ -643,7 +643,152 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOREMI_T = 8  # fixed MW iteration count — bounded, oracle-unrollable
+_DOREMI_ETA = 0.5  # multiplicative-weights step size
+_DOREMI_C = 0.2  # uniform-smoothing mass (DoReMi's alpha-mix term)
+
+
+def q_domain_reweight_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    multiplicative-weights updates over domains, upweighting domains with
+    positive EXCESS LOSS, then mixing with the uniform distribution —
+    the one prominent LLM-mixture family the static policies
+    (waterfill / temperature / cap) don't cover, because the weights are
+    the fixpoint of an iteration, not a closed form.
+
+    Excess-loss proxy (deterministic, data-derived so every engine can
+    reproduce it): lambda_i = max(0, ln(avg_chars_i) - ln(avg_chars)) —
+    domains with longer-than-average documents read as "harder" and get
+    upweighted, mirroring DoReMi's clip-at-zero excess loss. Per
+    iteration t = 1.._DOREMI_T:
+
+        s_i = round(w_i * exp(eta*lambda_i) * 1e9)   (int64 micro-units)
+        w_i = snap9(0.8 * s_i/sum(s) + 0.2/k)        (smooth with uniform)
+
+    Determinism engineering: the normalizing sum runs in INTEGER
+    micro-units (sum order can't perturb low-order float bits — the
+    cross-engine float-sum trap), every transcendental output is snapped
+    (6dp) before reuse, and each iteration's weights snap to a 9dp grid
+    with the floor(x*1e9+0.5) spelling on both engines.
+
+    Scale shape: ONE corpus pass (per-domain count/sum agg, map-side
+    combinable); the T-step loop runs over the k-row domain frame with a
+    localCheckpoint per step truncating the two-consumer lineage (the
+    BPE/waterfill discipline) — at 100 TB the iteration cost is
+    O(k*T) ~ microscopic next to the single scan. EXACT oracle: the
+    fixed-T loop unrolled to T chained CTEs in DuckDB; a pure-Python
+    fixpoint pin lives in tests/test_sampling_skew.py."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    glob = docs.agg(
+        F.count("*").cast("bigint").alias("g_n"),
+        F.sum("n_chars").cast("bigint").alias("g_sum"),
+    )
+    kk = stats.agg(F.count("*").cast("bigint").alias("k"))
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    cur = (
+        stats.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(kk))
+        .withColumn(
+            "lam",
+            snap6(
+                F.greatest(
+                    F.log(
+                        F.col("sum_chars").cast("double")
+                        / F.col("n_docs").cast("double")
+                    )
+                    - F.log(
+                        F.col("g_sum").cast("double") / F.col("g_n").cast("double")
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .withColumn("e", snap6(F.exp(F.lit(_DOREMI_ETA) * F.col("lam"))))
+        .withColumn("w", snap9(F.lit(1.0) / F.col("k")))
+        .select("source", "n_docs", "k", "lam", "e", "w")
+    )
+    for _ in range(_DOREMI_T):
+        # s feeds two consumers (the sum agg + the update join): truncate
+        # per step or lineage doubles each iteration. k-row frame — free.
+        s = cur.withColumn(
+            "s",
+            F.floor(F.col("w") * F.col("e") * 1e9 + F.lit(0.5)).cast("bigint"),
+        ).localCheckpoint(eager=True)
+        z = s.agg(F.sum("s").cast("bigint").alias("z"))
+        cur = (
+            s.crossJoin(F.broadcast(z))
+            .withColumn(
+                "w",
+                snap9(
+                    F.lit(0.8)
+                    * (F.col("s").cast("double") / F.col("z").cast("double"))
+                    + F.lit(0.2) / F.col("k").cast("double")
+                ),
+            )
+            .select("source", "n_docs", "k", "lam", "e", "w")
+        )
+    return cur.select(
+        "source",
+        "n_docs",
+        F.col("lam").alias("excess_loss"),
+        F.col("w").alias("weight"),
+    )
+
+
+def _doremi_oracle_sql() -> str:
+    """Unroll the fixed-T MW loop into chained CTEs (same arithmetic,
+    same snap spellings, integer-unit normalizing sums)."""
+    iters = "".join(
+        f""", s{t} AS (
+            SELECT * , CAST(floor(w * e * 1e9 + 0.5) AS BIGINT) AS s
+            FROM w{t - 1}
+        ), z{t} AS (
+            SELECT CAST(sum(s) AS BIGINT) AS z FROM s{t}
+        ), w{t} AS (
+            SELECT source, n_docs, k, lam, e,
+                   floor((0.8 * (CAST(s AS DOUBLE) / CAST(z AS DOUBLE))
+                          + 0.2 / CAST(k AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS w
+            FROM s{t} CROSS JOIN z{t}
+        )"""
+        for t in range(1, _DOREMI_T + 1)
+    )
+    return f"""
+        WITH stats AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS g_n,
+                   CAST(sum(n_chars) AS BIGINT) AS g_sum
+            FROM documents
+        ), kk AS (
+            SELECT CAST(count(*) AS BIGINT) AS k FROM stats
+        ), w0 AS (
+            SELECT source, n_docs, k,
+                   floor(greatest(
+                       ln(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       - ln(CAST(g_sum AS DOUBLE) / CAST(g_n AS DOUBLE)),
+                       0.0) * 1e6 + 0.5) / 1e6 AS lam,
+                   floor(exp({_DOREMI_ETA} * (floor(greatest(
+                       ln(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       - ln(CAST(g_sum AS DOUBLE) / CAST(g_n AS DOUBLE)),
+                       0.0) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS e,
+                   floor((1.0 / CAST(k AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS w
+            FROM stats CROSS JOIN g CROSS JOIN kk
+        ){iters}
+        SELECT source, n_docs, lam AS excess_loss, w AS weight
+        FROM w{_DOREMI_T}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "domain_reweight_doremi": _doremi_oracle_sql(),
     "epoch_shard_order": f"""
         WITH keyed AS (
             SELECT d.doc_id, CAST(e.epoch AS INT) AS epoch,

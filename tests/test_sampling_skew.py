@@ -70,3 +70,60 @@ def test_fuzzy_join_blocking_is_complete(spark, sf_dir):
     assert planted, "deletion-shaped pairs must be present"
     for r in planted[:20]:
         assert r.tok_b == r.tok_a[0] + r.tok_a[2:] or r.dist == 1
+
+
+def test_doremi_matches_pure_python_fixpoint(spark, sf_dir):
+    """Re-derive the DoReMi multiplicative-weights iteration in pure
+    Python (math.log/exp + the same snap grids and integer-unit
+    normalizing sums) from the raw per-domain stats and require exact
+    equality with the Spark plan — pins the iteration semantics
+    (step count, smoothing, snap spellings) independently of the
+    unrolled-CTE oracle, plus the invariants hashes can't see:
+    weights ~sum to 1 and are monotone in excess loss."""
+    import math
+
+    from gasket_rs_spark.operators.stats import (
+        _DOREMI_C,
+        _DOREMI_ETA,
+        _DOREMI_T,
+        q_domain_reweight_doremi,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stats = {
+        r["source"]: (r["n"], r["sc"])
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sc"))
+        .collect()
+    }
+    g_n = sum(n for n, _ in stats.values())
+    g_sum = sum(sc for _, sc in stats.values())
+    k = len(stats)
+    snap6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    snap9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    lam = {
+        src: snap6(max(0.0, math.log(sc / n) - math.log(g_sum / g_n)))
+        for src, (n, sc) in stats.items()
+    }
+    e = {src: snap6(math.exp(_DOREMI_ETA * v)) for src, v in lam.items()}
+    w = {src: snap9(1.0 / k) for src in stats}
+    for _ in range(_DOREMI_T):
+        s = {src: math.floor(w[src] * e[src] * 1e9 + 0.5) for src in stats}
+        z = sum(s.values())
+        w = {
+            src: snap9((1.0 - _DOREMI_C) * (s[src] / z) + _DOREMI_C / k)
+            for src in stats
+        }
+
+    got = {
+        r["source"]: (r["n_docs"], r["excess_loss"], r["weight"])
+        for r in q_domain_reweight_doremi(spark, sf_dir).collect()
+    }
+    want = {src: (stats[src][0], lam[src], w[src]) for src in stats}
+    assert got == want
+
+    total = sum(v for _, _, v in got.values())
+    assert abs(total - 1.0) < k * 2e-9  # snap rounding only
+    ranked = sorted(got.values(), key=lambda t: t[1])
+    for (_, l1, w1), (_, l2, w2) in zip(ranked, ranked[1:]):
+        assert (l2 - l1 >= 0) and (w2 - w1 >= -2e-9)  # monotone in excess
