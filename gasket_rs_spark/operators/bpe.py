@@ -29,17 +29,22 @@ right ASC) — a total order, so reruns and the pure-Python reference
 non-overlapping within a word ("aaa" + merge(a,a) -> ["aa","a"]), the
 standard BPE convention, pinned by the fuzz tests.
 
-Oracle status: rows-only at the driver (an iterative argmax loop is not
-expressible as one DuckDB query); value-correctness is pinned by an
-independent pure-Python BPE implementation run on the same corpus at
-sf0.001 plus randomized corpora (the MERGE-fuzz pattern,
-tests/test_warehouse.py ↔ tests/test_bpe.py).
+Oracle status (upgraded round 11): the full training loop IS one DuckDB
+query — ``_bpe_train_ctes`` unrolls the fixed 24 merge rounds into
+materialized CTEs (pair counts from delimiter-wrapped symbol strings,
+per-round argmax, replace()-based merge whose left-to-right
+non-overlapping scan equals the kernel's convention) — so
+``bpe_vocab_merges``, ``bpe_encode``, and the ``bpe_pack_shard``
+composite are all hash-level EXACT at the driver. The pure-Python BPE
+reference (tests/test_bpe.py, MERGE-fuzz pattern) stays as the
+engine-independent third opinion.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gasket_rs_spark.tables import load
 
@@ -158,9 +163,9 @@ def _trained_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list[dic
 def q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training witness: the first ``_BPE_MERGES`` learned
     merges over the documents corpus — (merge_idx, left, right,
-    new_symbol, pair_freq). Rows-only at the driver (iterative argmax;
-    see module docstring); exact-pinned against a pure-Python reference
-    in tests/test_bpe.py."""
+    new_symbol, pair_freq). EXACT at the driver since round 11 (the
+    unrolled-CTE training twin, see module docstring); also exact-pinned
+    against a pure-Python reference in tests/test_bpe.py."""
     merges = _trained_merges(spark, sf_dir, _BPE_MERGES)
     return spark.createDataFrame(
         merges,
@@ -214,10 +219,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — and per-doc counts are then an equi-join of the exploded
     token stream against that (word → n_subtok) table plus one doc_id
     aggregation. At 100 TB the Python cost is vocabulary-sized; the
-    corpus-sized work is all JVM split/explode/join/agg. Rows-only at
-    the driver (inherits training's iterative argmax); exact-pinned
-    train→encode round trip vs the pure-Python reference in
-    tests/test_bpe.py."""
+    corpus-sized work is all JVM split/explode/join/agg. EXACT at the
+    driver since round 11 (unrolled-CTE training twin, module
+    docstring); the train→encode round trip stays exact-pinned vs the
+    pure-Python reference in tests/test_bpe.py."""
     docs = load(spark, sf_dir, "documents")
     merges = _trained_merges(spark, sf_dir, _BPE_MERGES)
     toks = docs.select(
@@ -264,6 +269,278 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PS_BATCH_UID_BASE = 1_000_000  # batch_uid = bucket*BASE + batch_in_bucket
+
+
+def q_bpe_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware PACK → SHARD composite (VERDICT r10 #6) — the
+    chain a real training loader runs: BPE-encode every document (true
+    subword lengths, not whitespace counts), greedily pack documents
+    into ~2048-BPE-token batches, then deal the batches into epoch-
+    salted shards with a deterministic per-epoch order.
+
+    One lazy plan, no extra corpus scan vs the stages run separately
+    (pinned in tests/test_bpe.py): the corpus is tokenized ONCE; the
+    Python encode kernel maps over the bounded Heaps-law vocabulary and
+    comes back as a BROADCAST join against the token stream; packing is
+    the text_pack_batches shape (md5-bucketed streams, one window
+    partitioned by bucket) over per-doc BPE counts; batch→shard
+    assignment and within-shard order ride the epoch_shard_order salt
+    (md5(batch_uid:epoch)), and the Σ batch_uid·ordinal checksum pins
+    each shard's full permutation without emitting corpus-sized rows.
+    All downstream frames are batch-count-sized, not corpus-sized.
+
+    EXACT oracle: the ENTIRE chain — including the 24-merge BPE
+    training the encode step depends on — is expressed in DuckDB as an
+    unrolled materialized-CTE program (_bpe_train_ctes): per merge
+    round, pair counts from the delimiter-wrapped word representations,
+    the (freq DESC, l, r) argmax, and a delimiter-safe replace() whose
+    leftmost-nonoverlapping scan is exactly the kernel's merge
+    convention. Documents with no words are absent by construction
+    (inner join against the vocabulary) on both engines."""
+    from gasket_rs_spark.operators.stats import _EPOCH_N, _EPOCH_SHARDS
+    from gasket_rs_spark.operators.text import _PACK_BUCKETS, _PACK_BUDGET
+
+    docs = load(spark, sf_dir, "documents")
+    merges = _trained_merges(spark, sf_dir, _BPE_MERGES)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = encode_words(toks.select("w").distinct(), merges)
+    per_doc = (
+        toks.join(F.broadcast(vocab.select("w", "n_subtok")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_subtok").cast("bigint").alias("n_bpe"))
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed_docs = per_doc.select("doc_id", "n_bpe", h.alias("h")).withColumn(
+        "bucket",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % _PACK_BUCKETS,
+    )
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keyed_docs.withColumn("cum", F.sum("n_bpe").over(wcum)).withColumn(
+        "batch_in_bucket",
+        F.floor((F.col("cum") - F.col("n_bpe")) / _PACK_BUDGET).cast("bigint"),
+    )
+    # groupBy(bucket, batch) reuses the window's bucket partitioning —
+    # HashPartitioning(bucket) satisfies the clustered distribution, so
+    # no second corpus-sized exchange here.
+    batches = (
+        packed.groupBy("bucket", "batch_in_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("batch_tokens"),
+        )
+        .withColumn(
+            "batch_uid",
+            (F.col("bucket") * _PS_BATCH_UID_BASE + F.col("batch_in_bucket"))
+            .cast("bigint"),
+        )
+    )
+    epochs = spark.range(_EPOCH_N).select(F.col("id").cast("int").alias("epoch"))
+    salted = F.md5(
+        F.concat(
+            F.col("batch_uid").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    keyed = batches.crossJoin(F.broadcast(epochs)).select(
+        "batch_uid",
+        "n_docs",
+        "batch_tokens",
+        "epoch",
+        salted.alias("md5hex"),
+        (
+            F.conv(F.substring(salted, 1, 2), 16, 10).cast("bigint")
+            % _EPOCH_SHARDS
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("md5hex", "batch_uid")
+    ranked = keyed.withColumn("ordinal", F.row_number().over(w).cast("bigint"))
+    return ranked.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("batch_tokens").cast("bigint").alias("n_tokens"),
+        F.min(F.when(F.col("ordinal") == 1, F.col("batch_uid")))
+        .cast("bigint")
+        .alias("first_batch"),
+        F.sum(F.col("batch_uid") * F.col("ordinal"))
+        .cast("bigint")
+        .alias("order_checksum"),
+    )
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """The full BPE training loop as unrolled DuckDB CTEs, ending in a
+    ``vocab(w, n_subtok)`` relation — the SQL twin of train_bpe +
+    encode_words, enabling EXACT oracles for every BPE witness.
+
+    Mechanics: each word is a delimiter-wrapped symbol string
+    ``\\x01s\\x01\\x01s\\x01…`` (chr(1) cannot occur in the corpus —
+    charset is ASCII 32..121, asserted in tests/test_bpe.py). A merge of
+    (l, r) is ``replace(repr, D||l||D||D||r||D, D||lr||D)``: SQL
+    replace scans left-to-right non-overlapping and never rescans
+    replaced output, which is EXACTLY the kernel's leftmost-
+    nonoverlapping convention (equivalence fuzz-pinned in
+    tests/test_bpe.py). Pair counts split the wrapped string back to a
+    symbol list and zip-count adjacent pairs weighted by word frequency;
+    the per-round winner is the (freq DESC, l ASC, r ASC) argmax —
+    ASCII corpus, so DuckDB and Spark string collation agree. Iteration
+    CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and the two
+    references per round would otherwise expand the tree 2^n_merges.
+
+    Precondition (holds at every fixture SF, asserted by the pure-Python
+    twin): the corpus yields at least ``n_merges`` non-empty pair
+    tables, matching train_bpe's never-taken early-break."""
+    d = "chr(1)"
+    dd = f"{d}||{d}"
+    parts = [
+        f"""
+        wf AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ), w0 AS MATERIALIZED (
+            SELECT w, freq,
+                   {d} || array_to_string(string_split(w, ''), {dd}) || {d}
+                       AS repr
+            FROM wf
+        )"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f""", p{t} AS (
+            SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS c
+            FROM (
+                SELECT unnest(list_zip(syms, syms[2:])) AS pr, freq
+                FROM (SELECT string_split(substr(repr, 2, length(repr) - 2),
+                                          {dd}) AS syms,
+                             freq
+                      FROM w{t - 1})
+                WHERE len(syms) >= 2
+            )
+            WHERE pr[2] IS NOT NULL
+            GROUP BY 1, 2
+        ), m{t} AS (
+            SELECT l, r, c FROM p{t} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ), w{t} AS MATERIALIZED (
+            SELECT w, freq,
+                   replace(repr, {d}||l||{dd}||r||{d}, {d}||l||r||{d}) AS repr
+            FROM w{t - 1} CROSS JOIN m{t}
+        )"""
+        )
+    parts.append(
+        f""", vocab AS (
+            SELECT w,
+                   CAST(len(string_split(substr(repr, 2, length(repr) - 2),
+                                         {dd})) AS BIGINT) AS n_subtok
+            FROM w{n_merges}
+        )"""
+    )
+    return "".join(parts)
+
+
+def _vocab_merges_oracle_sql() -> str:
+    rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({t - 1} AS BIGINT) AS merge_idx, l AS \"left\","
+        f" r AS \"right\", l || r AS new_symbol, c AS pair_freq FROM m{t}"
+        for t in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+        WITH {_bpe_train_ctes(_BPE_MERGES)}
+        SELECT * FROM (
+            {rows}
+        )
+    """
+
+
+def _encode_oracle_sql() -> str:
+    return f"""
+        WITH {_bpe_train_ctes(_BPE_MERGES)}
+        , toks AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(v.n_subtok) AS BIGINT) AS n_bpe_tokens,
+               floor(CAST(sum(length(t.w)) AS BIGINT)
+                     / CAST(sum(v.n_subtok) AS BIGINT) * 1e6 + 0.5) / 1e6
+                   AS chars_per_token
+        FROM toks t JOIN vocab v USING (w)
+        GROUP BY t.doc_id
+    """
+
+
+def _pack_shard_oracle_sql() -> str:
+    from gasket_rs_spark.operators.stats import _EPOCH_N, _EPOCH_SHARDS
+    from gasket_rs_spark.operators.text import _PACK_BUCKETS, _PACK_BUDGET
+
+    shard_expr = f"('0x' || substr(md5hex, 1, 2))::BIGINT % {_EPOCH_SHARDS}"
+    return f"""
+        WITH {_bpe_train_ctes(_BPE_MERGES)}
+        , toks AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ), perdoc AS (
+            SELECT t.doc_id, CAST(sum(v.n_subtok) AS BIGINT) AS n_bpe
+            FROM toks t JOIN vocab v USING (w)
+            GROUP BY t.doc_id
+        ), pbk AS (
+            SELECT doc_id, n_bpe, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                       % {_PACK_BUCKETS} AS bucket
+            FROM perdoc
+        ), packed AS (
+            SELECT bucket,
+                   CAST(floor((sum(n_bpe) OVER (
+                            PARTITION BY bucket ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_bpe) / {_PACK_BUDGET}.0) AS BIGINT)
+                       AS batch_in_bucket,
+                   n_bpe
+            FROM pbk
+        ), batches AS (
+            SELECT CAST(bucket * {_PS_BATCH_UID_BASE} + batch_in_bucket
+                        AS BIGINT) AS batch_uid,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bpe) AS BIGINT) AS batch_tokens
+            FROM packed GROUP BY bucket, batch_in_bucket
+        ), keyed AS (
+            SELECT batch_uid, n_docs, batch_tokens,
+                   CAST(e.epoch AS INT) AS epoch,
+                   md5(CAST(batch_uid AS VARCHAR) || ':'
+                       || CAST(e.epoch AS VARCHAR)) AS md5hex
+            FROM batches CROSS JOIN range({_EPOCH_N}) e(epoch)
+        ), sharded AS (
+            SELECT batch_uid, n_docs, batch_tokens, epoch,
+                   {shard_expr} AS shard,
+                   row_number() OVER (
+                       PARTITION BY epoch, {shard_expr}
+                       ORDER BY md5hex, batch_uid
+                   ) AS ordinal
+            FROM keyed
+        )
+        SELECT epoch, shard,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(batch_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(CASE WHEN ordinal = 1 THEN batch_uid END) AS BIGINT)
+                   AS first_batch,
+               CAST(sum(batch_uid * ordinal) AS BIGINT) AS order_checksum
+        FROM sharded GROUP BY epoch, shard
+    """
+
+
 _PAIR_COUNTS_ORACLE = """
     WITH words AS (
         SELECT w, count(*) AS freq
@@ -284,10 +561,16 @@ _PAIR_COUNTS_ORACLE = """
 
 ORACLES: dict[str, str] = {
     "bpe_pair_counts": _PAIR_COUNTS_ORACLE,
+    # round 11: the unrolled-CTE training twin (_bpe_train_ctes) upgrades
+    # the whole BPE family from rows-only to hash-level EXACT.
+    "bpe_vocab_merges": _vocab_merges_oracle_sql(),
+    "bpe_encode": _encode_oracle_sql(),
+    "bpe_pack_shard": _pack_shard_oracle_sql(),
 }
 
 QUERIES = {
     "bpe_vocab_merges": q_bpe_vocab_merges,
     "bpe_encode": q_bpe_encode,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_pack_shard": q_bpe_pack_shard,
 }
