@@ -128,6 +128,9 @@ EXTRAS = [
     "hard_negative_mining",
     "text_novelty",
     "epoch_shard_order",
+    # round-11 additions
+    "domain_reweight_doremi",
+    "bpe_pack_shard",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
@@ -275,6 +278,21 @@ def main() -> None:
             ),
             "headline_queries": HEADLINE,
             "headline_v1_queries": HEADLINE_V1,
+            # The r1-comparable series as ONE self-contained block
+            # (VERDICT r10 #7): per-query median AND min side by side, so
+            # a cross-round regression (median moves, min moves) can be
+            # separated from a one-off stall (median moves, min doesn't)
+            # without cross-referencing the union dicts above.
+            "headline_v1": {
+                "queries_median": {n: timings[n] for n in HEADLINE_V1},
+                "queries_min": {n: timings_min[n] for n in HEADLINE_V1},
+                "total_median_sec": round(
+                    sum(timings[n] for n in HEADLINE_V1), 3
+                ),
+                "total_min_sec": round(
+                    sum(timings_min[n] for n in HEADLINE_V1), 3
+                ),
+            },
             # Timings of the round-8+ scale additions (cost visibility
             # only; not in any headline). "extras" = first cold pass
             # (r8/r9-comparable); "extras_min" = min-of-2 (VERDICT r9 #7).
