@@ -339,7 +339,191 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 1024  # hashed feature buckets (unigram+bigram -> md5 % B)
+_DSIR_K = 200  # resample size (Gumbel top-k)
+_DSIR_TARGET_LANG = "en"  # target distribution: the English slice
+_DSIR_U_DEN = 281474976710658.0  # 2^48 + 2: md5-48bit -> open-interval u
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    select raw-corpus documents that look like a TARGET distribution by
+    (1) hashed n-gram features, (2) per-feature log-likelihood ratio
+    between target and raw bag-of-feature models (add-1 smoothed),
+    (3) per-doc importance log-weights, (4) Gumbel top-k resampling
+    without replacement. Target here = the corpus' English slice; the
+    published use case is "select web text that looks like Wikipedia".
+
+    Determinism engineering: features are md5-hash-bucketed (engine-
+    independent, unlike xxhash/duckdb-hash); each feature's log-ratio is
+    snapped to int64 MICRO-UNITS so the per-doc sum Σ c_f·λ_f runs in
+    exact integer arithmetic (float-sum order can differ between
+    engines); the Gumbel noise g = -ln(-ln(u)) uses md5(doc_id:dsir)
+    48-bit uniforms on an open interval and is 6dp-snapped before the
+    key addition. Ties are impossible up to the doc_id tiebreak.
+
+    Scale shape: one corpus explode (≈2L features/doc), a
+    groupBy(doc_id, feature) count (map-side combinable), ONE bounded
+    B-row feature table (B = 1024 regardless of corpus size) broadcast
+    back, an integer weighted sum per doc, and a global top-k that
+    compiles to TakeOrderedAndProject (plan-pinned) — no corpus-sized
+    sort, no driver loop. At 100 TB: identical, with B raised to ~1e5
+    (still broadcast-sized)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("ts"),
+                F.expr(
+                    "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                    " slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                ),
+            )
+        ).alias("g"),
+    )
+    dc = (
+        grams.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("bigint")
+                % _DSIR_B
+            ).alias("f"),
+        )
+        .groupBy("doc_id", "lang", "f")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ft = dc.groupBy("f").agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum("c").cast("bigint").alias("cr"),
+    )
+    tot = ft.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+    )
+    lam = ft.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("tt") + _DSIR_B).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("tr") + _DSIR_B).cast("double")
+                )
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lam6"),
+    )
+    dw = (
+        dc.join(F.broadcast(lam), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lam6")).cast("bigint").alias("logw6"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_DSIR_U_DEN)
+    g = F.floor((-F.log(-F.log(u))) * 1e6 + F.lit(0.5)) / 1e6
+    keyed = dw.select(
+        "doc_id",
+        (F.col("logw6") / 1e6).alias("log_weight"),
+        g.alias("gumbel"),
+    )
+    return (
+        keyed.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "log_weight",
+            (F.col("log_weight") + F.col("gumbel")).alias("sel_key"),
+        )
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(_DSIR_K)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "dsir_select": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, lang, unnest(ts) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS g
+            FROM toks
+        ), dc AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(g), 1, 4))::BIGINT % {_DSIR_B} AS f,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY 1, 2, 3
+        ), ft AS (
+            SELECT f,
+                   CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                            THEN c ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(c) AS BIGINT) AS cr
+            FROM dc GROUP BY f
+        ), tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                   CAST(sum(cr) AS BIGINT) AS tr
+            FROM ft
+        ), lam AS (
+            SELECT f,
+                   CAST(floor((ln(CAST(ct + 1 AS DOUBLE)
+                                  / CAST(tt + {_DSIR_B} AS DOUBLE))
+                               - ln(CAST(cr + 1 AS DOUBLE)
+                                    / CAST(tr + {_DSIR_B} AS DOUBLE)))
+                              * 1e6 + 0.5) AS BIGINT) AS lam6
+            FROM ft CROSS JOIN tot
+        ), dw AS (
+            SELECT d.doc_id, CAST(sum(d.c * l.lam6) AS BIGINT) AS logw6
+            FROM dc d JOIN lam l USING (f)
+            GROUP BY d.doc_id
+        ), keyed AS (
+            SELECT doc_id, logw6 / 1e6 AS log_weight,
+                   floor((-ln(-ln((CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12))
+                           ::BIGINT AS DOUBLE) + 1.0) / {_DSIR_U_DEN!r})))
+                         * 1e6 + 0.5) / 1e6 AS gumbel
+            FROM dw
+        )
+        SELECT k.doc_id, d.lang, d.source, k.log_weight,
+               k.log_weight + k.gumbel AS sel_key
+        FROM keyed k JOIN documents d USING (doc_id)
+        ORDER BY sel_key DESC, k.doc_id
+        LIMIT {_DSIR_K}
+    """,
     "quality_filter_funnel": """
         WITH flags AS (
             SELECT n_chars >= 100 AS b1,

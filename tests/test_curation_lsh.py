@@ -73,3 +73,34 @@ def test_no_cartesian_in_plan(spark, sf_dir):
     from gasket_rs_spark.plans.inspect import assert_no_cartesian
 
     assert_no_cartesian(q_curation_pipeline_lsh(spark, sf_dir))
+
+
+def test_dsir_plan_and_selection_shift(spark, sf_dir):
+    """DSIR scale-shape pins hashes can't see: the top-k compiles to
+    TakeOrderedAndProject (no global sort), no cartesian anywhere, and
+    the selection SHIFTS the language mix toward the target — the
+    English fraction among selected docs must exceed the corpus English
+    fraction (the whole point of importance resampling)."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.curation import (
+        _DSIR_K,
+        _DSIR_TARGET_LANG,
+        q_dsir_select,
+    )
+    from gasket_rs_spark.plans.inspect import assert_no_cartesian, count_operator
+    from gasket_rs_spark.tables import load
+
+    sel = q_dsir_select(spark, sf_dir)
+    assert count_operator(sel, "TakeOrderedAndProject") == 1
+    assert_no_cartesian(sel)
+
+    rows = sel.collect()
+    assert len(rows) == _DSIR_K
+    sel_en = sum(1 for r in rows if r["lang"] == _DSIR_TARGET_LANG) / len(rows)
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    corpus_en = (
+        docs.where(F.col("lang") == _DSIR_TARGET_LANG).count() / n
+    )
+    assert sel_en > corpus_en
