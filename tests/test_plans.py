@@ -566,3 +566,17 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
     assert broadcast_hint_count(df) == 2
     assert_broadcasts(df, at_least=1)
     assert_no_cartesian(df)
+
+
+def test_decontaminate_fuzzy_broadcasts_eval(spark, sf_dir):
+    """The fuzzy-decontamination join must broadcast the benchmark-sized
+    eval shingle side (the whole scale argument: corpus streams map-side,
+    no self-join, no train-shingle shuffle) and flag a nonzero
+    contaminated set at every fixture SF."""
+    from gasket_rs_spark.operators.dedup import q_decontaminate_fuzzy
+    from gasket_rs_spark.plans.inspect import broadcast_hint_count
+
+    df = q_decontaminate_fuzzy(spark, sf_dir)
+    assert broadcast_hint_count(df) >= 1
+    assert_no_cartesian(df)
+    assert df.count() > 0
