@@ -778,6 +778,19 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines exponentiate the same double.
     """
     docs = load(spark, sf_dir, "documents")
+    return _lm_doc_scores(docs).select(
+        "doc_id",
+        "n_trigrams",
+        "avg_log2p",
+        F.round(F.pow(F.lit(2.0), -F.col("avg_log2p")), 4).alias("ppl_proxy"),
+    )
+
+
+def _lm_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, avg_log2p): per-doc average log2 trigram MLE
+    probability — shared by q_text_lm_score and the perplexity-bucket
+    split. Snapped on the 1e-6 grid so downstream bucketing operates on
+    engine-identical doubles."""
     pairs = F.expr(
         "zip_with("
         "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
@@ -793,7 +806,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c3 = ex.groupBy("gram").agg(F.count("*").alias("c3"))
     c2 = ex.groupBy("ctx").agg(F.count("*").alias("c2"))
-    scored = (
+    return (
         ex.join(c3, "gram")
         .join(c2, "ctx")
         .groupBy("doc_id")
@@ -808,15 +821,68 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_log2p"),
         )
     )
-    return scored.select(
-        "doc_id",
-        "n_trigrams",
-        "avg_log2p",
-        F.round(F.pow(F.lit(2.0), -F.col("avg_log2p")), 4).alias("ppl_proxy"),
-    )
 
 
 _HASH_DIMS = 32
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity HEAD / MIDDLE / TAIL split (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): partition the corpus into thirds by LM score — head =
+    the most-probable (lowest-perplexity) third, the slice CCNet keeps
+    or upweights — and report per-(bucket, lang) accounting.
+
+    Scale shape: the naive split is ORDER BY score over the corpus +
+    ntile (single-task global sort — the round-2 defect class). Here the
+    snapped per-doc scores land on a bounded CENTI-LOG2 grid
+    (floor(score·100): score range is a few hundred buckets regardless
+    of corpus size), the grid histogram cumulates via a bounded theta
+    join (never a single-partition window), the two tercile cut buckets
+    fall out of INTEGER comparisons (cum_ge·3 vs n, 2n — no float
+    quantile), and docs pick up their label by a broadcast join on the
+    bucket id. Two passes over the trigram pipeline (build + apply), the
+    quantile_normalize_sketch discipline. Exactness: bucket boundaries
+    are integer comparisons over snapped scores; per-group outputs are
+    counts, integer sums, and min/max of already-snapped doubles."""
+    docs = load(spark, sf_dir, "documents")
+    scores = _lm_doc_scores(docs)
+    b = scores.select(
+        "doc_id",
+        "n_trigrams",
+        "avg_log2p",
+        F.floor(F.col("avg_log2p") * 100).cast("bigint").alias("qb"),
+    )
+    # bounded grid (few hundred rows), three consumers — checkpoint
+    hist = (
+        b.groupBy("qb").agg(F.count("*").alias("cnt")).localCheckpoint(eager=True)
+    )
+    h2 = hist.select(F.col("qb").alias("qb2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(h2, F.col("qb2") > F.col("qb"), "left")
+        .groupBy("qb", "cnt")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).cast("bigint").alias("cum_above"))
+    )
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    cum_ge = F.col("cum_above") + F.col("cnt")
+    lab = cum.crossJoin(F.broadcast(total)).select(
+        "qb",
+        F.when(cum_ge * 3 <= F.col("n_total"), F.lit("head"))
+        .when(cum_ge * 3 <= 2 * F.col("n_total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        b.join(F.broadcast(lab), "qb")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("bucket", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_trigrams").cast("bigint").alias("n_trigrams"),
+            F.min("avg_log2p").alias("min_score"),
+            F.max("avg_log2p").alias("max_score"),
+        )
+    )
 
 
 def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,6 +1294,64 @@ ORACLES: dict[str, str] = {
                CAST(sum(cnt) AS BIGINT) AS n_tokens
         FROM filled
         GROUP BY doc_id
+    """,
+    "perplexity_buckets": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), tri AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       AS gram,
+                   tok || ' ' || lead(tok, 1) OVER w AS ctx
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), ex AS (
+            SELECT doc_id, gram, ctx FROM tri WHERE gram IS NOT NULL
+        ), c3 AS (
+            SELECT gram, count(*) AS c3 FROM ex GROUP BY gram
+        ), c2 AS (
+            SELECT ctx, count(*) AS c2 FROM ex GROUP BY ctx
+        ), scored AS (
+            SELECT e.doc_id,
+                   count(*) AS n_trigrams,
+                   floor(sum(log2(CAST(c3.c3 AS DOUBLE) / c2.c2)) / count(*) * 1e6
+                         + 0.5) / 1e6 AS avg_log2p
+            FROM ex e
+            JOIN c3 ON c3.gram = e.gram
+            JOIN c2 ON c2.ctx = e.ctx
+            GROUP BY e.doc_id
+        ), bkt AS (
+            SELECT doc_id, n_trigrams, avg_log2p,
+                   CAST(floor(avg_log2p * 100) AS BIGINT) AS qb
+            FROM scored
+        ), hist AS (
+            SELECT qb, count(*) AS cnt FROM bkt GROUP BY qb
+        ), cum AS (
+            SELECT h.qb, h.cnt,
+                   CAST(coalesce(sum(h2.cnt), 0) AS BIGINT) AS cum_above
+            FROM hist h LEFT JOIN hist h2 ON h2.qb > h.qb
+            GROUP BY h.qb, h.cnt
+        ), total AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hist
+        ), lab AS (
+            SELECT qb,
+                   CASE WHEN (cum_above + cnt) * 3 <= n_total THEN 'head'
+                        WHEN (cum_above + cnt) * 3 <= 2 * n_total THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cum CROSS JOIN total
+        )
+        SELECT l.bucket, d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b.n_trigrams) AS BIGINT) AS n_trigrams,
+               min(b.avg_log2p) AS min_score,
+               max(b.avg_log2p) AS max_score
+        FROM bkt b
+        JOIN lab l USING (qb)
+        JOIN documents d USING (doc_id)
+        GROUP BY l.bucket, d.lang
     """,
     "text_lm_score": """
         WITH toks AS (

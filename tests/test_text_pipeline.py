@@ -233,3 +233,26 @@ def test_novelty_hashed_matches_string(spark, sf_dir):
     h = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
          for r in q_text_novelty(spark, sf_dir, hashed=True).collect()}
     assert s == h
+
+
+def test_perplexity_buckets_are_ordered_terciles(spark, sf_dir):
+    """Properties the hash can't see: the three buckets are
+    score-ordered (every head score >= every middle score >= every tail
+    score), cover the whole scored corpus, and each holds roughly a
+    third of docs (within the coarsest grid-bucket's granularity, since
+    cuts land on centi-log2 bucket edges)."""
+    from gasket_rs_spark.operators.text import q_perplexity_buckets
+
+    rows = q_perplexity_buckets(spark, sf_dir).collect()
+    agg = {}
+    for r in rows:
+        n, mn, mx = agg.get(r["bucket"], (0, float("inf"), float("-inf")))
+        agg[r["bucket"]] = (
+            n + r["n_docs"], min(mn, r["min_score"]), max(mx, r["max_score"])
+        )
+    assert set(agg) == {"head", "middle", "tail"}
+    assert agg["head"][1] >= agg["middle"][2]  # min(head) >= max(middle)
+    assert agg["middle"][1] >= agg["tail"][2]
+    total = sum(v[0] for v in agg.values())
+    for name, (n, _, _) in agg.items():
+        assert abs(n - total / 3) < total * 0.25, (name, n, total)
