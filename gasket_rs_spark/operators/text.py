@@ -826,6 +826,90 @@ def _lm_doc_scores(docs: DataFrame) -> DataFrame:
 _HASH_DIMS = 32
 
 
+_KN_D = 0.75  # absolute discount — exactly representable in binary
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
+    Chen & Goodman 1999 formulation) trained on the corpus and applied
+    per document — the smoothing family behind KenLM, whose perplexity
+    is THE standard web-corpus quality filter (CCNet trains KenLM on
+    Wikipedia). Complements q_text_lm_score's unsmoothed MLE trigram:
+    KN discounts observed mass (D = 0.75) and backs off to the
+    CONTINUATION unigram — how many distinct contexts a word follows —
+    not raw frequency:
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1·)
+                   + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+
+    Determinism engineering (one step past lm_score's snapped float
+    sums): each bigram's log2 P is snapped to int64 MICRO-UNITS at the
+    type table, so every per-doc sum is exact integer arithmetic —
+    engine summation order cannot matter (the DoReMi/DSIR discipline).
+    D = 0.75 is exactly representable, c/N are int64, so both engines
+    evaluate log2 on bit-identical doubles.
+
+    Scale shape: one bigram explode; the TYPE table (Heaps-sublinear in
+    corpus size) carries all model state — its three aggregations
+    (context totals, forward/backward continuation counts) are map-side
+    combinable; scoring is an equi-join of the token stream back on the
+    bigram key plus one per-doc integer reduce. Production note: the
+    (w1, w2) string join keys would be xxhash64'd at 100 TB (8-byte
+    shuffles), the span-dedup discipline."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    ex = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    types = ex.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    ctx = types.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1p_fwd"),
+    )
+    bwd = types.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1p_bwd"))
+    ntypes = types.agg(F.count("*").cast("bigint").alias("n_types"))
+    p = (
+        F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1p_fwd") / F.col("c1"))
+        * (F.col("n1p_bwd") / F.col("n_types"))
+    )
+    scored_types = (
+        types.join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log2(p) * 1e6 + F.lit(0.5)).cast("bigint").alias("term6"),
+        )
+    )
+    return (
+        ex.join(scored_types, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("term6").cast("bigint").alias("sum_log2p_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_log2p_micro",
+            (
+                F.floor(
+                    F.col("sum_log2p_micro") / F.col("n_bigrams").cast("double")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("kn_avg_log2p"),
+        )
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity HEAD / MIDDLE / TAIL split (Wenzek et al.
     2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
@@ -1294,6 +1378,51 @@ ORACLES: dict[str, str] = {
                CAST(sum(cnt) AS BIGINT) AS n_tokens
         FROM filled
         GROUP BY doc_id
+    """,
+    "kn_bigram_lm": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) WHERE w2 IS NOT NULL
+        ), types AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM ex GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1p_fwd
+            FROM types GROUP BY w1
+        ), bwd AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd
+            FROM types GROUP BY w2
+        ), ntypes AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_types FROM types
+        ), st AS (
+            SELECT t.w1, t.w2,
+                   CAST(floor(log2(
+                       greatest(t.c12 - {_KN_D}, 0.0) / c.c1
+                       + ({_KN_D} * c.n1p_fwd / c.c1)
+                         * (b.n1p_bwd / n.n_types)
+                   ) * 1e6 + 0.5) AS BIGINT) AS term6
+            FROM types t
+            JOIN ctx c USING (w1)
+            JOIN bwd b USING (w2)
+            CROSS JOIN ntypes n
+        )
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(s.term6) AS BIGINT) AS sum_log2p_micro,
+               floor(CAST(sum(s.term6) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS kn_avg_log2p
+        FROM ex e
+        JOIN st s ON s.w1 = e.w1 AND s.w2 = e.w2
+        GROUP BY e.doc_id
     """,
     "perplexity_buckets": """
         WITH toks AS (

@@ -256,3 +256,39 @@ def test_perplexity_buckets_are_ordered_terciles(spark, sf_dir):
     total = sum(v[0] for v in agg.values())
     for name, (n, _, _) in agg.items():
         assert abs(n - total / 3) < total * 0.25, (name, n, total)
+
+
+def test_kn_bigram_model_is_proper_distribution(spark, sf_dir):
+    """Kneser-Ney invariant the hash can't see: for every context w1,
+    the discounted observed mass plus the backoff weight times the
+    (total=1) continuation distribution sums to exactly 1 — i.e. the
+    smoothed model is a proper probability distribution. Recomputed in
+    pure Python from the corpus bigram types."""
+    from collections import Counter, defaultdict
+
+    from gasket_rs_spark.operators.text import _KN_D
+    from gasket_rs_spark.tables import load
+
+    texts = [r["text"] for r in load(spark, sf_dir, "documents").collect()]
+    c12: Counter = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    fwd: Counter = Counter()
+    bwd: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        fwd[a] += 1
+        bwd[b] += 1
+    n_types = len(c12)
+    assert abs(sum(bwd.values()) / n_types - 1.0) < 1e-12  # P_cont sums to 1
+
+    per_ctx = defaultdict(float)
+    for (a, b), c in c12.items():
+        per_ctx[a] += max(c - _KN_D, 0.0) / c1[a]
+    for a in per_ctx:
+        backoff = _KN_D * fwd[a] / c1[a]
+        # observed discounted mass + backoff weight * 1 == 1
+        assert abs(per_ctx[a] + backoff - 1.0) < 1e-9, a
