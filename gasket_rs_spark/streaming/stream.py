@@ -117,6 +117,43 @@ def interval_join_streams(
     return p.join(c, cond).select("purchase_id", "click_id", "p_user")
 
 
+def interval_join_streams_left_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join: every purchase
+    emits — matched ones with their click(s), unmatched ones with a NULL
+    click once the click-side watermark passes the purchase's event time
+    (no earlier: a qualifying click could still arrive). The
+    unattributed-conversion report a funnel pipeline actually wants.
+
+    Semantics note (why this is a pytest-pinned helper, not a driver
+    witness): Spark emits the null-extended rows on STATE EVICTION,
+    which trails the watermark by up to one microbatch and may withhold
+    the stream tail under AvailableNow — the emitted-null set therefore
+    depends on batch boundaries in a way an engine-independent oracle
+    cannot reproduce row-exactly. The pytest pins the robust contract:
+    matched pairs equal the batch join exactly, and every null row is a
+    genuinely unmatched purchase (tests/test_streaming.py)."""
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "purchase_id", "click_id", "p_user"
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a per-user running event counter whose state survives across

@@ -640,3 +640,54 @@ def test_incremental_dedup_batch_transient_read_failure_propagates(spark, tmp_pa
     with pytest.raises(Exception) as exc:
         _incremental_dedup_batch(b1, 1, sink)
     assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
+def test_stream_stream_left_outer_join_semantics(spark, sf_dir):
+    """Left-outer watermarked interval join: matched pairs must equal
+    the batch join EXACTLY; null-extended rows must be (a) genuinely
+    unmatched purchases, (b) nonempty for this fixture (the 30-day span
+    dwarfs the 1-hour horizon, so plenty of purchases expire), and
+    (c) never duplicated with a matched row for the same purchase."""
+    from gasket_rs_spark.streaming.stream import (
+        events_file_stream,
+        interval_join_streams_left_outer,
+        run_to_memory_sink,
+    )
+    from gasket_rs_spark.tables import load
+
+    clicks = events_file_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams_left_outer(clicks, purchases)
+    run_to_memory_sink(joined, "ss_loj", output_mode="append", timeout_sec=180)
+    rows = spark.table("ss_loj").collect()
+    got_pairs = {
+        (r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None
+    }
+    got_nulls = {r["purchase_id"] for r in rows if r["click_id"] is None}
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    matched = {pid for pid, _ in batch_pairs}
+    assert got_pairs == batch_pairs  # inner semantics exact
+    assert got_nulls and got_nulls.isdisjoint(matched)  # (b) + genuinely unmatched
+    assert not any(pid in got_nulls for pid, _ in got_pairs)  # (c)
