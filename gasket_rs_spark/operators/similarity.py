@@ -735,7 +735,156 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITEXT_K = 4  # kNN pool per side for margin normalization
+_BITEXT_TAU = 1.0  # keep pairs whose margin beats the kNN mean
+
+
+def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the CCMatrix/LASER bitext recipe): raw cosine is a
+    miscalibrated pair score because some embeddings are "hubs", similar
+    to everything; the margin RATIO divides each candidate cosine by the
+    mean of both endpoints' k-NN cosines, so a pair only survives if it
+    is similar BEYOND each side's local similarity level:
+
+        margin(a,b) = cos(a,b) / ((deg_k(a) + deg_k(b)) / 2),
+        deg_k(x)    = mean cosine of x's k nearest in the OTHER bank.
+
+    Banks stand in for the two languages: even vec_ids = source, odd =
+    target. Output: each source vector's best target by margin, kept
+    when margin ≥ 1 (similar beyond both hubs' norm).
+
+    Determinism: pair cosines snap to int64 micro-units at the pair
+    table, so deg sums are exact integers and the margin is derived
+    entirely from int64s (the KN-LM discipline — engine float-sum order
+    cannot matter); best-per-source is a map-side-combinable
+    max(struct). This is the exact all-pairs WITNESS (quadratic twin,
+    like q_dedup_embedding_cosine): at 100 TB candidate generation swaps
+    to the hyperplane-LSH banding above (q_similarity_ann_lsh) with
+    deg_k computed over the candidate pool — same margin arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
+    v = emb.select("vec_id", as_double.alias("vec"), norm.alias("norm"))
+    a = v.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = v.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        a.crossJoin(b)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(dot / (F.col("na") * F.col("nb")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c6"),
+        )
+    )
+    wa = Window.partitionBy("src_id").orderBy(F.col("c6").desc(), "tgt_id")
+    da = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= _BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum("c6").cast("bigint").alias("dega6"))
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(F.col("c6").desc(), "src_id")
+    db = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= _BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("c6").cast("bigint").alias("degb6"))
+    )
+    m = (
+        pairs.join(da, "src_id")
+        .join(db, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "c6",
+            (
+                F.floor(
+                    (F.col("c6") * 2 * _BITEXT_K)
+                    / (F.col("dega6") + F.col("degb6"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("margin"),
+        )
+    )
+    best = m.groupBy("src_id").agg(
+        F.max(
+            F.struct(
+                F.col("margin").alias("m"),
+                F.col("tgt_id").alias("t"),
+                F.col("c6").alias("c"),
+            )
+        ).alias("b")
+    )
+    return (
+        best.where(F.col("b.m") >= _BITEXT_TAU)
+        .select(
+            "src_id",
+            F.col("b.t").alias("tgt_id"),
+            (F.col("b.c") / 1e6).alias("cosine"),
+            F.col("b.m").alias("margin"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "bitext_margin_mine": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), p AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                   CAST(floor(list_dot_product(a.vec, b.vec)
+                              / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+            FROM v a, v b
+            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ), da AS (
+            SELECT src_id, CAST(sum(c6) AS BIGINT) AS dega6
+            FROM (SELECT src_id, c6,
+                         row_number() OVER (PARTITION BY src_id
+                                            ORDER BY c6 DESC, tgt_id) AS rn
+                  FROM p)
+            WHERE rn <= {_BITEXT_K} GROUP BY src_id
+        ), db AS (
+            SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS degb6
+            FROM (SELECT tgt_id, c6,
+                         row_number() OVER (PARTITION BY tgt_id
+                                            ORDER BY c6 DESC, src_id) AS rn
+                  FROM p)
+            WHERE rn <= {_BITEXT_K} GROUP BY tgt_id
+        ), m AS (
+            SELECT p.src_id, p.tgt_id, p.c6,
+                   floor((p.c6 * 2 * {_BITEXT_K}) / (da.dega6 + db.degb6)
+                         * 1e6 + 0.5) / 1e6 AS margin
+            FROM p JOIN da USING (src_id) JOIN db USING (tgt_id)
+        ), best AS (
+            SELECT src_id,
+                   max({{'m': margin, 't': tgt_id, 'c': c6}}) AS b
+            FROM m GROUP BY src_id
+        )
+        SELECT src_id, (b).t AS tgt_id, (b).c / 1e6 AS cosine,
+               (b).m AS margin
+        FROM best
+        WHERE (b).m >= {_BITEXT_TAU}
+    """,
     "embedding_covariance": """
         WITH ex AS (
             SELECT vec_id,
