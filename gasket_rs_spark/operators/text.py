@@ -431,6 +431,130 @@ def q_text_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OFFSET_SHARDS = 32
+
+
+def q_global_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global TOKEN OFFSET of every document in the concatenated corpus
+    — what a deterministic, resumable data loader needs to seek to an
+    arbitrary token position without scanning (step N of training ↔ a
+    byte/token offset, not a file+row). Global order = md5 shards in
+    shard-id order, (md5hex, doc_id) within a shard — the established
+    deterministic shuffle.
+
+    Scale shape: the textbook TWO-LEVEL DISTRIBUTED PREFIX SUM — a
+    global cumulative sum via window would be a single-task sort (the
+    round-2 defect class); instead (1) per-shard token totals (32-row
+    agg, map-side combinable), (2) shard base offsets from a bounded
+    theta join over that 32-row frame, broadcast back, (3) within-shard
+    prefix via ONE window partitioned by shard — 32-way parallel, the
+    only corpus-sized shuffle. offset = shard_base + intra-shard prefix.
+    Contiguity (offsets tile [0, total) exactly) is pinned in
+    tests/test_text_pipeline.py; values are all int64 — EXACT oracle."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % _OFFSET_SHARDS,
+    )
+    totals = base.groupBy("shard").agg(
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens")
+    )
+    t2 = totals.select(
+        F.col("shard").alias("s2"), F.col("shard_tokens").alias("t2")
+    )
+    bases = (
+        totals.join(t2, F.col("s2") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(F.coalesce(F.sum("t2"), F.lit(0)).cast("bigint").alias("shard_base"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(bases), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("shard_base") + F.col("cum") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("global_offset"),
+        )
+    )
+
+
+_LB_BATCH_DOCS = 32  # sequences per batch within a length bucket
+
+
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching accounting — the padding-efficiency
+    layout inference/training servers use (each sequence pads to its
+    power-of-2 length bucket; batching within a bucket instead of
+    globally cuts padding waste from worst-case to <2×): per bucket,
+    document count, real tokens, batch count at 32 sequences/batch, and
+    the padding-waste ratio against full batch capacity.
+
+    Integer-exact bucketing: cap(n) = 1 << length(bin(n-1)) for n ≥ 2 —
+    pure bit arithmetic, never ceil(log2(n)) whose float boundary at
+    exact powers of two differs per engine. Waste ratio is the single
+    division, floor-snapped at 6dp identically. One scan, one bounded
+    groupBy (≤ log2(max_len) buckets) — nothing corpus-sized after the
+    map side."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select(F.size(_tokens()).cast("bigint").alias("n_tokens"))
+        .where(F.col("n_tokens") >= 1)
+        .withColumn(
+            "bucket_cap",
+            F.when(F.col("n_tokens") <= 1, F.lit(1).cast("bigint")).otherwise(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT),"
+                    " length(bin(n_tokens - 1))) AS BIGINT)"
+                )
+            ),
+        )
+    )
+    agg = per.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    return agg.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        F.expr(
+            f"CAST((n_docs + {_LB_BATCH_DOCS - 1}) DIV {_LB_BATCH_DOCS} AS BIGINT)"
+        ).alias("n_batches"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("sum_tokens")
+                    / (
+                        F.expr(
+                            f"CAST((n_docs + {_LB_BATCH_DOCS - 1})"
+                            f" DIV {_LB_BATCH_DOCS} AS BIGINT)"
+                        )
+                        * _LB_BATCH_DOCS
+                        * F.col("bucket_cap")
+                    ).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("waste_ratio"),
+    )
+
+
 def q_text_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pre-tokenization composite: chunk documents (64-token
     windows, 48 stride), then pack the CHUNKS into ~2048-token batches —
@@ -1378,6 +1502,59 @@ ORACLES: dict[str, str] = {
                CAST(sum(cnt) AS BIGINT) AS n_tokens
         FROM filled
         GROUP BY doc_id
+    """,
+    "global_token_offsets": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), sharded AS (
+            SELECT doc_id, n_tokens, h,
+                   ('0x' || substr(h, 1, 2))::BIGINT % {_OFFSET_SHARDS} AS shard
+            FROM base
+        ), totals AS (
+            SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+            FROM sharded GROUP BY shard
+        ), bases AS (
+            SELECT t.shard,
+                   CAST(coalesce(sum(t2.shard_tokens), 0) AS BIGINT) AS shard_base
+            FROM totals t LEFT JOIN totals t2 ON t2.shard < t.shard
+            GROUP BY t.shard
+        )
+        SELECT s.doc_id, s.shard, s.n_tokens,
+               CAST(b.shard_base
+                    + sum(s.n_tokens) OVER (
+                          PARTITION BY s.shard ORDER BY s.h, s.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - s.n_tokens AS BIGINT) AS global_offset
+        FROM sharded s JOIN bases b USING (shard)
+    """,
+    "length_bucket_batching": f"""
+        WITH per AS (
+            SELECT n_tokens,
+                   CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 << length(bin(n_tokens - 1)) AS BIGINT)
+                   END AS bucket_cap
+            FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tokens
+                  FROM documents)
+            WHERE n_tokens >= 1
+        ), agg AS (
+            SELECT bucket_cap,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM per GROUP BY bucket_cap
+        )
+        SELECT bucket_cap, n_docs, sum_tokens,
+               CAST((n_docs + {_LB_BATCH_DOCS - 1}) // {_LB_BATCH_DOCS}
+                    AS BIGINT) AS n_batches,
+               floor((1.0 - sum_tokens
+                      / CAST(CAST((n_docs + {_LB_BATCH_DOCS - 1})
+                                  // {_LB_BATCH_DOCS} AS BIGINT)
+                             * {_LB_BATCH_DOCS} * bucket_cap AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS waste_ratio
+        FROM agg
     """,
     "kn_bigram_lm": f"""
         WITH toks AS (

@@ -292,3 +292,30 @@ def test_kn_bigram_model_is_proper_distribution(spark, sf_dir):
         backoff = _KN_D * fwd[a] / c1[a]
         # observed discounted mass + backoff weight * 1 == 1
         assert abs(per_ctx[a] + backoff - 1.0) < 1e-9, a
+
+
+def test_global_token_offsets_tile_exactly(spark, sf_dir):
+    """Offsets must tile [0, total_tokens) with no gap or overlap: sorted
+    by global_offset, each doc starts exactly where the previous ended,
+    the first starts at 0, and the last ends at the corpus token total —
+    the property that makes seek-by-token-position correct."""
+    from gasket_rs_spark.operators.text import q_global_token_offsets
+
+    rows = sorted(
+        q_global_token_offsets(spark, sf_dir).collect(),
+        key=lambda r: r["global_offset"],
+    )
+    pos = 0
+    for r in rows:
+        assert r["global_offset"] == pos, (r, pos)
+        pos += r["n_tokens"]
+    assert pos == sum(r["n_tokens"] for r in rows)
+
+
+def test_length_bucket_caps_are_tight_powers_of_two():
+    """cap(n) must be the SMALLEST power of two >= n — the integer bit
+    arithmetic must not drift at exact powers of two (the float
+    ceil(log2) boundary this formulation exists to avoid)."""
+    for n in [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 63, 64, 65, 1023, 1024, 1025]:
+        cap = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        assert cap >= n and (cap == 1 or cap // 2 < n), (n, cap)
