@@ -375,6 +375,46 @@ def q_bpe_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility — the standard multilingual
+    tokenizer-equity audit (fertility = BPE subtokens per whitespace
+    word; languages the tokenizer serves poorly pay more tokens for the
+    same text, which skews both cost and effective epochs; cf. the
+    "tokenizer tax" analyses around mT5/BLOOM): aggregate the BPE encode
+    over the lang column with integer sums, deriving fertility and
+    compression (chars per BPE token) per language.
+
+    Rides the bounded-vocabulary encode (one corpus tokenize, Python
+    kernel per DISTINCT word, broadcast join back — q_bpe_encode's
+    shape) with one extra lang aggregation. EXACT oracle via the
+    unrolled-CTE training twin (_bpe_train_ctes)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = _trained_merges(spark, sf_dir, _BPE_MERGES)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = encode_words(toks.select("w").distinct(), merges)
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        toks.join(F.broadcast(vocab.select("w", "n_subtok")), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_subtok").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            snap6(F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+            snap6(F.col("n_chars") / F.col("n_bpe_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
 def _bpe_train_ctes(n_merges: int) -> str:
     """The full BPE training loop as unrolled DuckDB CTEs, ending in a
     ``vocab(w, n_subtok)`` relation — the SQL twin of train_bpe +
@@ -559,8 +599,34 @@ _PAIR_COUNTS_ORACLE = """
 """
 
 
+def _fertility_oracle_sql() -> str:
+    return f"""
+        WITH {_bpe_train_ctes(_BPE_MERGES)}
+        , toks AS (
+            SELECT doc_id, lang, w
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ), agg AS (
+            SELECT t.lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(v.n_subtok) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+            FROM toks t JOIN vocab v USING (w)
+            GROUP BY t.lang
+        )
+        SELECT lang, n_words, n_bpe_tokens,
+               floor(n_bpe_tokens / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS fertility,
+               floor(n_chars / CAST(n_bpe_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS chars_per_token
+        FROM agg
+    """
+
+
 ORACLES: dict[str, str] = {
     "bpe_pair_counts": _PAIR_COUNTS_ORACLE,
+    "tokenizer_fertility": _fertility_oracle_sql(),
     # round 11: the unrolled-CTE training twin (_bpe_train_ctes) upgrades
     # the whole BPE family from rows-only to hash-level EXACT.
     "bpe_vocab_merges": _vocab_merges_oracle_sql(),
@@ -573,4 +639,5 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_pack_shard": q_bpe_pack_shard,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }

@@ -431,6 +431,56 @@ def q_text_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FP_SHARDS = 32
+_FP_P = 2147483647  # 2^31-1: 31-bit terms keep int64 sums overflow-free
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content FINGERPRINT of the corpus — the reproducibility manifest
+    a dataset card / training run records so "trained on dataset X" is
+    checkable: per shard, an ORDER-INDEPENDENT digest of document
+    contents (sum of 48-bit md5 prefixes mod 2³¹−1 — the set-
+    reconciliation digest family), plus a corpus root digest binding all
+    shard digests. Any changed/added/dropped document flips its shard's
+    digest and the root; which shard flipped localizes the diff.
+
+    Scale shape: one scan; per-shard digests are map-side-combinable
+    integer sums (commutative — re-partitioning, file order, and
+    parallelism cannot change them, unlike a concatenation hash); the
+    root hashes the 32 bounded shard digests (zero-padded shard keys so
+    string order == numeric order on both engines). EXACT oracle."""
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint") % _FP_P
+    )
+    per = docs.select(
+        (F.col("doc_id") % _FP_SHARDS).alias("shard"), h.alias("h")
+    )
+    shards = per.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("h") % _FP_P).cast("bigint").alias("digest"),
+    )
+    root = shards.agg(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("shard").cast("string"), 2, "0"),
+                            F.lit(":"),
+                            F.col("digest").cast("string"),
+                        )
+                    )
+                ),
+                "|",
+            )
+        ).alias("root_digest")
+    )
+    return shards.crossJoin(F.broadcast(root)).select(
+        "shard", "n_docs", "digest", "root_digest"
+    )
+
+
 _OFFSET_SHARDS = 32
 
 
@@ -1502,6 +1552,27 @@ ORACLES: dict[str, str] = {
                CAST(sum(cnt) AS BIGINT) AS n_tokens
         FROM filled
         GROUP BY doc_id
+    """,
+    "dataset_fingerprint": f"""
+        WITH per AS (
+            SELECT doc_id % {_FP_SHARDS} AS shard,
+                   ('0x' || substr(md5(text), 1, 12))::BIGINT % {_FP_P} AS h
+            FROM documents
+        ), shards AS (
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(CAST(sum(h) AS BIGINT) % {_FP_P} AS BIGINT) AS digest
+            FROM per GROUP BY shard
+        ), root AS (
+            SELECT md5(string_agg(
+                       lpad(CAST(shard AS VARCHAR), 2, '0') || ':'
+                           || CAST(digest AS VARCHAR),
+                       '|' ORDER BY lpad(CAST(shard AS VARCHAR), 2, '0')))
+                   AS root_digest
+            FROM shards
+        )
+        SELECT shard, n_docs, digest, root_digest
+        FROM shards CROSS JOIN root
     """,
     "global_token_offsets": f"""
         WITH base AS (

@@ -319,3 +319,48 @@ def test_length_bucket_caps_are_tight_powers_of_two():
     for n in [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 63, 64, 65, 1023, 1024, 1025]:
         cap = 1 if n <= 1 else 1 << (n - 1).bit_length()
         assert cap >= n and (cap == 1 or cap // 2 < n), (n, cap)
+
+
+def test_dataset_fingerprint_sensitivity_and_partition_invariance(spark, sf_dir):
+    """The digest must (a) be invariant to physical layout — recomputing
+    per-shard digests after an adversarial repartition yields identical
+    values (the order-independent-sum design claim) — and (b) flip on a
+    single-character edit to a single document, in exactly that
+    document's shard, with the root following."""
+    from gasket_rs_spark.operators.text import _FP_P, _FP_SHARDS, q_dataset_fingerprint
+    from gasket_rs_spark.tables import load
+
+    base = {r["shard"]: (r["digest"], r["root_digest"])
+            for r in q_dataset_fingerprint(spark, sf_dir).collect()}
+
+    docs = load(spark, sf_dir, "documents").repartition(7, "lang")
+    h = (
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint") % _FP_P
+    )
+    redone = {
+        r["shard"]: r["digest"]
+        for r in docs.select((F.col("doc_id") % _FP_SHARDS).alias("shard"), h.alias("h"))
+        .groupBy("shard")
+        .agg((F.sum("h") % _FP_P).cast("bigint").alias("digest"))
+        .collect()
+    }
+    assert redone == {s: d for s, (d, _) in base.items()}  # (a)
+
+    victim = docs.select(F.min("doc_id")).first()[0]
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    changed = {
+        r["shard"]: r["digest"]
+        for r in edited.select((F.col("doc_id") % _FP_SHARDS).alias("shard"), h.alias("h"))
+        .groupBy("shard")
+        .agg((F.sum("h") % _FP_P).cast("bigint").alias("digest"))
+        .collect()
+    }
+    victim_shard = victim % _FP_SHARDS
+    assert changed[victim_shard] != base[victim_shard][0]  # (b) flips
+    for s in changed:
+        if s != victim_shard:
+            assert changed[s] == base[s][0]  # localized
