@@ -131,6 +131,15 @@ EXTRAS = [
     # round-11 additions
     "domain_reweight_doremi",
     "bpe_pack_shard",
+    "dsir_select",
+    "decontaminate_fuzzy",
+    "perplexity_buckets",
+    "kn_bigram_lm",
+    "bitext_margin_mine",
+    "global_token_offsets",
+    "length_bucket_batching",
+    "dataset_fingerprint",
+    "tokenizer_fertility",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
