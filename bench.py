@@ -140,6 +140,8 @@ EXTRAS = [
     "length_bucket_batching",
     "dataset_fingerprint",
     "tokenizer_fertility",
+    "domain_ablation_stats",
+    "span_corruption_plan",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

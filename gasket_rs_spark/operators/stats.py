@@ -643,6 +643,122 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_ablation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-domain-out ABLATION table — the bookkeeping behind
+    domain-ablation studies ("what does the corpus look like without
+    domain d?", run for every d before attributing eval deltas to a
+    domain): for each source, the corpus-minus-that-source document
+    count, token mass, char mass, and the remaining corpus share.
+
+    Scale shape (the point): k ablations in ONE corpus pass, not k
+    scans — every reported statistic is ADDITIVE, so ablation is
+    total − per-domain: one per-domain aggregation (map-side
+    combinable), one 1-row total derived FROM the domain frame (never a
+    second scan), a broadcast cross join, and pure integer subtraction.
+    Non-additive stats (quantiles, distinct counts) deliberately stay
+    out — those need the mergeable-sketch machinery (sketches.py), not
+    subtraction; the docstring is the contract."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    dom = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = dom.agg(
+        F.sum("n_docs").cast("bigint").alias("t_docs"),
+        F.sum("n_tokens").cast("bigint").alias("t_tokens"),
+        F.sum("n_chars").cast("bigint").alias("t_chars"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.col("t_docs") - F.col("n_docs")).alias("ablated_docs"),
+        (F.col("t_tokens") - F.col("n_tokens")).alias("ablated_tokens"),
+        (F.col("t_chars") - F.col("n_chars")).alias("ablated_chars"),
+        snap6(
+            (F.col("t_tokens") - F.col("n_tokens")).cast("double")
+            / F.col("t_tokens").cast("double")
+        ).alias("remaining_share"),
+    )
+
+
+_SPANC_BLOCK = 20  # tokens per corruption block (span_len / rate = 3/0.15)
+_SPANC_LEN = 3  # corrupted span length per block
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style SPAN-CORRUPTION example plan (Raffel et al. 2020):
+    deterministic per-document corruption layout — one 3-token span per
+    20-token block (the 15% corruption rate at mean span 3 the paper
+    uses), span start drawn inside its block from md5(doc_id:block) so
+    every engine, run, and re-ingest corrupts the SAME tokens. Reports
+    the seq2seq accounting a packing/serving layer needs (encoder
+    input length = kept tokens + one sentinel per span; decoder target
+    length = corrupted tokens + sentinels + EOS) plus a Σ span-start
+    checksum that pins the exact corruption positions without emitting
+    per-token rows.
+
+    Scale shape: block expansion is an in-scan ``sequence`` explode —
+    n/20 rows per doc, ~5% of token volume, shuffled only by the
+    existing doc_id key; everything else is per-row integer arithmetic.
+    EXACT oracle (same md5 arithmetic in SQL)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    ).where(F.col("n_tokens") >= _SPANC_BLOCK)
+    blocks = base.select(
+        "doc_id",
+        "n_tokens",
+        # integer DIV, never double-divide-then-cast: DuckDB casts
+        # double->int by ROUNDING while Spark truncates (the grid trap)
+        F.expr(f"CAST(n_tokens DIV {_SPANC_BLOCK} AS BIGINT)").alias("n_spans"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("b"),
+    )
+    start = (
+        F.col("b") * _SPANC_BLOCK
+        + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (_SPANC_BLOCK - _SPANC_LEN + 1)
+    )
+    return (
+        blocks.select("doc_id", "n_tokens", "n_spans", start.alias("s"))
+        .groupBy("doc_id", "n_tokens", "n_spans")
+        .agg(F.sum("s").cast("bigint").alias("span_start_checksum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            (
+                F.col("n_tokens")
+                - F.col("n_spans") * _SPANC_LEN
+                + F.col("n_spans")
+            ).alias("input_len"),
+            (F.col("n_spans") * _SPANC_LEN + F.col("n_spans") + 1).alias(
+                "target_len"
+            ),
+            "span_start_checksum",
+        )
+    )
+
+
 _DOREMI_T = 8  # fixed MW iteration count — bounded, oracle-unrollable
 _DOREMI_ETA = 0.5  # multiplicative-weights step size
 _DOREMI_C = 0.2  # uniform-smoothing mass (DoReMi's alpha-mix term)
@@ -788,6 +904,59 @@ def _doremi_oracle_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "domain_ablation_stats": """
+        WITH dom AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS t_chars
+            FROM dom
+        )
+        SELECT source,
+               CAST(t_docs - n_docs AS BIGINT) AS ablated_docs,
+               CAST(t_tokens - n_tokens AS BIGINT) AS ablated_tokens,
+               CAST(t_chars - n_chars AS BIGINT) AS ablated_chars,
+               floor(CAST(t_tokens - n_tokens AS DOUBLE)
+                     / CAST(t_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS remaining_share
+        FROM dom CROSS JOIN tot
+    """,
+    "span_corruption_plan": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), eligible AS (
+            SELECT doc_id, n_tokens,
+                   CAST(n_tokens // {_SPANC_BLOCK} AS BIGINT) AS n_spans
+            FROM base WHERE n_tokens >= {_SPANC_BLOCK}
+        ), blocks AS (
+            SELECT doc_id, n_tokens, n_spans,
+                   CAST(unnest(range(n_spans)) AS BIGINT) AS b
+            FROM eligible
+        ), starts AS (
+            SELECT doc_id, n_tokens, n_spans,
+                   b * {_SPANC_BLOCK}
+                   + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                     % {_SPANC_BLOCK - _SPANC_LEN + 1} AS s
+            FROM blocks
+        )
+        SELECT doc_id, n_tokens, n_spans,
+               CAST(n_tokens - n_spans * {_SPANC_LEN} + n_spans AS BIGINT)
+                   AS input_len,
+               CAST(n_spans * {_SPANC_LEN} + n_spans + 1 AS BIGINT)
+                   AS target_len,
+               CAST(sum(s) AS BIGINT) AS span_start_checksum
+        FROM starts
+        GROUP BY doc_id, n_tokens, n_spans
+    """,
     "domain_reweight_doremi": _doremi_oracle_sql(),
     "epoch_shard_order": f"""
         WITH keyed AS (

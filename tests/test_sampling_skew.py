@@ -127,3 +127,60 @@ def test_doremi_matches_pure_python_fixpoint(spark, sf_dir):
     ranked = sorted(got.values(), key=lambda t: t[1])
     for (_, l1, w1), (_, l2, w2) in zip(ranked, ranked[1:]):
         assert (l2 - l1 >= 0) and (w2 - w1 >= -2e-9)  # monotone in excess
+
+
+def test_span_corruption_checksum_matches_pure_python(spark, sf_dir):
+    """Recompute each doc's span-start checksum from hashlib.md5 — pins
+    the deterministic corruption layout (block arithmetic + md5 offset)
+    against an engine-independent reference, plus the T5 accounting
+    identities and the 15% rate bound."""
+    import hashlib
+
+    from gasket_rs_spark.operators.stats import (
+        _SPANC_BLOCK,
+        _SPANC_LEN,
+        q_span_corruption_plan,
+    )
+
+    rows = q_span_corruption_plan(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = 0
+        for b in range(r["n_spans"]):
+            h = hashlib.md5(f"{r['doc_id']}:{b}".encode()).hexdigest()
+            want += b * _SPANC_BLOCK + int(h[:8], 16) % (
+                _SPANC_BLOCK - _SPANC_LEN + 1
+            )
+        assert r["span_start_checksum"] == want
+        assert r["input_len"] == r["n_tokens"] - r["n_spans"] * _SPANC_LEN + r["n_spans"]
+        assert r["target_len"] == r["n_spans"] * _SPANC_LEN + r["n_spans"] + 1
+        rate = r["n_spans"] * _SPANC_LEN / r["n_tokens"]
+        assert rate <= _SPANC_LEN / _SPANC_BLOCK + 1e-9
+
+
+def test_domain_ablation_complements_per_domain_stats(spark, sf_dir):
+    """ablated(d) + own(d) must equal the corpus total for every
+    additive statistic — the subtraction identity that lets k ablations
+    ride one corpus pass."""
+    from gasket_rs_spark.operators.stats import q_domain_ablation_stats
+    from gasket_rs_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    own = {
+        r["source"]: (r["d"], r["t"], r["c"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("d"),
+            F.sum(F.size(F.split("text", " "))).alias("t"),
+            F.sum("n_chars").alias("c"),
+        )
+        .collect()
+    }
+    totals = tuple(sum(v[i] for v in own.values()) for i in range(3))
+    for r in q_domain_ablation_stats(spark, sf_dir).collect():
+        o = own[r["source"]]
+        assert (
+            r["ablated_docs"] + o[0],
+            r["ablated_tokens"] + o[1],
+            r["ablated_chars"] + o[2],
+        ) == totals
