@@ -142,6 +142,8 @@ EXTRAS = [
     "tokenizer_fertility",
     "domain_ablation_stats",
     "span_corruption_plan",
+    "boilerplate_rate_by_source",
+    "temperature_sweep",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

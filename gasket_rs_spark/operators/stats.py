@@ -643,6 +643,57 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling TUNING TABLE — the alpha-selection sweep run
+    before committing to a mixture temperature (q_mixture_temperature
+    applies ONE alpha; choosing it is this table): for every
+    alpha ∈ {0.1 … 1.0}, the softmax-over-sizes domain weights
+    p_i ∝ n_i^alpha summarized as EFFECTIVE DOMAIN COUNT
+    exp(H(p)) (perplexity of the mixture — the standard
+    "how many domains does this temperature really train on") and the
+    max single-domain weight (dominance check).
+
+    Determinism: n_i^alpha = exp(alpha·ln n_i) snapped at 6dp, then
+    converted to int64 micro-units so the normalizer Σ and the entropy
+    Σ (per-domain terms snapped to 1e-9 before summing) are exact
+    integer sums — engine order cannot matter (the DoReMi discipline).
+    Scale: one corpus pass for the k-row domain-size frame; the sweep is
+    a 10-row broadcast grid crossed with it — the whole tuning table
+    costs one scan regardless of how many alphas are probed."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    dom = (
+        docs.groupBy("source")
+        .agg(F.sum(ntok).cast("bigint").alias("n_tok"))
+        .localCheckpoint(eager=True)  # k rows; feeds grid join + via sums
+    )
+    alphas = spark.range(1, 11).select(
+        (F.col("id") / 10.0).alias("alpha")
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    x6 = (
+        F.floor(
+            F.exp(F.col("alpha") * F.log(F.col("n_tok").cast("double"))) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x6")
+    )
+    scored = dom.crossJoin(F.broadcast(alphas)).select("source", "alpha", x6)
+    tot = scored.groupBy("alpha").agg(F.sum("x6").cast("bigint").alias("s6"))
+    w = F.col("x6").cast("double") / F.col("s6").cast("double")
+    terms = scored.join(F.broadcast(tot), "alpha").select(
+        "alpha",
+        w.alias("w"),
+        F.floor(-(w * F.log(w)) * 1e9 + F.lit(0.5)).cast("bigint").alias("h9"),
+    )
+    return terms.groupBy("alpha").agg(
+        F.count("*").cast("bigint").alias("n_domains"),
+        snap6(F.exp(F.sum("h9").cast("double") / 1e9)).alias("effective_domains"),
+        snap6(F.max("w")).alias("max_weight"),
+    )
+
+
 def q_domain_ablation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-domain-out ABLATION table — the bookkeeping behind
     domain-ablation studies ("what does the corpus look like without
@@ -904,6 +955,38 @@ def _doremi_oracle_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "temperature_sweep": """
+        WITH dom AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+            FROM documents GROUP BY source
+        ), alphas AS (
+            SELECT CAST(a AS BIGINT) / 10.0 AS alpha
+            FROM range(1, 11) t(a)
+        ), scored AS (
+            SELECT source, alpha,
+                   CAST(floor(exp(alpha * ln(CAST(n_tok AS DOUBLE))) * 1e6
+                              + 0.5) AS BIGINT) AS x6
+            FROM dom CROSS JOIN alphas
+        ), tot AS (
+            SELECT alpha, CAST(sum(x6) AS BIGINT) AS s6
+            FROM scored GROUP BY alpha
+        ), terms AS (
+            SELECT s.alpha,
+                   CAST(s.x6 AS DOUBLE) / CAST(t.s6 AS DOUBLE) AS w,
+                   CAST(floor(-(CAST(s.x6 AS DOUBLE) / CAST(t.s6 AS DOUBLE)
+                                * ln(CAST(s.x6 AS DOUBLE)
+                                     / CAST(t.s6 AS DOUBLE)))
+                              * 1e9 + 0.5) AS BIGINT) AS h9
+            FROM scored s JOIN tot t USING (alpha)
+        )
+        SELECT alpha,
+               CAST(count(*) AS BIGINT) AS n_domains,
+               floor(exp(CAST(sum(h9) AS BIGINT) / 1e9) * 1e6 + 0.5) / 1e6
+                   AS effective_domains,
+               floor(max(w) * 1e6 + 0.5) / 1e6 AS max_weight
+        FROM terms GROUP BY alpha
+    """,
     "domain_ablation_stats": """
         WITH dom AS (
             SELECT source,

@@ -771,6 +771,45 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(load(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE boilerplate rate — the template-detection diagnostic
+    that tells a curation pipeline which domains need line dedup most
+    (nav chrome, license blocks, repeated headers): a segment is
+    boilerplate FOR ITS SOURCE when the same 8-token line appears in at
+    least two distinct documents of that source; the rate is the share
+    of the source's segment occurrences that are such repeats.
+
+    Rides the line-dedup segmentation (same regex, same 8-token grain)
+    but aggregates instead of rewriting: per (source, line) occurrence
+    and distinct-doc counts (map-side combinable; the distinct-doc count
+    is the only extra shuffle), then one bounded per-source reduce — no
+    join-back, no reassembly. EXACT oracle."""
+    docs = load(spark, sf_dir, "documents")
+    seg_arr = F.regexp_extract_all("text", F.lit(_LINE_SEG_PATTERN), 0)
+    segs = docs.select(
+        "source", "doc_id", F.explode(seg_arr).alias("seg")
+    )
+    per = segs.groupBy("source", "seg").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.count_distinct("doc_id").cast("bigint").alias("nd"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return per.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
+    ).select(
+        "source",
+        "n_segments",
+        "n_boilerplate",
+        snap6(
+            F.col("n_boilerplate").cast("double")
+            / F.col("n_segments").cast("double")
+        ).alias("boilerplate_rate"),
+    )
+
+
 def line_dedup(docs: DataFrame) -> DataFrame:
     """Core of q_text_line_dedup over any (doc_id, text) frame."""
     seg_arr = F.regexp_extract_all("text", F.lit(_LINE_SEG_PATTERN), 0)
@@ -1862,6 +1901,29 @@ ORACLES: dict[str, str] = {
                     ELSE round((log2(n_tokens) - s / n_tokens) / log2(n_distinct), 6)
                END AS norm_entropy
         FROM per_doc
+    """,
+    "boilerplate_rate_by_source": r"""
+        WITH segs AS (
+            SELECT source, doc_id,
+                   unnest(regexp_extract_all(text, '\S+( \S+){0,7}', 0)) AS seg
+            FROM documents
+        ), per AS (
+            SELECT source, seg,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM segs GROUP BY source, seg
+        ), agg AS (
+            SELECT source,
+                   CAST(sum(cnt) AS BIGINT) AS n_segments,
+                   CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                       AS n_boilerplate
+            FROM per GROUP BY source
+        )
+        SELECT source, n_segments, n_boilerplate,
+               floor(CAST(n_boilerplate AS DOUBLE)
+                     / CAST(n_segments AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS boilerplate_rate
+        FROM agg
     """,
     "text_line_dedup": r"""
         WITH segs AS (

@@ -184,3 +184,22 @@ def test_domain_ablation_complements_per_domain_stats(spark, sf_dir):
             r["ablated_tokens"] + o[1],
             r["ablated_chars"] + o[2],
         ) == totals
+
+
+def test_temperature_sweep_monotone_flattening(spark, sf_dir):
+    """Physics of temperature sampling the hash can't see: as alpha
+    decreases toward 0 the mixture flattens — effective domain count is
+    non-increasing in alpha and max weight non-decreasing; at every
+    alpha, 1 <= effective_domains <= n_domains and max_weight >= 1/k."""
+    from gasket_rs_spark.operators.stats import q_temperature_sweep
+
+    rows = sorted(q_temperature_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r["alpha"])
+    assert len(rows) == 10
+    for r in rows:
+        k = r["n_domains"]
+        assert 1.0 - 1e-6 <= r["effective_domains"] <= k + 1e-6
+        assert r["max_weight"] >= 1.0 / k - 1e-6
+    for a, b in zip(rows, rows[1:]):  # alpha ascending
+        assert b["effective_domains"] <= a["effective_domains"] + 1e-6
+        assert b["max_weight"] >= a["max_weight"] - 1e-6
