@@ -144,6 +144,9 @@ EXTRAS = [
     "span_corruption_plan",
     "boilerplate_rate_by_source",
     "temperature_sweep",
+    "dp_noisy_counts",
+    "k_anonymity_audit",
+    "incremental_agg_maintenance",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

@@ -99,7 +99,114 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DP_EPS = 1.0  # epsilon for the Laplace count release
+_K_ANON = 5  # minimum group size for the k-anonymity audit
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy style NOISY COUNT release (Dwork et al.
+    Laplace mechanism): per-event-type counts plus Laplace(1/ε) noise
+    via the inverse CDF, ε = 1, sensitivity 1 — the mechanism behind
+    every DP statistics release.
+
+    HONEST CAVEAT (the determinism/privacy trade, stated rather than
+    hidden): the noise here is SEEDED from md5(event_type) so the
+    witness is engine-reproducible and hash-checkable — deterministic
+    noise provides NO privacy. A production release swaps the md5
+    uniform for a real RNG draw; everything else (inverse-CDF transform,
+    per-partition count aggregation, epsilon accounting) is exactly this
+    plan. Scale: one map-side-combinable count agg; noise is per-GROUP
+    arithmetic — O(|groups|), free."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("event_type"), F.lit(":dp"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(281474976710658.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / _DP_EPS)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return counts.select(
+        "event_type",
+        snap6(F.col("n") + noise).alias("noisy_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit over the documents quasi-identifier pair
+    (lang, source): how many equivalence classes fall below k = 5
+    members, and what share of documents sit in those re-identifiable
+    classes — the release gate a privacy review runs before publishing
+    a dataset with demographic-like columns. One map-side-combinable
+    groupBy + a bounded class-level reduce; nothing corpus-sized after
+    the scan. EXACT oracle."""
+    docs = load(spark, sf_dir, "documents")
+    classes = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return classes.agg(
+        F.lit(_K_ANON).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+        snap6(
+            F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n").cast("double")
+        ).alias("risk_share"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "dp_noisy_counts": f"""
+        WITH counts AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        ), noised AS (
+            SELECT event_type, n,
+                   (CAST(('0x' || substr(md5(event_type || ':dp'), 1, 12))
+                         ::BIGINT AS DOUBLE) + 1.0) / 281474976710658.0 AS u
+            FROM counts
+        )
+        SELECT event_type,
+               floor((n + (-{1.0 / _DP_EPS!r} * sign(u - 0.5)
+                           * ln(1.0 - 2.0 * abs(u - 0.5))))
+                     * 1e6 + 0.5) / 1e6 AS noisy_count,
+               CAST({_DP_EPS!r} AS DOUBLE) AS epsilon
+        FROM noised
+    """,
+    "k_anonymity_audit": f"""
+        WITH classes AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        )
+        SELECT CAST({_K_ANON} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_classes,
+               CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+                   AS n_docs_at_risk,
+               floor(CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS risk_share
+        FROM classes
+    """,
     "gdpr_erasure_audit": """
         WITH erase AS (
             SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0

@@ -383,7 +383,60 @@ def _interleave_sql(x: str, y: str) -> str:
     return " + ".join(terms)
 
 
+_MV_CUTOFF = "1999-01-01"  # base/delta split date for the MV witness
+
+
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: a per-priority revenue
+    aggregate "materialized" over historical orders (< 1999-01-01) is
+    brought current by merging ONLY the delta partition's partial
+    aggregate — the standard lakehouse pattern that turns a daily
+    full-table rebuild into delta-sized work. The witness's point is the
+    CROSS-FORMULATION oracle: the DuckDB twin aggregates the full table
+    DIRECTLY, so any defect in the merge algebra (lost groups,
+    double-counted deltas, miscoalesced new keys) hash-mismatches.
+
+    Revenue sums run in integer CENTS (o_totalprice is a double column;
+    float partial-sum merge order would differ between engines — and on
+    a real cluster between runs). Scale shape: the base aggregate is
+    |groups|-sized state read back, the delta agg scans only the delta
+    partition (at 100 TB: one day, not seven years), and the merge is a
+    full-outer join of two |groups|-row frames."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def agg_part(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias(n),
+            F.sum(cents).cast("bigint").alias(s),
+        )
+
+    base = agg_part(orders.where(F.col("o_orderdate") < cutoff), "bn", "bs")
+    delta = agg_part(orders.where(F.col("o_orderdate") >= cutoff), "dn", "ds")
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce("bs", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "incremental_agg_maintenance": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "snapshot_diff_changelog": """
         WITH pc AS (
             SELECT o_custkey,

@@ -320,3 +320,27 @@ def test_zorder_write_narrows_file_stats_on_both_dims(spark, sf_dir, tmp_path):
     # ranges run up to ~2x the ideal prefix width — still far from 255)
     assert z_px < 176 and z_sy < 176
     assert z_sy < s_sy / 1.5, "z-order must beat single-dim sort on the other dim"
+
+
+def test_incremental_agg_maintenance_equals_full_rebuild(spark, sf_dir):
+    """The merged (base + delta) aggregate must row-for-row equal a
+    direct full-table aggregate computed in Spark — the maintenance
+    algebra is exact, independent of the DuckDB cross-check."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.warehouse import q_incremental_agg_maintenance
+    from gasket_rs_spark.tables import load
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["revenue_cents"])
+        for r in q_incremental_agg_maintenance(spark, sf_dir).collect()
+    }
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    want = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("s"))
+        .collect()
+    }
+    assert got == want
