@@ -147,6 +147,7 @@ EXTRAS = [
     "dp_noisy_counts",
     "k_anonymity_audit",
     "incremental_agg_maintenance",
+    "auc_exact",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

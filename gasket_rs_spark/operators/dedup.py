@@ -1413,6 +1413,74 @@ def q_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(docs, pairs)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assign whole NEAR-DUP
+    COMPONENTS, never individual documents, to splits — the eval-hygiene
+    rule that stops a test document's near-duplicate from sitting in
+    train (doc-level random splits leak through paraphrases; the same
+    failure fuzzy decontamination detects after the fact, prevented
+    structurally here). Split = md5(component:split) % 10 → 8/1/1
+    train/val/test over the exact Jaccard≥0.5 component labels.
+
+    The witness output pins the guarantee itself: per split, doc and
+    component counts PLUS the global count of near-dup pairs crossing
+    splits — which this construction makes exactly 0, so any defect in
+    the component→split algebra hash-mismatches (the gdpr_erasure_audit
+    discipline). Scale shape: components ride _components (bounded
+    union-find / Pregel-lite hybrid); the split label is pure md5
+    arithmetic on the component id; the leak audit is two equi-joins of
+    the (small) pair graph against the labels. EXACT oracle (recursive
+    CTE components + identical md5 split)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _components(docs, pairs)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("component").cast("string"), F.lit(":split"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    labeled = comp.withColumn(
+        "split",
+        F.when(u <= 7, F.lit("train"))
+        .when(u == 8, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    leak = (
+        pairs.join(
+            labeled.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_split_pairs")
+        )
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("component").cast("bigint").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
 def q_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-≤1 vocabulary join via deletion-neighborhood
     blocking (FastSS) — the fuzzy-key join that links typo'd tokens /
@@ -1503,6 +1571,64 @@ ORACLES: dict[str, str] = {
             SELECT 1 FROM documents c
             WHERE c.doc_id % 5 <> 4 AND c.text = incoming.text
         )
+    """,
+    "leakage_safe_split": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingles
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING round(count(*) * 1.0 / (a.n_sh + b.n_sh - count(*)), 6) >= 0.5
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            WITH RECURSIVE r(id, target) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.doc_a, r.target FROM r JOIN edges e ON e.doc_b = r.id
+            )
+            SELECT * FROM r
+        ), comp AS (
+            SELECT id AS doc_id, CAST(min(target) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        ), labeled AS (
+            SELECT doc_id, component,
+                   CASE WHEN u <= 7 THEN 'train'
+                        WHEN u = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, component,
+                       ('0x' || substr(md5(CAST(component AS VARCHAR)
+                                           || ':split'), 1, 2))::BIGINT % 10
+                           AS u
+                FROM comp
+            )
+        ), leak AS (
+            SELECT CAST(sum(CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cross_split_pairs
+            FROM pairs p
+            JOIN labeled la ON la.doc_id = p.doc_a
+            JOIN labeled lb ON lb.doc_id = p.doc_b
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+               cross_split_pairs
+        FROM labeled CROSS JOIN leak
+        GROUP BY split, cross_split_pairs
     """,
     "dedup_components": """
         WITH sh AS (

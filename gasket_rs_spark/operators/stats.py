@@ -643,6 +643,62 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a quality signal against a binary label (here:
+    does n_chars separate English from non-English documents) — the
+    Mann-Whitney rank statistic every filter-threshold study reports,
+    computed WITHOUT a global sort: AUC over all pos×neg pairs =
+    P(score_pos > score_neg) + ½P(tie).
+
+    Scale shape: scores histogram into their exact integer values (one
+    map-side-combinable groupBy, bounded by the score's value range, not
+    the corpus); the rank accumulation is a bounded theta join over that
+    histogram (cum negatives strictly below each score); the pair count
+    runs in DOUBLED integer units (2 per win, 1 per tie) so everything
+    until the single final division is int64 — no float sums, no
+    half-grid ties (the ½ lives in integers). One row out. EXACT
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.col("n_chars").cast("bigint").alias("s"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").cast("bigint").alias("np"),
+            F.sum(1 - F.col("pos")).cast("bigint").alias("nn"),
+        )
+        .localCheckpoint(eager=True)  # bounded rows; two consumers
+    )
+    h2 = hist.select(F.col("s").alias("s2"), F.col("nn").alias("nn2"))
+    below = (
+        hist.join(h2, F.col("s2") < F.col("s"), "left")
+        .groupBy("s", "np", "nn")
+        .agg(F.coalesce(F.sum("nn2"), F.lit(0)).cast("bigint").alias("neg_below"))
+    )
+    agg = below.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("neg_below") + F.col("nn")))
+        .cast("bigint")
+        .alias("won2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.floor(
+                F.col("won2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("auc"),
+    )
+
+
 def q_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampling TUNING TABLE — the alpha-selection sweep run
     before committing to a mixture temperature (q_mixture_temperature
@@ -955,6 +1011,31 @@ def _doremi_oracle_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "auc_exact": """
+        WITH hist AS (
+            SELECT CAST(n_chars AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS np,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                        AS BIGINT) AS nn
+            FROM documents GROUP BY 1
+        ), below AS (
+            SELECT h.s, h.np, h.nn,
+                   CAST(coalesce(sum(h2.nn), 0) AS BIGINT) AS neg_below
+            FROM hist h LEFT JOIN hist h2 ON h2.s < h.s
+            GROUP BY h.s, h.np, h.nn
+        ), agg AS (
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg,
+                   CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS won2
+            FROM below
+        )
+        SELECT n_pos, n_neg,
+               floor(CAST(won2 AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS auc
+        FROM agg
+    """,
     "temperature_sweep": """
         WITH dom AS (
             SELECT source,

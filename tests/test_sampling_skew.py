@@ -203,3 +203,33 @@ def test_temperature_sweep_monotone_flattening(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):  # alpha ascending
         assert b["effective_domains"] <= a["effective_domains"] + 1e-6
         assert b["max_weight"] >= a["max_weight"] - 1e-6
+
+
+def test_auc_exact_matches_rank_formula(spark, sf_dir):
+    """Recompute AUC with the classic midrank Mann-Whitney formula in
+    pure Python and require equality with the histogram/theta-join
+    formulation (up to the 1e-6 snap)."""
+    from gasket_rs_spark.operators.stats import q_auc_exact
+    from gasket_rs_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    pairs = sorted((r["n_chars"], r["lang"] == "en") for r in rows)
+    n = len(pairs)
+    # midranks
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][0] == pairs[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = mid
+        i = j
+    npos = sum(1 for _, p in pairs if p)
+    nneg = n - npos
+    rpos = sum(r for r, (_, p) in zip(ranks, pairs) if p)
+    want = (rpos - npos * (npos + 1) / 2.0) / (npos * nneg)
+    got = q_auc_exact(spark, sf_dir).first()
+    assert got["n_pos"] == npos and got["n_neg"] == nneg
+    assert abs(got["auc"] - want) < 2e-6
