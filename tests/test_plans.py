@@ -580,3 +580,35 @@ def test_decontaminate_fuzzy_broadcasts_eval(spark, sf_dir):
     assert broadcast_hint_count(df) >= 1
     assert_no_cartesian(df)
     assert df.count() > 0
+
+
+def test_round11_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-11 additions: no cartesian products
+    anywhere (theta joins over bounded frames may compile to
+    BroadcastNestedLoopJoin — acceptable; a CartesianProduct is not),
+    partial aggregation on the MV merge, and a broadcast label join in
+    the perplexity split."""
+    from gasket_rs_spark.operators.stats import q_auc_exact, q_temperature_sweep
+    from gasket_rs_spark.operators.text import (
+        q_global_token_offsets,
+        q_kn_bigram_lm,
+        q_perplexity_buckets,
+    )
+    from gasket_rs_spark.operators.warehouse import q_incremental_agg_maintenance
+    from gasket_rs_spark.plans.inspect import broadcast_hint_count
+
+    for fn in (
+        q_kn_bigram_lm,
+        q_global_token_offsets,
+        q_temperature_sweep,
+        q_auc_exact,
+        q_incremental_agg_maintenance,
+    ):
+        assert_no_cartesian(fn(spark, sf_dir))
+
+    mv = q_incremental_agg_maintenance(spark, sf_dir)
+    assert count_operator(mv, "HashAggregate") >= 4  # partials on both sides
+
+    pb = q_perplexity_buckets(spark, sf_dir)
+    assert broadcast_hint_count(pb) >= 1  # label table broadcast
+    assert_no_cartesian(pb)
