@@ -148,6 +148,7 @@ EXTRAS = [
     "k_anonymity_audit",
     "incremental_agg_maintenance",
     "auc_exact",
+    "maxsim_late_interaction",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

@@ -735,6 +735,79 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MS_SUBS = 8  # sub-vectors per embedding (64 dims -> 8 x 8)
+_MS_TOPK = 3
+
+
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval scoring (Khattab & Zaharia 2020,
+    ColBERT): instead of one dot product per (query, doc), each side is
+    a BAG of token-level vectors and the score is MaxSim —
+    Σ_i max_j cos(q_i, d_j) — which preserves term-level matching that
+    single-vector pooling destroys. Here each 64-dim embedding is
+    treated as 8 token sub-vectors of 8 dims (the fixture has no
+    token-level embeddings; the operator's algebra and plan shape are
+    exactly the real thing, with the sub-vector count a constant).
+
+    Determinism: each of the 64 sub-vector cosines snaps to int64
+    micro-units BEFORE the max/sum reductions, so MaxSim is pure integer
+    max + integer sum — reduction order cannot matter. Sub-vector norms
+    precompute ONCE per vector outside the pair join (never inside the
+    pair lambda — the HOF-CSE discipline).
+
+    Scale shape: query side is the 1%-sample broadcast against the
+    corpus (the similarity_topk brute shape — the oracle-checkable
+    witness); at 100 TB candidate generation swaps to the ANN paths
+    above and MaxSim re-scores candidates only, which is precisely
+    ColBERT's two-stage serving design. Per-pair cost is a fixed
+    8×8 kernel of 8-dim folds, JVM-side whole-stage codegen."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    sub_norms = F.expr(
+        f"transform(sequence(0, {_MS_SUBS - 1}), i -> "
+        f" sqrt(aggregate(slice(vec, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),"
+        f"  (a, x) -> a + x * x)))"
+    )
+    v = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm8", sub_norms)
+    queries = v.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("nrm8").alias("qn"),
+    )
+    pairs = v.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    score6 = F.expr(
+        f"aggregate(transform(sequence(0, {_MS_SUBS - 1}), i -> "
+        f" array_max(transform(sequence(0, {_MS_SUBS - 1}), j -> "
+        f"  CAST(floor("
+        f"   aggregate(zip_with(slice(qv, i * 8 + 1, 8),"
+        f"                      slice(vec, j * 8 + 1, 8),"
+        f"                      (x, y) -> x * y),"
+        f"             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        f"   / (element_at(qn, i + 1) * element_at(nrm8, j + 1))"
+        f"   * 1e6 + 0.5) AS BIGINT)))),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", score6.alias("score6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _MS_TOPK)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("doc_id"),
+            (F.col("score6") / 1e6).alias("maxsim"),
+        )
+    )
+
+
 _BITEXT_K = 4  # kNN pool per side for margin normalization
 _BITEXT_TAU = 1.0  # keep pairs whose margin beats the kNN mean
 
@@ -844,6 +917,39 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "maxsim_late_interaction": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ), vn AS (
+            SELECT vec_id, vec,
+                   list_transform(range(0, {_MS_SUBS}), i ->
+                       sqrt(list_sum(list_transform(
+                           vec[i * 8 + 1 : i * 8 + 8], x -> x * x))))
+                       AS nrm8
+            FROM v
+        ), pairs AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+                   CAST(list_sum(list_transform(range(0, {_MS_SUBS}), i ->
+                       list_max(list_transform(range(0, {_MS_SUBS}), j ->
+                           CAST(floor(
+                               list_dot_product(q.vec[i * 8 + 1 : i * 8 + 8],
+                                                d.vec[j * 8 + 1 : j * 8 + 8])
+                               / (q.nrm8[i + 1] * d.nrm8[j + 1])
+                               * 1e6 + 0.5) AS BIGINT)))))
+                        AS BIGINT) AS score6
+            FROM vn q JOIN vn d ON q.vec_id % 100 = 0
+                              AND d.vec_id <> q.vec_id
+        ), ranked AS (
+            SELECT query_id, doc_id, score6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score6 DESC, doc_id) AS rk
+            FROM pairs
+        )
+        SELECT query_id, rk, doc_id,
+               score6 / 1e6 AS maxsim
+        FROM ranked WHERE rk <= {_MS_TOPK}
+    """,
     "bitext_margin_mine": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
