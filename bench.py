@@ -149,6 +149,7 @@ EXTRAS = [
     "incremental_agg_maintenance",
     "auc_exact",
     "maxsim_late_interaction",
+    "ks_two_sample",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

