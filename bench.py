@@ -150,6 +150,8 @@ EXTRAS = [
     "auc_exact",
     "maxsim_late_interaction",
     "ks_two_sample",
+    "join_size_estimate",
+    "segment_quality_filter",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

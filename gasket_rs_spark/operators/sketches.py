@@ -272,6 +272,58 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches (the AMS/CM
+    inner-product estimator, Cormode & Muthukrishnan 2005 §4.2) — the
+    statistic a query optimizer wants BEFORE running a join: |A ⋈ B| on
+    a key equals the inner product Σ_k a_k·b_k of the two key-frequency
+    vectors, and the CM estimate is min over hash rows of the row-wise
+    grid inner product. Here: clicks ⋈ purchases on user_id.
+
+    Both numbers are computed and compared: the exact inner product
+    (per-key count join — the audit) and the sketch estimate (two
+    constant 4×512 grids joined cell-wise — what a 100 TB optimizer
+    would actually store per table/partition, cell-additive under
+    merge). Overestimation is one-sided (CM never undercounts),
+    pinned structurally in the output: overestimate_ratio ≥ 1. All
+    integer arithmetic until the single snapped ratio. EXACT oracle."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("tok"), "event_type"
+    )
+    a = ev.where(F.col("event_type") == "click").groupBy("tok").agg(
+        F.count("*").alias("cnt")
+    )
+    b = ev.where(F.col("event_type") == "purchase").groupBy("tok").agg(
+        F.count("*").alias("cnt")
+    )
+    ga = count_min_build(a).select(
+        "cm_row", "cm_col", F.col("cm_cnt").alias("ca")
+    )
+    gb = count_min_build(b).select(
+        "cm_row", "cm_col", F.col("cm_cnt").alias("cb")
+    )
+    est = (
+        ga.join(gb, ["cm_row", "cm_col"])
+        .groupBy("cm_row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("cm_estimate"))
+    )
+    exact = (
+        a.select("tok", F.col("cnt").alias("na"))
+        .join(b.select("tok", F.col("cnt").alias("nb")), "tok")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_size"))
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cm_estimate",
+        snap6(
+            F.col("cm_estimate").cast("double")
+            / F.col("exact_size").cast("double")
+        ).alias("overestimate_ratio"),
+    )
+
+
 def _cm_pos_sql(tok_expr: str, i: int) -> str:
     return (
         f"(('0x' || substr(md5({tok_expr} || ':{i}'), 1, 8))::BIGINT % {_CM_W})"
@@ -489,7 +541,52 @@ _HH_ITEM_SQL = (
 )
 
 
+def _join_size_oracle_sql() -> str:
+    def cells(src: str) -> str:
+        return "\n            UNION ALL ".join(
+            f"SELECT CAST({i} AS INT) AS cm_row,"
+            f" {_cm_pos_sql('tok', i)} AS cm_col, cnt FROM {src}"
+            for i in range(_CM_D)
+        )
+
+    return f"""
+        WITH a AS (
+            SELECT CAST(user_id AS VARCHAR) AS tok,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ), b AS (
+            SELECT CAST(user_id AS VARCHAR) AS tok,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), ga AS (
+            SELECT cm_row, cm_col, CAST(sum(cnt) AS BIGINT) AS ca
+            FROM ({cells('a')})
+            GROUP BY cm_row, cm_col
+        ), gb AS (
+            SELECT cm_row, cm_col, CAST(sum(cnt) AS BIGINT) AS cb
+            FROM ({cells('b')})
+            GROUP BY cm_row, cm_col
+        ), est AS (
+            SELECT CAST(min(ip) AS BIGINT) AS cm_estimate
+            FROM (
+                SELECT ga.cm_row, CAST(sum(ga.ca * gb.cb) AS BIGINT) AS ip
+                FROM ga JOIN gb USING (cm_row, cm_col)
+                GROUP BY ga.cm_row
+            )
+        ), exact AS (
+            SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS exact_size
+            FROM a JOIN b USING (tok)
+        )
+        SELECT exact_size, cm_estimate,
+               floor(CAST(cm_estimate AS DOUBLE)
+                     / CAST(exact_size AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS overestimate_ratio
+        FROM exact CROSS JOIN est
+    """
+
+
 ORACLES: dict[str, str] = {
+    "join_size_estimate": _join_size_oracle_sql(),
     "quantile_normalize_sketch": """
         WITH b AS (
             SELECT event_type,

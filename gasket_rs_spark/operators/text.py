@@ -771,6 +771,60 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(load(spark, sf_dir, "documents"))
 
 
+_SEGQ_MIN_TOKENS = 6  # rule (a): segment long enough to carry content
+_SEGQ_MIN_DISTINCT = 0.6  # rule (b): distinct-token ratio floor
+
+
+def q_segment_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-level quality filtering — the C4/RefinedWeb line-filter
+    stage (C4 drops lines without terminal punctuation or under 5 words;
+    RefinedWeb drops list-marker/repeated lines) adapted to this
+    corpus's 8-token segment grain and punctuation-free synthetic text:
+    a segment survives if (a) it has ≥ 6 tokens (doc-tail stubs drop)
+    and (b) its distinct-token ratio is ≥ 0.6 (drops locally-repetitive
+    chatter the DOC-level repetition filter averages away). Per-doc
+    accounting: segments before/after, surviving token count, kept
+    fraction — the line-grain complement to q_text_line_dedup (which
+    removes cross-doc REPEATS; this removes low-quality segments
+    regardless of novelty).
+
+    Scale shape: one regexp segmentation (the line-dedup pattern), all
+    rules row-local on the segment (no joins, no shuffle beyond the
+    per-doc reduce), map-side combinable. EXACT oracle."""
+    docs = load(spark, sf_dir, "documents")
+    seg_arr = F.regexp_extract_all("text", F.lit(_LINE_SEG_PATTERN), 0)
+    segs = docs.select("doc_id", F.explode(seg_arr).alias("seg"))
+    toks = F.split(F.col("seg"), " ")
+    keep = (F.size(toks) >= _SEGQ_MIN_TOKENS) & (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+        >= _SEGQ_MIN_DISTINCT
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        segs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("nt"),
+            keep.cast("int").alias("keep"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.col("nt") * F.col("keep")).cast("bigint").alias("kept_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            "kept_tokens",
+            snap6(
+                F.col("n_kept").cast("double") / F.col("n_segments").cast("double")
+            ).alias("kept_fraction"),
+        )
+    )
+
+
 def q_boilerplate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE boilerplate rate — the template-detection diagnostic
     that tells a curation pipeline which domains need line dedup most
@@ -1901,6 +1955,33 @@ ORACLES: dict[str, str] = {
                     ELSE round((log2(n_tokens) - s / n_tokens) / log2(n_distinct), 6)
                END AS norm_entropy
         FROM per_doc
+    """,
+    "segment_quality_filter": r"""
+        WITH segs AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\S+( \S+){0,7}', 0)) AS seg
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(len(string_split(seg, ' ')) AS BIGINT) AS nt,
+                   CASE WHEN len(string_split(seg, ' ')) >= 6
+                         AND CAST(len(list_distinct(string_split(seg, ' ')))
+                                  AS DOUBLE)
+                             / CAST(len(string_split(seg, ' ')) AS DOUBLE)
+                             >= 0.6
+                        THEN 1 ELSE 0 END AS keep
+            FROM segs
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(keep) AS BIGINT) AS n_kept,
+                   CAST(sum(nt * keep) AS BIGINT) AS kept_tokens
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_segments, n_kept, kept_tokens,
+               floor(CAST(n_kept AS DOUBLE) / CAST(n_segments AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS kept_fraction
+        FROM agg
     """,
     "boilerplate_rate_by_source": r"""
         WITH segs AS (

@@ -241,3 +241,22 @@ def test_misra_gries_final_answer_partition_invariant(spark, sf_dir):
     assert len(base) > 0
     # shares must all clear the report threshold
     assert all(r[2] > 1.0 / K._MG_REPORT_FRAC for r in base)
+
+
+def test_join_size_estimate_one_sided(spark, sf_dir):
+    """The CM inner-product estimator can only OVERcount (hash
+    collisions add mass, never remove it): estimate >= exact, and the
+    exact side equals a literally-executed join's row count."""
+    from pyspark.sql import functions as F
+
+    from gasket_rs_spark.operators.sketches import q_join_size_estimate
+    from gasket_rs_spark.tables import load
+
+    r = q_join_size_estimate(spark, sf_dir).first()
+    assert r["cm_estimate"] >= r["exact_size"]
+    assert r["overestimate_ratio"] >= 1.0
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    assert clicks.join(purchases, "user_id").count() == r["exact_size"]
