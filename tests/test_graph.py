@@ -58,3 +58,44 @@ def test_pagerank_witness_orders_high_degree_suppliers_first(spark, sf_dir):
     prs = [r.pagerank for r in rows]
     assert prs == sorted(prs, reverse=True)
     assert all(p > 0 for p in prs)
+
+
+def test_kcore_peel_separates_clique_from_tail(spark):
+    # K4 on {1,2,3,4} (each deg 3) + tail 4-5-6 (deg 1-2). With k=3 the
+    # tail peels over two rounds and the clique is the stable 3-core.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges_df = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "a long, b long")
+    kf = spark.createDataFrame([(3,)], "k long")
+    from gasket_rs_spark.operators.graph import kcore_peel
+
+    traj = {r.iter: (r.n_nodes, r.n_edges) for r in kcore_peel(edges_df, kf, 3).collect()}
+    # round 1: node 6 (deg 1) and 5 (deg 2) drop -> K4 + nothing else
+    assert traj[1] == (4, 6)
+    # stable thereafter: the true 3-core
+    assert traj[2] == (4, 6)
+    assert traj[3] == (4, 6)
+
+
+def test_kcore_witness_trajectory_monotone(spark, sf_dir):
+    from gasket_rs_spark.operators.graph import q_graph_kcore
+
+    rows = sorted(q_graph_kcore(spark, sf_dir).collect(), key=lambda r: r.iter)
+    assert [r.iter for r in rows] == [1, 2, 3, 4, 5]
+    nodes = [r.n_nodes for r in rows]
+    edges = [r.n_edges for r in rows]
+    # peeling only removes: both series weakly decreasing, never negative
+    assert nodes == sorted(nodes, reverse=True) and nodes[-1] >= 0
+    assert edges == sorted(edges, reverse=True) and edges[-1] >= 0
+
+
+def test_link_prediction_scores_are_valid_jaccards(spark, sf_dir):
+    from gasket_rs_spark.operators.graph import q_link_prediction
+
+    rows = q_link_prediction(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    js = [r.jaccard6 for r in rows]
+    assert js == sorted(js, reverse=True)
+    for r in rows:
+        assert r.cust_a < r.cust_b
+        assert r.cn >= 1
+        assert 0 < r.jaccard6 <= 1_000_000
