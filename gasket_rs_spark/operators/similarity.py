@@ -916,7 +916,279 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_POOL = 20  # fuse the top-20 list from each ranker
+_RRF_TOPK = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 — the
+    standard zero-tuning hybrid-retrieval combiner, e.g. dense+sparse in
+    every modern RAG stack) of two rankers over the embedding corpus:
+    cosine similarity and (negative) squared L2 distance — genuinely
+    different orders when vector norms vary. Each query's top-20 list
+    per ranker is fused by score(d) = Σ_r 1/(K + rank_r(d)), K=60;
+    output is the fused top-10.
+
+    Determinism: per-ranker scores snap to int64 micro-units before
+    ranking; the RRF term is the pure integer ``1e9 div (K + rank)``, so
+    the fused score is exact int arithmetic end-to-end — no floats in
+    the output at all. Both ranks are computed on the SAME row via two
+    windows over one query_id shuffle (one exchange, two sorts), then
+    the pool filter + fusion is row-local — no self-join of the lists.
+
+    Scale shape (100 TB): queries are a broadcast dimension; one corpus
+    pass scores both metrics; per-query state is the top-POOL heads of
+    two orders. Production swaps the brute scorer for the ANN candidate
+    generators (similarity_ann_*) feeding the same fusion tail.
+    """
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sq = F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    qsq = F.aggregate(F.col("qvec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.floor(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c6"),
+        # ||q-v||^2 = ||q||^2 + ||v||^2 - 2 q·v — element-ordered sums,
+        # the exact formulation the DuckDB twin mirrors term by term
+        F.floor(
+            (qsq + sq - 2.0 * _dot(F.col("qvec"), F.col("vec"))) * 1e6 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d6"),
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
+    wb = Window.partitionBy("query_id").orderBy(F.col("d6").asc(), "vec_id")
+    ranked = (
+        pairs.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .where((F.col("ra") <= _RRF_POOL) | (F.col("rb") <= _RRF_POOL))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.when(
+                    F.col("ra") <= _RRF_POOL,
+                    F.expr(f"1000000000 div ({_RRF_K} + ra)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("rb") <= _RRF_POOL,
+                    F.expr(f"1000000000 div ({_RRF_K} + rb)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf9"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf9").desc(), "vec_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "rk", F.col("vec_id").alias("neighbor_id"), "rrf9")
+    )
+
+
+def _ndcg_weights() -> tuple[list[int], list[int]]:
+    """Per-rank DCG gain weights floor(1e6/log2(r+1)+0.5) for r=1..10 and
+    their prefix sums (ideal-DCG table) — precomputed in PYTHON and
+    inlined as literals on BOTH engines, so no cross-engine log2 ulp can
+    ever matter."""
+    import math
+
+    w = [int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, 11)]
+    pref, acc = [], 0
+    for x in w:
+        acc += x
+        pref.append(acc)
+    return w, pref
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of cosine retrieval against label-match relevance
+    (Järvelin & Kekäläinen 2002) — the standard graded retrieval-quality
+    metric, here with binary gains: a neighbor is relevant iff it shares
+    the query's label. Per query: DCG@10 = Σ rel_r · w(r) with
+    w(r) = 1/log2(r+1); IDCG = the ideal prefix at min(n_rel, 10);
+    nDCG = DCG/IDCG.
+
+    Determinism: the ten w(r) values and their prefix sums are computed
+    once in Python (micro-unit ints) and inlined as LITERAL arrays in
+    both the Spark plan and the DuckDB twin — the only transcendentals
+    in the metric never touch either engine. dcg6/idcg6 are exact int
+    sums; ndcg6 is the pure integer ``dcg6 * 1e6 div idcg6``.
+
+    Scale shape: one broadcast-query corpus pass (the similarity_topk
+    shape), a top-10 window per query, a broadcast label-count join —
+    no corpus-sized shuffle beyond the ranking window's query_id
+    exchange.
+    """
+    w6, idcg6 = _ndcg_weights()
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.floor(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
+    warr = F.array(*[F.lit(x) for x in w6])
+    dcg = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), F.element_at(warr, F.col("rk")))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dcg6")
+        )
+    )
+    labcnt = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("cnt"))
+    iarr = F.array(*[F.lit(x) for x in idcg6])
+    out = (
+        dcg.join(broadcast(labcnt), dcg.qlabel == labcnt.label)
+        .select(
+            "query_id",
+            (F.col("cnt") - 1).alias("n_rel"),
+            "dcg6",
+            F.when(
+                F.col("cnt") - 1 >= 1,
+                F.element_at(iarr, F.least(F.col("cnt") - 1, F.lit(10)).cast("int")),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("idcg6"),
+        )
+    )
+    return out.select(
+        "query_id",
+        "n_rel",
+        "dcg6",
+        "idcg6",
+        F.when(F.col("idcg6") > 0, F.expr("dcg6 * 1000000 div idcg6"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ndcg6"),
+    )
+
+
+def _rrf_oracle() -> str:
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                   list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+            FROM embeddings
+        ), p AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+                   CAST(floor(list_dot_product(q.vec, d.vec)
+                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6,
+                   CAST(floor((q.sq + d.sq
+                               - 2.0 * list_dot_product(q.vec, d.vec)) * 1e6
+                              + 0.5) AS BIGINT) AS d6
+            FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+        ), r AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c6 DESC, vec_id) AS ra,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d6 ASC, vec_id) AS rb
+            FROM p
+        ), s AS (
+            SELECT query_id, vec_id,
+                   CAST(CASE WHEN ra <= {_RRF_POOL}
+                             THEN 1000000000 // ({_RRF_K} + ra) ELSE 0 END
+                        + CASE WHEN rb <= {_RRF_POOL}
+                               THEN 1000000000 // ({_RRF_K} + rb) ELSE 0 END
+                        AS BIGINT) AS rrf9
+            FROM r WHERE ra <= {_RRF_POOL} OR rb <= {_RRF_POOL}
+        ), f AS (
+            SELECT query_id, vec_id, rrf9,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf9 DESC, vec_id) AS rk
+            FROM s
+        )
+        SELECT query_id, rk, vec_id AS neighbor_id, rrf9
+        FROM f WHERE rk <= {_RRF_TOPK}
+    """
+
+
+def _ndcg_oracle() -> str:
+    w6, idcg6 = _ndcg_weights()
+    warr = "[" + ", ".join(str(x) for x in w6) + "]"
+    iarr = "[" + ", ".join(str(x) for x in idcg6) + "]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), p AS (
+            SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   d.vec_id, d.label,
+                   CAST(floor(list_dot_product(q.vec, d.vec)
+                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+            FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+        ), r AS (
+            SELECT query_id, qlabel, label, c6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c6 DESC, vec_id) AS rk
+            FROM p
+        ), t AS (
+            SELECT query_id, qlabel,
+                   CAST(sum(CASE WHEN label = qlabel
+                                 THEN {warr}[rk] ELSE 0 END) AS BIGINT) AS dcg6
+            FROM r WHERE rk <= 10 GROUP BY query_id, qlabel
+        ), lc AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY label
+        ), j AS (
+            SELECT t.query_id, lc.cnt - 1 AS n_rel, t.dcg6,
+                   CASE WHEN lc.cnt - 1 >= 1
+                        THEN CAST({iarr}[CAST(least(lc.cnt - 1, 10) AS INT)]
+                                  AS BIGINT)
+                        ELSE 0 END AS idcg6
+            FROM t JOIN lc ON lc.label = t.qlabel
+        )
+        SELECT query_id, n_rel, dcg6, idcg6,
+               CAST(CASE WHEN idcg6 > 0 THEN dcg6 * 1000000 // idcg6
+                         ELSE 0 END AS BIGINT) AS ndcg6
+        FROM j
+    """
+
+
 ORACLES: dict[str, str] = {
+    "rrf_fusion": _rrf_oracle(),
+    "retrieval_ndcg": _ndcg_oracle(),
     "maxsim_late_interaction": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
