@@ -314,7 +314,118 @@ def q_distribution_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AR_MINSUP_PCT = 1  # rule floor: pair must appear in >= 1% of baskets
+_AR_TOPK = 20
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994) over
+    order baskets at BRAND grain: for brand pairs co-ordered in ≥1% of
+    baskets, emit both directed rules a→b with support, confidence and
+    lift. Complements q_supplier_cooccurrence (undirected cosine
+    co-occurrence) with the directional rule metrics that drive
+    recommender/affinity pipelines.
+
+    Determinism: support/confidence/lift are pure integer micro-unit
+    divisions of exact int64 counts (`x * 1e6 div y` on both engines —
+    never divide-then-cast, the DOUBLE→INT gotcha). Tie-breaks
+    (lift6 DESC, antecedent, consequent) pin the top-20.
+
+    Scale shape (100 TB): the pair self-join is keyed on the ORDER
+    (bounded basket), linear in orders, never brands²; brand stats are a
+    25-row broadcast; the min-support filter prunes before the rule
+    explosion. The lineitem⋈part brand lookup is an SF-scaled equi-join
+    left to AQE (no broadcast hint — the r8 #5 policy)."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds N, per-brand counts, both pair sides
+    )
+    n_baskets = baskets.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    cnt = baskets.groupBy("brand").agg(F.count("*").cast("bigint").alias("cnt"))
+    a = baskets.select("ok", F.col("brand").alias("ba"))
+    b = baskets.select("ok", F.col("brand").alias("bb"))
+    co = (
+        a.join(b, "ok")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").cast("bigint").alias("co"))
+    )
+    rules = co.select("ba", "bb", "co").unionByName(
+        co.select(
+            F.col("bb").alias("ba"), F.col("ba").alias("bb"), "co"
+        )
+    )
+    scored = (
+        rules.crossJoin(F.broadcast(n_baskets))
+        .where(F.col("co") * 100 >= F.lit(_AR_MINSUP_PCT) * F.col("n"))
+        .join(
+            F.broadcast(
+                cnt.select(F.col("brand").alias("ba"), F.col("cnt").alias("ca"))
+            ),
+            "ba",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("brand").alias("bb"), F.col("cnt").alias("cb"))
+            ),
+            "bb",
+        )
+        .select(
+            F.col("ba").alias("antecedent"),
+            F.col("bb").alias("consequent"),
+            "co",
+            F.expr("co * 1000000 div n").cast("bigint").alias("support6"),
+            F.expr("co * 1000000 div ca").cast("bigint").alias("conf6"),
+            F.expr("co * n * 1000000 div (ca * cb)").cast("bigint").alias("lift6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift6").desc(), "antecedent", "consequent"
+    ).limit(_AR_TOPK)
+
+
+_ASSOC_ORACLE = f"""
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+        SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM baskets
+    ), cnt AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM baskets GROUP BY brand
+    ), co AS (
+        SELECT a.brand AS ba, b.brand AS bb, CAST(count(*) AS BIGINT) AS co
+        FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2
+    ), rules AS (
+        SELECT ba, bb, co FROM co
+        UNION ALL
+        SELECT bb AS ba, ba AS bb, co FROM co
+    ), scored AS (
+        SELECT r.ba AS antecedent, r.bb AS consequent, r.co,
+               CAST(r.co * 1000000 // nb.n AS BIGINT) AS support6,
+               CAST(r.co * 1000000 // ca.cnt AS BIGINT) AS conf6,
+               CAST(r.co * nb.n * 1000000 // (ca.cnt * cb.cnt) AS BIGINT) AS lift6
+        FROM rules r
+        CROSS JOIN nb
+        JOIN cnt ca ON ca.brand = r.ba
+        JOIN cnt cb ON cb.brand = r.bb
+        WHERE r.co * 100 >= {_AR_MINSUP_PCT} * nb.n
+    )
+    SELECT antecedent, consequent, co, support6, conf6, lift6
+    FROM scored
+    ORDER BY lift6 DESC, antecedent, consequent
+    LIMIT {_AR_TOPK}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "assoc_rules": _ASSOC_ORACLE,
     "rolling_zscore_anomalies": f"""
         WITH e AS (
             SELECT event_id, user_id, event_type, value,

@@ -1518,7 +1518,105 @@ def q_text_novelty(
     )
 
 
+_PMI_MIN_CO = 5  # bigram floor — rare-pair PMI is all noise
+_PMI_TOPK = 25
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990) over adjacent-token bigrams: PMI(a,b) =
+    log2(c(ab)·T / (n1(a)·n2(b))) with positional unigram marginals
+    (n1 = count as bigram head, n2 = as tail — the standard collocation
+    formulation), floored at c(ab) ≥ 5; top-25 by PMI. The classic
+    phrase-mining pass (word2vec's phrase join uses exactly this score).
+
+    Determinism: counts are exact int64; c·T and n1·n2 each stay below
+    2^53 so both engines form the SAME double ratio in one division; the
+    single log2 is snapped to int64 micro-units (the KN-LM discipline —
+    a sub-micro log2 ulp difference cannot survive the floor except on
+    a measure-zero grid boundary, swept at all three SFs).
+
+    Scale shape (100 TB): one bigram explode; the type table is
+    Heaps-sublinear; marginals are two map-side-combinable aggs over the
+    type table (never re-scanning the corpus); T is a 1-row broadcast.
+    Production would xxhash64 the (w1,w2) string keys before the shuffle
+    (the span-dedup note, text.py span_dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "  (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    ex = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    types = ex.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    # marginals from the TYPE table, not the token stream
+    n1 = types.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("n1"))
+    n2 = types.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("n2"))
+    tot = types.agg(F.sum("c12").cast("bigint").alias("t"))
+    scored = (
+        types.where(F.col("c12") >= _PMI_MIN_CO)
+        .join(n1, "w1")
+        .join(n2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(
+                F.log2(
+                    (F.col("c12").cast("double") * F.col("t"))
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi6"),
+        )
+    )
+    return scored.orderBy(F.col("pmi6").desc(), "w1", "w2").limit(_PMI_TOPK)
+
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), bi AS (
+        SELECT w1, w2 FROM (
+            SELECT tok AS w1, lead(tok, 1) OVER w AS w2
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE w2 IS NOT NULL
+    ), types AS MATERIALIZED (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2
+    ), m1 AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS n1 FROM types GROUP BY w1
+    ), m2 AS (
+        SELECT w2, CAST(sum(c12) AS BIGINT) AS n2 FROM types GROUP BY w2
+    ), tot AS (
+        SELECT CAST(sum(c12) AS BIGINT) AS t FROM types
+    )
+    SELECT ty.w1, ty.w2, ty.c12,
+           CAST(floor(log2((CAST(ty.c12 AS DOUBLE) * tot.t)
+                           / (CAST(m1.n1 AS DOUBLE) * m2.n2)) * 1e6 + 0.5)
+                AS BIGINT) AS pmi6
+    FROM types ty
+    JOIN m1 ON m1.w1 = ty.w1
+    JOIN m2 ON m2.w2 = ty.w2
+    CROSS JOIN tot
+    WHERE ty.c12 >= {_PMI_MIN_CO}
+    ORDER BY pmi6 DESC, ty.w1, ty.w2
+    LIMIT {_PMI_TOPK}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "collocation_pmi": _PMI_ORACLE,
     "text_novelty": """
         WITH toks AS (
             SELECT doc_id,

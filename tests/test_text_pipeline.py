@@ -364,3 +364,33 @@ def test_dataset_fingerprint_sensitivity_and_partition_invariance(spark, sf_dir)
     for s in changed:
         if s != victim_shard:
             assert changed[s] == base[s][0]  # localized
+
+
+def test_collocation_pmi_respects_floor_and_order(spark, sf_dir):
+    from gasket_rs_spark.operators.text import _PMI_MIN_CO, q_collocation_pmi
+
+    rows = q_collocation_pmi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    pmis = [r.pmi6 for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.c12 >= _PMI_MIN_CO
+        # PMI <= log2(T / c12) <= log2(T / 5) < 64 bits of anything sane;
+        # the micro-unit encoding must stay far from int64 edges
+        assert abs(r.pmi6) < 64_000_000
+
+
+def test_assoc_rules_metric_invariants(spark, sf_dir):
+    from gasket_rs_spark.operators.analytics import q_assoc_rules
+
+    rows = q_assoc_rules(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r.lift6 for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.antecedent != r.consequent
+        # min-support floor: co >= 1% of baskets -> support6 >= 10000
+        assert r.support6 >= 10_000
+        # support = co/N <= co/cnt_a = confidence <= 1
+        assert r.support6 <= r.conf6 <= 1_000_000
+        assert r.co >= 1 and r.lift6 > 0
