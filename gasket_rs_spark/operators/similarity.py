@@ -1100,6 +1100,122 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ECE_K = 10  # kNN votes per query — bins are the 11 discrete posteriors
+_ECE_QMOD = 20  # every 20th vector is a held-out query (5% sample)
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table / expected-calibration-error input (Naeini et
+    al. 2015; Guo et al. 2017) for a kNN classifier on the embedding
+    corpus: for each held-out query (every 20th vector), the predicted
+    probability of class 0 is the fraction of its 10 nearest cosine
+    neighbors with label 0 — a real, discrete 11-bin posterior. Output:
+    one row per occupied bin with count, mean confidence, empirical
+    accuracy and the calibration gap; ECE is Σ n_b·gap_b / N over this
+    table.
+
+    Determinism: neighbor ranks come from micro-unit-snapped cosines;
+    the posterior s/10 is the exact integer s·1e5; accuracy and gap are
+    pure integer divisions — no floats anywhere in the metric.
+
+    Scale shape: the query side is a 5% broadcast sample scored in one
+    corpus pass (the similarity_topk shape); everything after the top-10
+    window is an 11-row aggregate. Production swaps the brute scorer for
+    an ANN candidate generator, identical tail.
+    """
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % _ECE_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "label",
+        "vec_id",
+        F.floor(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ECE_K)
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("s10")
+        )
+    )
+    return (
+        votes.groupBy("s10")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("qlabel") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .select(
+            "s10",
+            "n",
+            "pos",
+            (F.col("s10") * 100000).cast("bigint").alias("conf6"),
+            F.expr("pos * 1000000 div n").cast("bigint").alias("acc6"),
+            F.abs(F.col("s10") * 100000 - F.expr("pos * 1000000 div n"))
+            .cast("bigint")
+            .alias("gap6"),
+        )
+        .orderBy("s10")
+    )
+
+
+def _ece_oracle() -> str:
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), p AS (
+            SELECT q.vec_id AS query_id, q.label AS qlabel, d.label,
+                   CAST(floor(list_dot_product(q.vec, d.vec)
+                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6,
+                   d.vec_id
+            FROM v q JOIN v d
+              ON q.vec_id % {_ECE_QMOD} = 0 AND d.vec_id <> q.vec_id
+        ), r AS (
+            SELECT query_id, qlabel, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c6 DESC, vec_id) AS rk
+            FROM p
+        ), votes AS (
+            SELECT query_id, qlabel,
+                   CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS s10
+            FROM r WHERE rk <= {_ECE_K} GROUP BY query_id, qlabel
+        ), bins AS (
+            SELECT s10, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN qlabel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+            FROM votes GROUP BY s10
+        )
+        SELECT s10, n, pos,
+               CAST(s10 * 100000 AS BIGINT) AS conf6,
+               CAST(pos * 1000000 // n AS BIGINT) AS acc6,
+               CAST(abs(s10 * 100000 - pos * 1000000 // n) AS BIGINT) AS gap6
+        FROM bins
+        ORDER BY s10
+    """
+
+
 def _rrf_oracle() -> str:
     return f"""
         WITH v AS (
@@ -1187,6 +1303,7 @@ def _ndcg_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "calibration_ece": _ece_oracle(),
     "rrf_fusion": _rrf_oracle(),
     "retrieval_ndcg": _ndcg_oracle(),
     "maxsim_late_interaction": f"""

@@ -55,3 +55,28 @@ def test_ndcg_bounded_by_ideal(spark, sf_dir):
         assert 0 <= r.ndcg6 <= 1_000_000
         if r.n_rel >= 1:
             assert r.idcg6 > 0
+
+
+def test_calibration_ece_bins_are_consistent(spark, sf_dir):
+    from gasket_rs_spark.operators.similarity import _ECE_K, q_calibration_ece
+
+    rows = q_calibration_ece(spark, sf_dir).collect()
+    assert rows
+    bins = [r.s10 for r in rows]
+    assert bins == sorted(bins)
+    assert len(set(bins)) == len(bins)
+    for r in rows:
+        assert 0 <= r.s10 <= _ECE_K
+        assert 0 <= r.pos <= r.n
+        assert r.conf6 == r.s10 * 100_000
+        assert 0 <= r.acc6 <= 1_000_000
+        assert r.gap6 == abs(r.conf6 - r.acc6)
+    # every query lands in exactly one bin: bin counts sum to the sample
+    n_queries = sum(r.n for r in rows)
+    from gasket_rs_spark.operators.similarity import _ECE_QMOD
+    from gasket_rs_spark.tables import load
+
+    expected = load(spark, sf_dir, "embeddings").where(
+        f"vec_id % {_ECE_QMOD} = 0"
+    ).count()
+    assert n_queries == expected
