@@ -152,6 +152,15 @@ EXTRAS = [
     "ks_two_sample",
     "join_size_estimate",
     "segment_quality_filter",
+    "graph_kcore",
+    "link_prediction",
+    "rrf_fusion",
+    "retrieval_ndcg",
+    "calibration_ece",
+    "assoc_rules",
+    "collocation_pmi",
+    "funnel_windowed",
+    "session_trigrams",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

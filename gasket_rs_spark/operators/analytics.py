@@ -314,6 +314,117 @@ def q_distribution_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FW_WINDOWS = (3600, 86400, 604800)  # 1 h / 1 day / 1 week
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (ClickHouse ``windowFunnel`` semantics):
+    signup → click → purchase must ALL land within W seconds of the
+    user's first signup, for W ∈ {1 h, 1 day, 1 week} — the
+    time-sensitivity curve the unbounded q_funnel_conversion can't see.
+
+    Greedy completion is optimal here, so no per-W window passes are
+    needed: with c* = first click ≥ signup and p* = first purchase ≥ c*,
+    a valid chain within [t_s, t_s+W] exists iff p* ≤ t_s+W (any valid
+    chain's click c ≥ c* keeps every later purchase available, so
+    p* ≤ p — the earliest chain dominates). One user-partitioned
+    window chain (shared with the unbounded funnel), then a 3-row
+    broadcast of W literals and one aggregate.
+    """
+    w = Window.partitionBy("user_id")
+    ev = _events_sec(spark, sf_dir)
+    staged = (
+        ev.withColumn(
+            "t_signup",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_sec"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_sec") >= F.col("t_signup")),
+                    F.col("ts_sec"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_sec") >= F.col("t_click")),
+                    F.col("ts_sec"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_signup").alias("t_signup"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    wins = spark.createDataFrame(
+        [(int(x),) for x in _FW_WINDOWS], "window_sec bigint"
+    )
+    return (
+        per_user.where(F.col("t_signup").isNotNull())
+        .crossJoin(F.broadcast(wins))
+        .groupBy("window_sec")
+        .agg(
+            F.count("*").cast("bigint").alias("n_signed_up"),
+            F.sum(
+                F.when(F.col("t_click") <= F.col("t_signup") + F.col("window_sec"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clicked_within"),
+            F.sum(
+                F.when(
+                    F.col("t_purchase") <= F.col("t_signup") + F.col("window_sec"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purchased_within"),
+        )
+        .orderBy("window_sec")
+    )
+
+
+_TRIGRAM_TOPK = 15
+
+
+def q_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 frequent length-3 event-type sequences within behavioral
+    sessions — the PrefixSpan-lite sequential-pattern pass one step past
+    q_session_path_transitions' Markov pairs (a trigram distribution
+    distinguishes browse→click→buy from click→browse→buy; the pair
+    matrix cannot). Same 30-min-gap sessionization, two lead()s inside
+    one session window, global count, deterministic (n DESC, types)
+    top-k."""
+    ev = _events_sec(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap_break = F.when(
+        (F.col("ts_sec") - F.lag("ts_sec").over(w_user)) > _SESSION_GAP_SEC, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session",
+        F.sum(gap_break).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "session").orderBy("ts_sec", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w_sess).alias("t2"),
+        F.lead("event_type", 2).over(w_sess).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(_TRIGRAM_TOPK)
+    )
+
+
 _AR_MINSUP_PCT = 1  # rule floor: pair must appear in >= 1% of baskets
 _AR_TOPK = 20
 
@@ -424,8 +535,82 @@ _ASSOC_ORACLE = f"""
 """
 
 
+_FW_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) // 1000 AS ts_sec FROM events
+    ), staged AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts_sec END)
+                   OVER (PARTITION BY user_id) AS t_signup,
+               ts_sec, event_type
+        FROM e
+    ), clicked AS (
+        SELECT user_id, t_signup,
+               min(CASE WHEN event_type = 'click' AND ts_sec >= t_signup
+                        THEN ts_sec END) OVER (PARTITION BY user_id) AS t_click,
+               ts_sec, event_type
+        FROM staged
+    ), purch AS (
+        SELECT user_id, t_signup, t_click,
+               min(CASE WHEN event_type = 'purchase' AND ts_sec >= t_click
+                        THEN ts_sec END) OVER (PARTITION BY user_id) AS t_purchase
+        FROM clicked
+    ), per_user AS (
+        SELECT user_id, min(t_signup) AS t_signup, min(t_click) AS t_click,
+               min(t_purchase) AS t_purchase
+        FROM purch GROUP BY user_id
+    ), wins AS (
+        SELECT CAST(unnest([{", ".join(str(x) for x in _FW_WINDOWS)}]) AS BIGINT)
+               AS window_sec
+    )
+    SELECT w.window_sec,
+           CAST(count(*) AS BIGINT) AS n_signed_up,
+           CAST(sum(CASE WHEN u.t_click <= u.t_signup + w.window_sec
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_within,
+           CAST(sum(CASE WHEN u.t_purchase <= u.t_signup + w.window_sec
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_within
+    FROM per_user u CROSS JOIN wins w
+    WHERE u.t_signup IS NOT NULL
+    GROUP BY w.window_sec
+    ORDER BY w.window_sec
+"""
+
+
+_TRIGRAM_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts) // 1000 AS ts_sec
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > {_SESSION_GAP_SEC}
+                       THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ), sess AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session
+        FROM flagged
+    ), tri AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w2 AS t2,
+               lead(event_type, 2) OVER w2 AS t3
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id, session ORDER BY ts_sec, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {_TRIGRAM_TOPK}
+"""
+
+
 ORACLES: dict[str, str] = {
     "assoc_rules": _ASSOC_ORACLE,
+    "funnel_windowed": _FW_ORACLE,
+    "session_trigrams": _TRIGRAM_ORACLE,
     "rolling_zscore_anomalies": f"""
         WITH e AS (
             SELECT event_id, user_id, event_type, value,
