@@ -151,10 +151,11 @@ def test_no_unpartitioned_window_in_source():
     # can't merge counts; pattern covers `F.lit`, bare `lit`, and aliased
     # `sf.lit` spellings so a from-import can't bypass the guard).
     # operators/graph.py: co-count histogram cumulation (rows <= distinct
-    #   shared-order counts, ~hundreds). operators/text.py: top-100 token
+    #   shared-order counts, ~hundreds) + k-core degree-histogram p60 cut
+    #   (rows <= distinct degree values). operators/text.py: top-100 token
     #   window (Zipf) + Heaps doc-bucket curve (log-spaced bucket count).
     lit_window_allowlist = {
-        "operators/graph.py": 1,
+        "operators/graph.py": 2,
         "operators/text.py": 2,
     }
 
