@@ -161,6 +161,7 @@ EXTRAS = [
     "collocation_pmi",
     "funnel_windowed",
     "session_trigrams",
+    "unigram_lm_tokenizer",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

@@ -624,7 +624,195 @@ def _fertility_oracle_sql() -> str:
     """
 
 
+_UNI_MAX_PIECE = 4  # candidate piece length 1..4
+_UNI_MAX_WORD = 8  # corpus max word length (asserted in pytest)
+_UNI_MULTI_V = 16  # multi-char vocab slots (single chars always included)
+_UNI_MIN_CNT = 2  # weighted-count floor for multi-char candidates
+_UNI_TOPK = 30
+
+
+def q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer scoring (Kudo 2018, the SentencePiece
+    unigram model): induce a subword vocabulary by substring frequency
+    — every single character (coverage guarantee) plus the top-16
+    multi-char pieces of length 2–4 by corpus-weighted count — assign
+    each piece log2 p under the count-normalized unigram distribution,
+    and score every word with its VITERBI-best segmentation
+    (max Σ log p over all segmentations), the E-step kernel of the
+    SentencePiece EM loop. Output: top-30 words by frequency with
+    (word, freq, best_logp6). Complements the BPE family: BPE greedily
+    merges pairs; unigram scores all segmentations and keeps the best.
+
+    Determinism: piece counts are exact int64; each piece's single
+    log2(cnt/total) is snapped to int64 micro-units (the PMI/KN-LM
+    discipline), after which the DP is pure integer max/plus — engine
+    evaluation order cannot matter. Vocab tie-breaks (cnt DESC, piece)
+    and the output order (freq DESC, word) are total.
+
+    Scale shape (100 TB): everything after the one corpus tokenization
+    pass runs on the Heaps-bounded word-frequency table: candidate
+    substrings are a ≤4·len explode of that table; the DP is
+    ``_UNI_MAX_WORD`` unrolled rounds of (edges ⋈ frontier) equi-joins
+    on the word key — JVM-side throughout, no driver collect, no UDF.
+    The DuckDB twin unrolls the identical DP as materialized CTEs."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint(eager=True)  # feeds candidates, edges and output
+    )
+    cand_parts = []
+    for j in range(1, _UNI_MAX_PIECE + 1):
+        cand_parts.append(
+            words.where(F.length("w") >= j)
+            .select(
+                F.explode(
+                    F.sequence(F.lit(1), F.length("w") - j + 1)
+                ).alias("pos"),
+                F.col("w"),
+                F.col("freq"),
+            )
+            .select(
+                F.expr(f"substring(w, pos, {j})").alias("piece"),
+                F.lit(j).alias("plen"),
+                "freq",
+            )
+        )
+    cands = cand_parts[0]
+    for c in cand_parts[1:]:
+        cands = cands.unionByName(c)
+    counts = cands.groupBy("piece", "plen").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    chars = counts.where(F.col("plen") == 1)
+    multi = (
+        counts.where((F.col("plen") >= 2) & (F.col("cnt") >= _UNI_MIN_CNT))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(_UNI_MULTI_V)  # TakeOrdered — bounded, no global sort
+    )
+    vocab_counts = chars.unionByName(multi).select("piece", "cnt")
+    total = vocab_counts.agg(F.sum("cnt").cast("bigint").alias("t"))
+    vocab = (
+        vocab_counts.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.floor(
+                F.log2(F.col("cnt").cast("double") / F.col("t")) * 1e6 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("logp6"),
+        )
+        .localCheckpoint(eager=True)  # consumed by every DP round
+    )
+    edge_parts = []
+    for j in range(1, _UNI_MAX_PIECE + 1):
+        edge_parts.append(
+            words.where(F.length("w") >= j)
+            .select(
+                F.explode(
+                    F.sequence(F.lit(1), F.length("w") - j + 1)
+                ).alias("pos"),
+                "w",
+            )
+            .select(
+                "w",
+                (F.col("pos") - 1).alias("s"),
+                (F.col("pos") - 1 + j).alias("e"),
+                F.expr(f"substring(w, pos, {j})").alias("piece"),
+            )
+        )
+    edges_all = edge_parts[0]
+    for c in edge_parts[1:]:
+        edges_all = edges_all.unionByName(c)
+    edges = edges_all.join(F.broadcast(vocab), "piece").select(
+        "w", "s", "e", "logp6"
+    ).localCheckpoint(eager=True)
+    frontier = words.select("w", F.lit(0).alias("pos"), F.lit(0).cast("bigint").alias("best6"))
+    for k in range(1, _UNI_MAX_WORD + 1):
+        bk = (
+            edges.where(F.col("e") == k)
+            .withColumnRenamed("s", "pos")
+            .join(frontier, ["w", "pos"])
+            .groupBy("w")
+            .agg(F.max(F.col("best6") + F.col("logp6")).alias("best6"))
+            .select("w", F.lit(k).alias("pos"), "best6")
+        )
+        frontier = frontier.unionByName(bk).localCheckpoint(eager=True)
+    return (
+        frontier.join(words, "w")
+        .where(F.col("pos") == F.length("w"))
+        .select(F.col("w").alias("word"), "freq", F.col("best6").alias("best_logp6"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(_UNI_TOPK)
+    )
+
+
+def _unigram_oracle_sql() -> str:
+    cand_sel = "\n            UNION ALL\n".join(
+        f"""            SELECT substr(w, CAST(pos AS INT), {j}) AS piece,
+                   {j} AS plen, freq, w,
+                   CAST(pos AS BIGINT) - 1 AS s,
+                   CAST(pos AS BIGINT) - 1 + {j} AS e
+            FROM (SELECT w, freq, unnest(range(1, len(w) - {j} + 2)) AS pos
+                  FROM words WHERE len(w) >= {j})"""
+        for j in range(1, _UNI_MAX_PIECE + 1)
+    )
+    dp = []
+    for k in range(1, _UNI_MAX_WORD + 1):
+        dp.append(
+            f""", b{k} AS MATERIALIZED (
+            SELECT e.w, {k} AS pos, max(f.best6 + e.logp6) AS best6
+            FROM edges e JOIN ball{k - 1} f ON f.w = e.w AND f.pos = e.s
+            WHERE e.e = {k} GROUP BY e.w
+        ), ball{k} AS MATERIALIZED (
+            SELECT * FROM ball{k - 1} UNION ALL SELECT * FROM b{k}
+        )"""
+        )
+    return f"""
+        WITH words AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 0 GROUP BY w
+        ), occs AS MATERIALIZED (
+{cand_sel}
+        ), counts AS (
+            SELECT piece, plen, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM occs GROUP BY piece, plen
+        ), vocab_counts AS MATERIALIZED (
+            SELECT piece, cnt FROM counts WHERE plen = 1
+            UNION ALL
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM counts
+                WHERE plen >= 2 AND cnt >= {_UNI_MIN_CNT}
+                ORDER BY cnt DESC, piece LIMIT {_UNI_MULTI_V}
+            )
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab_counts
+        ), vocab AS MATERIALIZED (
+            SELECT piece,
+                   CAST(floor(log2(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+                        AS BIGINT) AS logp6
+            FROM vocab_counts CROSS JOIN tot
+        ), edges AS MATERIALIZED (
+            SELECT o.w, o.s, o.e, v.logp6
+            FROM occs o JOIN vocab v ON v.piece = o.piece
+        ), ball0 AS MATERIALIZED (
+            SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS best6
+            FROM words
+        ){"".join(dp)}
+        SELECT f.w AS word, wd.freq, f.best6 AS best_logp6
+        FROM ball{_UNI_MAX_WORD} f
+        JOIN words wd ON wd.w = f.w
+        WHERE f.pos = len(f.w)
+        ORDER BY wd.freq DESC, word
+        LIMIT {_UNI_TOPK}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "unigram_lm_tokenizer": _unigram_oracle_sql(),
     "bpe_pair_counts": _PAIR_COUNTS_ORACLE,
     "tokenizer_fertility": _fertility_oracle_sql(),
     # round 11: the unrolled-CTE training twin (_bpe_train_ctes) upgrades

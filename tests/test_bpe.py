@@ -256,3 +256,72 @@ def test_pack_shard_no_extra_corpus_scan(spark, sf_dir):
     assert doc_scans(q_bpe_pack_shard(spark, sf_dir)) == doc_scans(
         q_bpe_encode(spark, sf_dir)
     )
+
+
+def test_unigram_lm_matches_pure_python_viterbi(spark, sf_dir):
+    """Engine-independent third opinion for q_unigram_lm_tokenizer: the
+    same vocab induction + snapped-log DP in plain Python over the same
+    parquet must reproduce the witness rows exactly."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from gasket_rs_spark.operators.bpe import (
+        _UNI_MAX_PIECE,
+        _UNI_MAX_WORD,
+        _UNI_MIN_CNT,
+        _UNI_MULTI_V,
+        _UNI_TOPK,
+        q_unigram_lm_tokenizer,
+    )
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    freq: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freq[w] += 1
+    assert max(len(w) for w in freq) <= _UNI_MAX_WORD  # DP depth assumption
+    cnt: Counter = Counter()
+    for w, f in freq.items():
+        for j in range(1, _UNI_MAX_PIECE + 1):
+            for s in range(0, len(w) - j + 1):
+                cnt[w[s : s + j]] += f
+    chars = {p: c for p, c in cnt.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) >= 2 and c >= _UNI_MIN_CNT),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:_UNI_MULTI_V]
+    vocab_counts = dict(chars)
+    vocab_counts.update(dict(multi))
+    total = sum(vocab_counts.values())
+    logp6 = {
+        p: math.floor(math.log2(c / total) * 1e6 + 0.5)
+        for p, c in vocab_counts.items()
+    }
+
+    def best(w: str) -> int:
+        b = [None] * (len(w) + 1)
+        b[0] = 0
+        for k in range(1, len(w) + 1):
+            opts = []
+            for j in range(1, min(_UNI_MAX_PIECE, k) + 1):
+                piece = w[k - j : k]
+                if piece in logp6 and b[k - j] is not None:
+                    opts.append(b[k - j] + logp6[piece])
+            b[k] = max(opts) if opts else None
+        assert b[len(w)] is not None  # single chars guarantee coverage
+        return b[len(w)]
+
+    want = sorted(
+        ((w, f, best(w)) for w, f in freq.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:_UNI_TOPK]
+    got = [
+        (r.word, r.freq, r.best_logp6)
+        for r in q_unigram_lm_tokenizer(spark, sf_dir).collect()
+    ]
+    assert got == want
