@@ -821,11 +821,3 @@ ORACLES: dict[str, str] = {
     "bpe_encode": _encode_oracle_sql(),
     "bpe_pack_shard": _pack_shard_oracle_sql(),
 }
-
-QUERIES = {
-    "bpe_vocab_merges": q_bpe_vocab_merges,
-    "bpe_encode": q_bpe_encode,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "bpe_pack_shard": q_bpe_pack_shard,
-    "tokenizer_fertility": q_tokenizer_fertility,
-}
