@@ -162,6 +162,8 @@ EXTRAS = [
     "funnel_windowed",
     "session_trigrams",
     "unigram_lm_tokenizer",
+    "bootstrap_ci",
+    "theil_sen_trend",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

@@ -425,6 +425,73 @@ def q_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (Theil 1950; Sen 1968 — the median-of
+    -pairwise-slopes estimator, immune to up to ~29% outliers where OLS
+    is not) of weekly median event value per event_type: weekly LOWER
+    median of value cents, then the LOWER median of all pairwise
+    (Δmedian/Δweek) slopes. The robust-regression complement to
+    q_rolling_zscore_anomalies (outlier detection) and
+    q_distribution_drift_weekly (shape drift).
+
+    Determinism: values in integer cents; lower medians picked by
+    row_number at (n+1)/2 with full tie-break orders; pairwise slopes
+    are the pure integer ``Δcents·1e6 div Δweeks``. Both median windows
+    are partitioned by event_type — bounded frames (weeks, then
+    weeks²/2 pairs per type), never a corpus-sized sort.
+
+    Scale shape (100 TB): the corpus-sized work is one groupBy-free
+    window per (event_type, week) group for the weekly median — at
+    scale that window is replaced by the quantile-sketch grid
+    (quantile_normalize_sketch) feeding the identical bounded
+    pair/median tail; the tail itself is O(weeks²) per type regardless
+    of corpus size."""
+    ev = _events_sec(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("ts_sec") / F.lit(604800)).cast("bigint").alias("week"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w_med = Window.partitionBy("event_type", "week").orderBy("cents", "event_id")
+    weekly = (
+        ev.withColumn("rn", F.row_number().over(w_med))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("event_type", "week")))
+        .where(F.expr("rn = (cnt + 1) div 2"))  # lower median
+        .select("event_type", "week", F.col("cents").alias("med_cents"))
+        .localCheckpoint(eager=True)  # feeds n_weeks + both pair sides
+    )
+    n_weeks = weekly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_weeks")
+    )
+    a = weekly.select("event_type", F.col("week").alias("w1"), F.col("med_cents").alias("m1"))
+    b = weekly.select("event_type", F.col("week").alias("w2"), F.col("med_cents").alias("m2"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("w1") < F.col("w2"))
+        .select(
+            "event_type",
+            "w1",
+            "w2",
+            F.expr("(m2 - m1) * 1000000 div (w2 - w1)").cast("bigint").alias("slope6"),
+        )
+    )
+    w_s = Window.partitionBy("event_type").orderBy("slope6", "w1", "w2")
+    cnt_s = Window.partitionBy("event_type")
+    return (
+        slopes.withColumn("rn", F.row_number().over(w_s))
+        .withColumn("np", F.count("*").over(cnt_s))
+        .where(F.expr("rn = (np + 1) div 2"))  # lower median slope
+        .join(n_weeks, "event_type")
+        .select(
+            "event_type",
+            "n_weeks",
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.col("slope6").alias("ts_slope6"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _AR_MINSUP_PCT = 1  # rule floor: pair must appear in >= 1% of baskets
 _AR_TOPK = 20
 
@@ -607,10 +674,50 @@ _TRIGRAM_ORACLE = f"""
 """
 
 
+_TS_ORACLE = """
+    WITH e AS (
+        SELECT event_type, event_id,
+               (epoch_ms(ts) // 1000) // 604800 AS week,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), ranked AS (
+        SELECT event_type, week, cents,
+               row_number() OVER (PARTITION BY event_type, week
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type, week) AS cnt
+        FROM e
+    ), weekly AS MATERIALIZED (
+        SELECT event_type, week, cents AS med_cents
+        FROM ranked WHERE rn = (cnt + 1) // 2
+    ), nw AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks
+        FROM weekly GROUP BY event_type
+    ), slopes AS (
+        SELECT a.event_type, a.week AS w1, b.week AS w2,
+               CAST((b.med_cents - a.med_cents) * 1000000
+                    // (b.week - a.week) AS BIGINT) AS slope6
+        FROM weekly a JOIN weekly b
+          ON a.event_type = b.event_type AND a.week < b.week
+    ), sranked AS (
+        SELECT event_type, slope6,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope6, w1, w2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS np
+        FROM slopes
+    )
+    SELECT s.event_type, nw.n_weeks, CAST(s.np AS BIGINT) AS n_pairs,
+           s.slope6 AS ts_slope6
+    FROM sranked s JOIN nw ON nw.event_type = s.event_type
+    WHERE s.rn = (s.np + 1) // 2
+    ORDER BY s.event_type
+"""
+
+
 ORACLES: dict[str, str] = {
     "assoc_rules": _ASSOC_ORACLE,
     "funnel_windowed": _FW_ORACLE,
     "session_trigrams": _TRIGRAM_ORACLE,
+    "theil_sen_trend": _TS_ORACLE,
     "rolling_zscore_anomalies": f"""
         WITH e AS (
             SELECT event_id, user_id, event_type, value,

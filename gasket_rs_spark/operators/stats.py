@@ -1083,7 +1083,144 @@ def _doremi_oracle_sql() -> str:
     """
 
 
+_BOOT_B = 32  # bootstrap replicates
+_BOOT_LO_RANK = 2  # nearest-rank 5% of 32
+_BOOT_HI_RANK = 31  # nearest-rank 95% of 32
+
+
+def _poisson1_thresholds_u16() -> list[int]:
+    """Cumulative Poisson(1) inverse-CDF thresholds on the 16-bit md5
+    grid, k capped at 5 — precomputed in PYTHON and inlined as literal
+    ints on BOTH engines (the nDCG-weight discipline: the only
+    transcendentals, e^-1 terms, never touch either engine)."""
+    import math
+
+    probs = [math.exp(-1.0) / math.factorial(k) for k in range(5)]
+    cum, out = 0.0, []
+    for p in probs:
+        cum += p
+        out.append(int(math.floor(cum * 65536)))
+    return out  # u16 < out[0] -> k=0, < out[1] -> 1, ... else 5
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval (Chamandy et al. 2012 —
+    the bootstrap that works in one pass on distributed data: each row
+    enters replicate b with an independent Poisson(1) multiplicity, so
+    no resampling shuffle exists) for the mean order value. B = 32
+    replicates; the 90% percentile interval is (rank-2, rank-31) of the
+    replicate means.
+
+    Determinism: multiplicities come from md5(orderkey:b) through
+    Python-inlined integer thresholds; replicate means are integer
+    ``sum·100 div n`` (1e-4 currency units); the rank extraction is
+    sort_array over the 32-row bounded collect_list — no window, no
+    global sort, no floats.
+
+    Scale shape (100 TB): ONE pass over orders explodes each row into
+    its B replicate contributions (narrow map — the multiplicity is a
+    row-local hash), one map-side-combinable groupBy(b), then a 32-row
+    aggregate. This is how production systems attach uncertainty to
+    corpus statistics without a resampling pass per replicate."""
+    thr = _poisson1_thresholds_u16()
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    point = orders.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr("sum(cents) * 100 div count(*)").cast("bigint").alias("mean4"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k = (
+        F.when(u16 < thr[0], 0)
+        .when(u16 < thr[1], 1)
+        .when(u16 < thr[2], 2)
+        .when(u16 < thr[3], 3)
+        .when(u16 < thr[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.select("b", "cents", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum("k").cast("bigint").alias("nb"),
+            F.sum(F.col("k") * F.col("cents")).cast("bigint").alias("sumb"),
+        )
+        .where(F.col("nb") > 0)
+        .select(F.expr("sumb * 100 div nb").cast("bigint").alias("mean4b"))
+    )
+    dist = means.agg(
+        F.sort_array(F.collect_list("mean4b")).alias("ms"),
+        F.count("*").cast("bigint").alias("n_reps"),
+    ).select(
+        F.element_at("ms", _BOOT_LO_RANK).alias("boot_lo4"),
+        F.element_at("ms", _BOOT_HI_RANK).alias("boot_hi4"),
+        "n_reps",
+    )
+    return point.crossJoin(F.broadcast(dist)).select(
+        "n_orders", "mean4", "boot_lo4", "boot_hi4", "n_reps"
+    )
+
+
+def _bootstrap_oracle_sql() -> str:
+    thr = _poisson1_thresholds_u16()
+    return f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ), point AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) * 100 // count(*) AS BIGINT) AS mean4
+            FROM o
+        ), reps AS (
+            SELECT o.o_orderkey, o.cents,
+                   unnest(range(0, {_BOOT_B})) AS b
+            FROM o
+        ), ks AS (
+            SELECT b, cents,
+                   CASE WHEN u < {thr[0]} THEN 0
+                        WHEN u < {thr[1]} THEN 1
+                        WHEN u < {thr[2]} THEN 2
+                        WHEN u < {thr[3]} THEN 3
+                        WHEN u < {thr[4]} THEN 4
+                        ELSE 5 END AS k
+            FROM (SELECT b, cents,
+                         ('0x' || substr(md5(o_orderkey || ':' || b), 1, 4))::BIGINT
+                             AS u
+                  FROM reps)
+        ), means AS (
+            SELECT CAST(sum(k * cents) * 100 // sum(k) AS BIGINT) AS mean4b
+            FROM ks GROUP BY b HAVING sum(k) > 0
+        ), dist AS (
+            SELECT list_sort(list(mean4b)) AS ms,
+                   CAST(count(*) AS BIGINT) AS n_reps
+            FROM means
+        )
+        SELECT p.n_orders, p.mean4,
+               d.ms[{_BOOT_LO_RANK}] AS boot_lo4,
+               d.ms[{_BOOT_HI_RANK}] AS boot_hi4,
+               d.n_reps
+        FROM point p CROSS JOIN dist d
+    """
+
+
 ORACLES: dict[str, str] = {
+    "bootstrap_ci": _bootstrap_oracle_sql(),
     "ks_two_sample": """
         WITH hist AS (
             SELECT CAST(n_chars AS BIGINT) AS s,

@@ -1,0 +1,99 @@
+"""Engine-independent third opinions for the round-11 statistical-rigor
+operators (Poisson bootstrap CI, Theil-Sen trend): plain-Python
+recomputes over the same parquet must reproduce the witness rows
+exactly — the BPE/unigram pin pattern."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+
+def test_bootstrap_ci_matches_pure_python(spark, sf_dir):
+    from gasket_rs_spark.operators.stats import (
+        _BOOT_B,
+        _BOOT_HI_RANK,
+        _BOOT_LO_RANK,
+        _poisson1_thresholds_u16,
+        q_bootstrap_ci,
+    )
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keys = t["o_orderkey"].to_pylist()
+    cents = [math.floor(p * 100 + 0.5) for p in t["o_totalprice"].to_pylist()]
+    thr = _poisson1_thresholds_u16()
+
+    def mult(key: int, b: int) -> int:
+        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:4], 16)
+        for k, cut in enumerate(thr):
+            if u < cut:
+                return k
+        return 5
+
+    n_orders = len(keys)
+    mean4 = sum(cents) * 100 // n_orders
+    means = []
+    for b in range(_BOOT_B):
+        nb = sb = 0
+        for key, c in zip(keys, cents):
+            k = mult(key, b)
+            nb += k
+            sb += k * c
+        if nb > 0:
+            means.append(sb * 100 // nb)
+    means.sort()
+    want = (n_orders, mean4, means[_BOOT_LO_RANK - 1], means[_BOOT_HI_RANK - 1], len(means))
+    r = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert (r.n_orders, r.mean4, r.boot_lo4, r.boot_hi4, r.n_reps) == want
+    assert r.boot_lo4 <= r.boot_hi4
+
+
+def test_theil_sen_matches_pure_python(spark, sf_dir):
+    from gasket_rs_spark.operators.analytics import q_theil_sen_trend
+
+    import pyarrow as pa
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+    # epoch ints straight from the arrow buffer — no datetime/tz round-trip
+    unit = t["ts"].type.unit
+    div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    ts_sec = [v // div for v in t["ts"].cast(pa.int64()).to_pylist()]
+    rows = list(
+        zip(
+            t["event_id"].to_pylist(),
+            ts_sec,
+            t["event_type"].to_pylist(),
+            t["value"].to_pylist(),
+        )
+    )
+    by_tw = defaultdict(list)
+    for eid, sec, et, v in rows:
+        week = sec // 604800
+        by_tw[(et, week)].append((math.floor(v * 100 + 0.5), eid))
+    weekly = defaultdict(dict)
+    for (et, week), vals in by_tw.items():
+        vals.sort()
+        weekly[et][week] = vals[(len(vals) + 1) // 2 - 1][0]  # lower median
+    want = {}
+    for et, med in weekly.items():
+        wk = sorted(med)
+        slopes = []
+        for i in range(len(wk)):
+            for j in range(i + 1, len(wk)):
+                num = (med[wk[j]] - med[wk[i]]) * 1000000
+                den = wk[j] - wk[i]
+                q = abs(num) // den
+                slopes.append((-q if num < 0 else q, wk[i], wk[j]))  # trunc div
+        slopes.sort()
+        np_ = len(slopes)
+        want[et] = (len(wk), np_, slopes[(np_ + 1) // 2 - 1][0])
+    got = {
+        r.event_type: (r.n_weeks, r.n_pairs, r.ts_slope6)
+        for r in q_theil_sen_trend(spark, sf_dir).collect()
+    }
+    assert got == want
