@@ -613,3 +613,48 @@ def test_round11_operator_plan_shapes(spark, sf_dir):
     pb = q_perplexity_buckets(spark, sf_dir)
     assert broadcast_hint_count(pb) >= 1  # label table broadcast
     assert_no_cartesian(pb)
+
+
+def test_round11_late_wave_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-11 late wave: no CartesianProduct anywhere
+    (the broadcast-query scorers compile their <> joins to
+    BroadcastNestedLoopJoin — acceptable, bounded side is hinted), and
+    the bounded stat/dimension frames really are broadcast."""
+    from gasket_rs_spark.operators.analytics import (
+        q_assoc_rules,
+        q_funnel_windowed,
+        q_session_trigrams,
+        q_theil_sen_trend,
+    )
+    from gasket_rs_spark.operators.bpe import q_unigram_lm_tokenizer
+    from gasket_rs_spark.operators.graph import q_graph_kcore, q_link_prediction
+    from gasket_rs_spark.operators.similarity import (
+        q_calibration_ece,
+        q_retrieval_ndcg,
+        q_rrf_fusion,
+    )
+    from gasket_rs_spark.operators.stats import q_bootstrap_ci
+    from gasket_rs_spark.operators.text import q_collocation_pmi
+    from gasket_rs_spark.plans.inspect import broadcast_hint_count
+
+    for fn in (
+        q_graph_kcore,
+        q_link_prediction,
+        q_assoc_rules,
+        q_collocation_pmi,
+        q_funnel_windowed,
+        q_session_trigrams,
+        q_theil_sen_trend,
+        q_unigram_lm_tokenizer,
+        q_bootstrap_ci,
+    ):
+        assert_no_cartesian(fn(spark, sf_dir))
+
+    # broadcast-query scorers: the bounded query side carries the hint
+    for fn in (q_rrf_fusion, q_retrieval_ndcg, q_calibration_ece):
+        assert broadcast_hint_count(fn(spark, sf_dir)) >= 1
+
+    # assoc_rules: basket total + both per-brand stat joins broadcast
+    assert broadcast_hint_count(q_assoc_rules(spark, sf_dir)) >= 3
+    # bootstrap: the 32-row replicate distribution joins back broadcast
+    assert broadcast_hint_count(q_bootstrap_ci(spark, sf_dir)) >= 1
