@@ -164,6 +164,8 @@ EXTRAS = [
     "unigram_lm_tokenizer",
     "bootstrap_ci",
     "theil_sen_trend",
+    "adamic_adar",
+    "mutual_information",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

@@ -425,6 +425,82 @@ def q_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the documents table in
+    bits — the information-theoretic dependence measure next to
+    q_lang_source_chisq's frequentist test (chi-square answers "is there
+    dependence?"; MI answers "how many bits does one tell you about the
+    other?" — the quantity mixture designers actually budget).
+
+    I = Σ_cells (c/N)·log2(cN/(r·s)). Determinism: per-cell
+    log2(cN/(r·s)) is one transcendental on a bit-identical exact-int
+    ratio double, snapped to micro-units (c·N and r·s stay under 2^53);
+    the weighted sum Σ c·pmi6 is exact int64; the final ÷N is one
+    integer division. Output: one row (n_cells, n_docs, mi_bits6).
+
+    Scale shape: the contingency table is |langs|×|sources| — bounded —
+    so after one corpus groupBy everything is broadcast-sized; marginals
+    come from the cell table, never a second corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    r = cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("rc"))
+    s = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("sc"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c",
+            "n",
+            F.floor(
+                F.log2(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("rc").cast("double") * F.col("sc"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi6"),
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("n").alias("n_docs"),
+        F.expr("sum(c * pmi6) div max(n)").cast("bigint").alias("mi_bits6"),
+    )
+
+
+_MI_ORACLE = """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ), r AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS rc FROM cells GROUP BY lang
+    ), s AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS sc FROM cells GROUP BY source
+    ), n AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+    ), terms AS (
+        SELECT cells.c, n.n,
+               CAST(floor(log2((CAST(cells.c AS DOUBLE) * n.n)
+                               / (CAST(r.rc AS DOUBLE) * s.sc)) * 1e6 + 0.5)
+                    AS BIGINT) AS pmi6
+        FROM cells
+        JOIN r USING (lang)
+        JOIN s USING (source)
+        CROSS JOIN n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(c * pmi6) // max(n) AS BIGINT) AS mi_bits6
+    FROM terms
+"""
+
+
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend (Theil 1950; Sen 1968 — the median-of
     -pairwise-slopes estimator, immune to up to ~29% outliers where OLS
@@ -718,6 +794,7 @@ ORACLES: dict[str, str] = {
     "funnel_windowed": _FW_ORACLE,
     "session_trigrams": _TRIGRAM_ORACLE,
     "theil_sen_trend": _TS_ORACLE,
+    "mutual_information": _MI_ORACLE,
     "rolling_zscore_anomalies": f"""
         WITH e AS (
             SELECT event_id, user_id, event_type, value,

@@ -510,6 +510,107 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def _aa_weights() -> list[int]:
+    """Adamic-Adar weights 1/log2(d) in micro-units for capped supplier
+    degrees d = 2.._LP_CAP — precomputed in PYTHON and inlined as
+    literals on both engines (the nDCG-weight discipline; degree-1
+    neighbors are excluded per the AA convention, 1/log(1) diverges)."""
+    import math
+
+    return [int(math.floor(1e6 / math.log2(d) + 0.5)) for d in range(2, _LP_CAP + 1)]
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the same
+    capped bipartite purchase graph as q_link_prediction: score(a,b) =
+    Σ_{s ∈ Γ(a)∩Γ(b), deg(s)≥2} 1/log2(deg(s)) — rare shared neighbors
+    count more, the refinement plain common-neighbor counting misses.
+    Top-20 by score.
+
+    Determinism: capped degrees live on the known grid 2..32, so the
+    1/log2 weights are Python-inlined literal micro-unit ints and the
+    score is a pure integer sum — neither engine evaluates a
+    transcendental. Same md5-ranked fan-out cap as q_link_prediction
+    (the scores are defined w.r.t. the sampled neighbor sets).
+
+    Scale shape: identical to q_link_prediction — candidates keyed on
+    the shared neighbor, fan-out bounded by the cap, plus one broadcast
+    join of the (supplier, weight) table (≤ suppliers rows)."""
+    raw = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    wcap = Window.partitionBy("supp").orderBy(
+        F.md5(F.concat_ws(":", F.col("supp"), F.col("cust"))), "cust"
+    )
+    edges = (
+        raw.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= _LP_CAP)
+        .select("cust", "supp")
+        .localCheckpoint(eager=True)
+    )
+    weights = _aa_weights()
+    warr = F.array(*[F.lit(x) for x in weights])
+    sdeg = (
+        edges.groupBy("supp")
+        .agg(F.count("*").cast("int").alias("sdeg"))
+        .where(F.col("sdeg") >= 2)
+        .select("supp", F.element_at(warr, F.col("sdeg") - 1).alias("w6"))
+    )
+    a = edges.select(F.col("supp"), F.col("cust").alias("ca"))
+    b = edges.select(F.col("supp"), F.col("cust").alias("cb"))
+    scored = (
+        a.join(b, "supp")
+        .where(F.col("ca") < F.col("cb"))
+        .join(F.broadcast(sdeg), "supp")
+        .groupBy("ca", "cb")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum("w6").cast("bigint").alias("aa6"),
+        )
+        .select(
+            F.col("ca").alias("cust_a"), F.col("cb").alias("cust_b"), "cn", "aa6"
+        )
+    )
+    return scored.orderBy(F.col("aa6").desc(), "cust_a", "cust_b").limit(20)
+
+
+def _aa_oracle() -> str:
+    weights = _aa_weights()
+    warr = "[" + ", ".join(str(x) for x in weights) + "]"
+    return f"""
+    WITH raw AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS MATERIALIZED (
+        SELECT cust, supp FROM (
+            SELECT cust, supp,
+                   row_number() OVER (
+                       PARTITION BY supp
+                       ORDER BY md5(supp || ':' || cust), cust) AS rn
+            FROM raw
+        ) WHERE rn <= {_LP_CAP}
+    ), sdeg AS (
+        SELECT supp, {warr}[CAST(count(*) AS INT) - 1] AS w6
+        FROM edges GROUP BY supp HAVING count(*) >= 2
+    )
+    SELECT a.cust AS cust_a, b.cust AS cust_b,
+           CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(sd.w6) AS BIGINT) AS aa6
+    FROM edges a
+    JOIN edges b ON a.supp = b.supp AND a.cust < b.cust
+    JOIN sdeg sd ON sd.supp = a.supp
+    GROUP BY 1, 2
+    ORDER BY aa6 DESC, cust_a, cust_b
+    LIMIT 20
+    """
+
+
 def _kcore_oracle() -> str:
     body = [
         f"""
@@ -594,4 +695,5 @@ ORACLES: dict[str, str] = {
     "graph_triangles": _TRI_ORACLE,
     "graph_kcore": _kcore_oracle(),
     "link_prediction": _LINKPRED_ORACLE,
+    "adamic_adar": _aa_oracle(),
 }

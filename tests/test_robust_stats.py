@@ -97,3 +97,46 @@ def test_theil_sen_matches_pure_python(spark, sf_dir):
         for r in q_theil_sen_trend(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_adamic_adar_bounded_by_common_neighbors(spark, sf_dir):
+    from gasket_rs_spark.operators.graph import _LP_CAP, _aa_weights, q_adamic_adar
+
+    w = _aa_weights()
+    assert w[0] == 1_000_000  # 1/log2(2)
+    assert w == sorted(w, reverse=True)
+    assert len(w) == _LP_CAP - 1
+    rows = q_adamic_adar(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.aa6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # each of the cn shared (deg>=2) neighbors contributes a weight
+        # in [w(cap), w(2)]
+        assert r.cn * w[-1] <= r.aa6 <= r.cn * w[0]
+        assert r.cust_a < r.cust_b
+
+
+def test_mutual_information_matches_pure_python(spark, sf_dir):
+    from gasket_rs_spark.operators.analytics import q_mutual_information
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    pairs = list(zip(t["lang"].to_pylist(), t["source"].to_pylist()))
+    cells = defaultdict(int)
+    for p in pairs:
+        cells[p] += 1
+    n = len(pairs)
+    r = defaultdict(int)
+    s = defaultdict(int)
+    for (lg, src), c in cells.items():
+        r[lg] += c
+        s[src] += c
+    acc = 0
+    for (lg, src), c in cells.items():
+        acc += c * math.floor(math.log2((c * n) / (r[lg] * s[src])) * 1e6 + 0.5)
+    q = abs(acc) // n
+    want = (-q if acc < 0 else q, len(cells), n)  # trunc div like both engines
+    row = q_mutual_information(spark, sf_dir).collect()[0]
+    assert (row.mi_bits6, row.n_cells, row.n_docs) == want
+    # MI is non-negative up to per-cell snap drift
+    assert row.mi_bits6 >= -len(cells)
