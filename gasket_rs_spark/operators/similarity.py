@@ -1100,6 +1100,98 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mrr_weights() -> list[int]:
+    """Reciprocal-rank weights floor(1e6/r + 0.5) for r=1..10 —
+    precomputed in PYTHON and inlined as literals on BOTH engines (the
+    nDCG-weight discipline: the only division with a non-terminating
+    decimal never touches either engine)."""
+    return [(1_000_000 + r // 2) // r for r in range(1, 11)]
+
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 + recall@10 of cosine retrieval against label-match
+    relevance (Voorhees 1999 — the TREC QA metric; the standard
+    companion to nDCG for single-relevant-answer evaluation). Per
+    query (every 100th vector): the rank of the FIRST relevant
+    neighbor within the top-10 (0 if none), its reciprocal in
+    micro-units, the number of relevant docs in the top-10, and
+    recall@10 = hits / min(n_rel, 10).
+
+    Determinism: the ten 1/r values are Python-inlined literal
+    micro-unit ints (no engine divides); cosine ranks come from the
+    same micro-unit-snapped scores as q_retrieval_ndcg; recall6 is the
+    pure integer ``hits10 * 1e6 div min(n_rel, 10)``.
+
+    Scale shape: identical to q_retrieval_ndcg — one broadcast-query
+    corpus pass, a top-10 window per query, a broadcast label-count
+    join. Production swaps the brute scorer for the ANN candidate
+    generators feeding the same metric tail."""
+    w6 = _mrr_weights()
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.floor(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
+    warr = F.array(*[F.lit(x) for x in w6])
+    per_q = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rk"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("first_rel_rank"),
+            F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits10"),
+        )
+    )
+    labcnt = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("cnt"))
+    return (
+        per_q.join(broadcast(labcnt), per_q.qlabel == labcnt.label)
+        .select(
+            "query_id",
+            (F.col("cnt") - 1).alias("n_rel"),
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank") >= 1,
+                F.element_at(warr, F.col("first_rel_rank").cast("int")),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rr6"),
+            "hits10",
+            F.when(
+                F.col("cnt") - 1 >= 1,
+                F.expr("hits10 * 1000000 div least(cnt - 1, 10)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall6"),
+        )
+    )
+
+
 _ECE_K = 10  # kNN votes per query — bins are the 11 discrete posteriors
 _ECE_QMOD = 20  # every 20th vector is a held-out query (5% sample)
 
@@ -1302,10 +1394,52 @@ def _ndcg_oracle() -> str:
     """
 
 
+def _mrr_oracle() -> str:
+    warr = "[" + ", ".join(str(x) for x in _mrr_weights()) + "]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), p AS (
+            SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   d.vec_id, d.label,
+                   CAST(floor(list_dot_product(q.vec, d.vec)
+                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+            FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+        ), r AS (
+            SELECT query_id, qlabel, label, c6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c6 DESC, vec_id) AS rk
+            FROM p
+        ), t AS (
+            SELECT query_id, qlabel,
+                   CAST(coalesce(min(CASE WHEN label = qlabel THEN rk END), 0)
+                        AS BIGINT) AS first_rel_rank,
+                   CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits10
+            FROM r WHERE rk <= 10 GROUP BY query_id, qlabel
+        ), lc AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY label
+        )
+        SELECT t.query_id, lc.cnt - 1 AS n_rel, t.first_rel_rank,
+               CAST(CASE WHEN t.first_rel_rank >= 1
+                         THEN {warr}[CAST(t.first_rel_rank AS INT)]
+                         ELSE 0 END AS BIGINT) AS rr6,
+               t.hits10,
+               CAST(CASE WHEN lc.cnt - 1 >= 1
+                         THEN t.hits10 * 1000000 // least(lc.cnt - 1, 10)
+                         ELSE 0 END AS BIGINT) AS recall6
+        FROM t JOIN lc ON lc.label = t.qlabel
+    """
+
+
 ORACLES: dict[str, str] = {
     "calibration_ece": _ece_oracle(),
     "rrf_fusion": _rrf_oracle(),
     "retrieval_ndcg": _ndcg_oracle(),
+    "retrieval_mrr": _mrr_oracle(),
     "maxsim_late_interaction": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec

@@ -80,3 +80,27 @@ def test_calibration_ece_bins_are_consistent(spark, sf_dir):
         f"vec_id % {_ECE_QMOD} = 0"
     ).count()
     assert n_queries == expected
+
+
+def test_mrr_weights_and_metric_invariants(spark, sf_dir):
+    from gasket_rs_spark.operators.similarity import _mrr_weights, q_retrieval_mrr
+
+    w = _mrr_weights()
+    assert len(w) == 10
+    assert w[0] == 1_000_000  # 1/1
+    assert w[1] == 500_000 and w[9] == 100_000
+    assert w == sorted(w, reverse=True)
+    rows = q_retrieval_mrr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.first_rel_rank <= 10
+        assert 0 <= r.hits10 <= 10
+        if r.first_rel_rank == 0:
+            # no relevant doc in the top-10 => zero reciprocal AND zero hits
+            assert r.rr6 == 0 and r.hits10 == 0
+        else:
+            assert r.rr6 == w[r.first_rel_rank - 1]
+            assert r.hits10 >= 1
+        assert 0 <= r.recall6 <= 1_000_000
+        if r.n_rel >= 1 and r.hits10 == min(r.n_rel, 10):
+            assert r.recall6 == 1_000_000
