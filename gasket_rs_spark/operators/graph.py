@@ -611,6 +611,125 @@ def _aa_oracle() -> str:
     """
 
 
+_LPA_ITERS = 3
+_LPA_TOPK = 20
+
+
+def propagate_labels(raw_edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+    """Synchronous mode-label propagation over an undirected edge list
+    ``raw_edges(src, dst)`` (one orientation; symmetrized here).
+    Returns ``(node, label)`` after ``iters`` rounds; ties break to the
+    smallest label. Pure int64; join-per-iteration with per-round
+    localCheckpoint (see q_label_propagation for scale notes)."""
+    edges = raw_edges.union(
+        raw_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lab = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(iters):
+        nbr = edges.join(
+            lab.withColumnRenamed("node", "nid"), F.col("dst") == F.col("nid")
+        ).select(F.col("src").alias("node"), "label")
+        cnts = nbr.groupBy("node", "label").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        lab = (
+            cnts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over the bipartite customer–supplier purchase
+    graph (customers at 2k, suppliers at 2k+1, the k-core id scheme):
+    every node starts labeled with its own id; each of the
+    {_LPA_ITERS} synchronous rounds relabels every node to the MODE of
+    its neighbors' labels (ties to the smallest label — the standard
+    deterministic LPA tie-break). Output: the top-20 communities by
+    size, with a Σ-member-id checksum pinning the exact membership.
+
+    Determinism: labels and counts are pure int64 end-to-end; the
+    argmax is a windowed row_number over (cnt DESC, label ASC) — a
+    total order, so synchronous updates are engine-independent. (On a
+    bipartite graph synchronous LPA can oscillate; a fixed iteration
+    count makes that irrelevant for the witness.)
+
+    Scale shape (100 TB): the canonical join-per-iteration pattern
+    (see q_graph_pagerank): per round one equi-join of the edge list
+    with the node-sized label frame (shuffle on node id) + one
+    windowed argmax (same shuffle key — AQE reuses the exchange).
+    Labels are checkpointed per round to truncate lineage; skewed hubs
+    are AQE skew-join territory. No pair explosion anywhere — cost is
+    O(E) per round."""
+    raw = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    lab = propagate_labels(raw, _LPA_ITERS)
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("node").cast("bigint").alias("member_sum"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(_LPA_TOPK)
+    )
+
+
+def _lpa_oracle() -> str:
+    body = [
+        """
+    WITH raw AS MATERIALIZED (
+        SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                        CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e
+    )"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        prev = f"l{i - 1}"
+        body.append(
+            f""", c{i} AS (
+        SELECT e.src AS node, p.label, CAST(count(*) AS BIGINT) AS cnt
+        FROM e JOIN {prev} p ON e.dst = p.node GROUP BY 1, 2
+    ), l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    body.append(
+        f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(node) AS BIGINT) AS member_sum
+    FROM l{_LPA_ITERS} GROUP BY 1
+    ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}
+    """
+    )
+    return "".join(body)
+
+
 def _kcore_oracle() -> str:
     body = [
         f"""
@@ -696,4 +815,5 @@ ORACLES: dict[str, str] = {
     "graph_kcore": _kcore_oracle(),
     "link_prediction": _LINKPRED_ORACLE,
     "adamic_adar": _aa_oracle(),
+    "label_propagation": _lpa_oracle(),
 }

@@ -99,3 +99,50 @@ def test_link_prediction_scores_are_valid_jaccards(spark, sf_dir):
         assert r.cust_a < r.cust_b
         assert r.cn >= 1
         assert 0 < r.jaccard6 <= 1_000_000
+
+
+def _py_sync_lpa(edges, iters):
+    """Independent pure-Python synchronous LPA (mode label, ties to the
+    smallest label) — the reference the Spark loop must reproduce."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = defaultdict(int)
+            for u in nbrs:
+                cnt[lab[u]] += 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_fixpoint(spark):
+    from gasket_rs_spark.operators.graph import propagate_labels
+
+    # two triangles joined by a bridge + a pendant node
+    edges = [(10, 11), (11, 12), (10, 12), (20, 21), (21, 22), (20, 22), (12, 20), (22, 30)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    for iters in (1, 2, 3):
+        got = {r.node: r.label for r in propagate_labels(df, iters).collect()}
+        assert got == _py_sync_lpa(edges, iters), f"iters={iters}"
+
+
+def test_label_propagation_communities_shape(spark, sf_dir):
+    from gasket_rs_spark.operators.graph import q_label_propagation
+
+    rows = q_label_propagation(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    sizes = [r.n_members for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert len({r.community for r in rows}) == len(rows)
+    for r in rows:
+        assert r.n_members >= 1
+        # member ids are the 2k / 2k+1 node encoding: the checksum of
+        # n_members ids is at least the smallest n_members ids' sum
+        assert r.member_sum >= r.n_members
