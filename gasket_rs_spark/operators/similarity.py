@@ -1192,6 +1192,142 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_K = 8  # projected dimensionality (64 -> 8)
+_JL_BUCKET = 50_000  # 0.05-wide distortion-ratio histogram buckets
+
+
+def _jl_signs() -> list[list[int]]:
+    """Rademacher ±1 projection matrix (k × d), derived from md5 in
+    PYTHON so both engines consume identical literals — the same
+    no-engine-evaluates-randomness discipline as the LSH plane tables.
+    Achlioptas 2003: ±1 entries satisfy the JL lemma with the same
+    guarantees as Gaussian projections."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:2], 16) < 128
+            else -1
+            for j in range(_DIM)
+        ]
+        for i in range(_JL_K)
+    ]
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Johnson & Lindenstrauss
+    1984; Achlioptas 2003 sign matrix) of the 64-d embedding corpus to
+    {_JL_K} dims, with a norm-distortion audit: for each vector,
+    ratio = ||Sx||² / (k·||x||²) has expectation 1 under the ±1
+    projection; the output is the distortion histogram (0.05-wide
+    buckets) with per-bucket min/max/sum — the acceptance check a real
+    dim-reduction deployment runs before swapping ANN indexes onto the
+    projected vectors.
+
+    Determinism: embedding elements snap to int64 micro-units FIRST
+    (one identical float op per element on both engines); the
+    projection and both squared norms are then exact integer sums, and
+    the only remaining float op is one double division of exact int64s
+    snapped at 6dp — spelled identically on both engines.
+
+    Scale shape (100 TB): one Arrow-batched numpy matmul pass over the
+    corpus (the simhash/IVF kernel economics — a JVM zip_with
+    formulation pays ~k·d interpreted ops per row and re-evaluates the
+    snapped array per lambda, the documented HOF-CSE trap); the
+    histogram is a bounded groupBy. The sign matrix rides into
+    executors as a k×d constant. No shuffle of the corpus at all —
+    partial aggregation handles the histogram."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(_jl_signs(), dtype=np.int64)  # k × d
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            E6 = np.floor(X * 1e6 + 0.5).astype(np.int64)
+            P = E6 @ S.T
+            sq_in = (E6 * E6).sum(axis=1)
+            sq_out = (P * P).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = np.floor(
+                    sq_out.astype(np.float64)
+                    / (_JL_K * sq_in.astype(np.float64))
+                    * 1e6
+                    + 0.5
+                )
+            ratio6 = np.where(sq_in > 0, raw, 0.0).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "sq_in": sq_in,
+                    "sq_out": sq_out,
+                    "ratio6": ratio6,
+                }
+            )
+
+    per_vec = emb.mapInPandas(
+        kernel, "vec_id bigint, sq_in bigint, sq_out bigint, ratio6 bigint"
+    )
+    return (
+        per_vec.groupBy(F.expr(f"ratio6 div {_JL_BUCKET}").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("ratio6").alias("min_r6"),
+            F.max("ratio6").alias("max_r6"),
+            F.sum("ratio6").cast("bigint").alias("sum_r6"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    vals = ", ".join(
+        f"({i + 1}, {j + 1}, {s})"
+        for i, row in enumerate(signs)
+        for j, s in enumerate(row)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+                   AS e6
+            FROM embeddings
+        ), ex AS (
+            SELECT vec_id, generate_subscripts(e6, 1) AS j, unnest(e6) AS v
+            FROM e
+        ), sm(i, j, s) AS (VALUES {vals}),
+        p AS (
+            SELECT ex.vec_id, sm.i, CAST(sum(ex.v * sm.s) AS BIGINT) AS proj
+            FROM ex JOIN sm ON sm.j = ex.j GROUP BY 1, 2
+        ), so AS (
+            SELECT vec_id, CAST(sum(proj * proj) AS BIGINT) AS sq_out
+            FROM p GROUP BY 1
+        ), si AS (
+            SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS sq_in
+            FROM ex GROUP BY 1
+        ), r AS (
+            SELECT si.vec_id, si.sq_in, so.sq_out,
+                   CASE WHEN si.sq_in > 0
+                        THEN CAST(floor(CAST(so.sq_out AS DOUBLE)
+                                        / ({_JL_K} * CAST(si.sq_in AS DOUBLE))
+                                        * 1e6 + 0.5) AS BIGINT)
+                        ELSE 0 END AS ratio6
+            FROM si JOIN so USING (vec_id)
+        )
+        SELECT ratio6 // {_JL_BUCKET} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               min(ratio6) AS min_r6, max(ratio6) AS max_r6,
+               CAST(sum(ratio6) AS BIGINT) AS sum_r6
+        FROM r GROUP BY 1
+    """
+
+
 _ECE_K = 10  # kNN votes per query — bins are the 11 discrete posteriors
 _ECE_QMOD = 20  # every 20th vector is a held-out query (5% sample)
 
@@ -1440,6 +1576,7 @@ ORACLES: dict[str, str] = {
     "rrf_fusion": _rrf_oracle(),
     "retrieval_ndcg": _ndcg_oracle(),
     "retrieval_mrr": _mrr_oracle(),
+    "jl_projection": _jl_oracle(),
     "maxsim_late_interaction": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec

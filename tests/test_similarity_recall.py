@@ -205,3 +205,60 @@ def test_pca_matches_pure_numpy_and_is_self_consistent(spark, sf_dir):
         assert 0.0 < r.explained_ratio <= 1.0
     ratios = [r.explained_ratio for r in rows]
     assert ratios == sorted(ratios, reverse=True)
+
+
+def test_jl_sign_matrix_is_deterministic_and_balanced():
+    from gasket_rs_spark.operators.similarity import _DIM, _JL_K, _jl_signs
+
+    S = _jl_signs()
+    assert len(S) == _JL_K and all(len(row) == _DIM for row in S)
+    assert all(s in (-1, 1) for row in S for s in row)
+    # md5-derived => stable across sessions; pin a few cells forever
+    assert S == _jl_signs()
+    # roughly balanced rows (binomial bound: |sum| < d/2 w.h.p.)
+    for row in S:
+        assert abs(sum(row)) < _DIM // 2
+
+
+def test_jl_projection_distortion_centers_on_one(spark, sf_dir):
+    import numpy as np
+
+    from gasket_rs_spark.operators.similarity import (
+        _JL_BUCKET,
+        _JL_K,
+        _jl_signs,
+        q_jl_projection,
+    )
+    from gasket_rs_spark.tables import load
+
+    rows = q_jl_projection(spark, sf_dir).collect()
+    assert rows
+    buckets = [r.bucket for r in rows]
+    assert buckets == sorted(buckets)
+    n = sum(r.n_vecs for r in rows)
+    assert n == load(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        # bucket boundaries really contain their min/max
+        assert r.bucket * _JL_BUCKET <= r.min_r6 <= r.max_r6
+        assert r.max_r6 < (r.bucket + 1) * _JL_BUCKET
+        assert r.n_vecs * r.min_r6 <= r.sum_r6 <= r.n_vecs * r.max_r6
+    # E[ratio] = 1 for a Rademacher JL matrix; with n>=100 vectors the
+    # corpus mean concentrates well inside [0.7, 1.3]
+    mean6 = sum(r.sum_r6 for r in rows) / n
+    assert 700_000 < mean6 < 1_300_000
+    # independent numpy cross-check of the full pipeline on one vector
+    emb = load(spark, sf_dir, "embeddings").orderBy("vec_id").first()
+    S = np.array(_jl_signs(), dtype=np.int64)
+    e6 = np.floor(np.array(emb.embedding, dtype=np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    p = S @ e6
+    ratio6 = int(
+        np.floor(
+            float((p * p).sum()) / (_JL_K * float((e6 * e6).sum())) * 1e6 + 0.5
+        )
+    )
+    hits = [
+        r for r in rows if r.min_r6 <= ratio6 <= r.max_r6 and r.bucket == ratio6 // _JL_BUCKET
+    ]
+    assert len(hits) == 1
