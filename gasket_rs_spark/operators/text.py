@@ -1615,7 +1615,87 @@ _PMI_ORACLE = f"""
 """
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability (Kincaid et al. 1975), a
+    standard pretraining quality signal (e.g. in the C4/FineWeb
+    filtering literature): FK = 0.39·(words/sentences) +
+    11.8·(syllables/word) − 15.59, bucketed per language.
+
+    Corpus conventions (documented, deterministic): words = whitespace
+    tokens (the repo-wide convention); the synthetic corpus carries no
+    terminal punctuation, so sentences = the repo's standard 8-token
+    segments, S = ceil(W/8) — a real deployment swaps in
+    ``regexp_count(text, '[.!?]+')``; syllables = vowel-group runs
+    ``[aeiouy]+`` in the lowercased text (the classic heuristic).
+
+    Determinism: W, S, Y are exact int64 counts; the three FK terms
+    are pure integer division in micro-units (DuckDB ``//`` ≡ Spark
+    ``DIV``, both truncate toward zero — the verified-safe spelling);
+    no engine touches a float anywhere.
+
+    Scale shape (100 TB): entirely row-local expressions in one scan +
+    one bounded groupBy(lang, grade) with map-side partial aggregation
+    — no shuffle beyond the ~|langs × grades| histogram."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(_tokens()).cast("bigint").alias("w"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        "lang",
+        "w",
+        "y",
+        F.expr("(w + 7) DIV 8").alias("s"),
+    ).select(
+        "lang",
+        F.expr(
+            "(390000 * w) DIV greatest(s, 1)"
+            " + (11800000 * y) DIV greatest(w, 1) - 15590000"
+        )
+        .cast("bigint")
+        .alias("fk6"),
+    )
+    return (
+        per_doc.groupBy(
+            "lang", F.expr("fk6 DIV 1000000").cast("bigint").alias("fk_grade")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("fk6").alias("min_fk6"),
+            F.max("fk6").alias("max_fk6"),
+            F.sum("fk6").cast("bigint").alias("sum_fk6"),
+        )
+        .orderBy("lang", "fk_grade")
+    )
+
+
+_READABILITY_ORACLE = """
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS y
+        FROM documents
+    ), f AS (
+        SELECT lang,
+               CAST((390000 * w) // greatest((w + 7) // 8, 1)
+                    + (11800000 * y) // greatest(w, 1)
+                    - 15590000 AS BIGINT) AS fk6
+        FROM d
+    )
+    SELECT lang, CAST(fk6 // 1000000 AS BIGINT) AS fk_grade,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(fk6) AS min_fk6, max(fk6) AS max_fk6,
+           CAST(sum(fk6) AS BIGINT) AS sum_fk6
+    FROM f GROUP BY 1, 2
+    ORDER BY lang, fk_grade
+"""
+
+
 ORACLES: dict[str, str] = {
+    "text_readability": _READABILITY_ORACLE,
     "collocation_pmi": _PMI_ORACLE,
     "text_novelty": """
         WITH toks AS (

@@ -394,3 +394,34 @@ def test_assoc_rules_metric_invariants(spark, sf_dir):
         # support = co/N <= co/cnt_a = confidence <= 1
         assert r.support6 <= r.conf6 <= 1_000_000
         assert r.co >= 1 and r.lift6 > 0
+
+
+def test_readability_matches_python_reference(spark, sf_dir):
+    """Independent pure-Python FK recompute — full histogram equality."""
+    import re
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.text import q_text_readability
+    from gasket_rs_spark.tables import load
+
+    hist = defaultdict(lambda: [0, None, None, 0])
+    for r in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        w = len(r.text.split(" "))
+        y = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        s = (w + 7) // 8
+        # Python // floors; Spark DIV truncates toward zero — all three
+        # FK terms are nonneg products over nonneg divisors, so they
+        # agree (the final subtraction happens after the divisions)
+        fk6 = (390000 * w) // max(s, 1) + (11800000 * y) // max(w, 1) - 15590000
+        grade = abs(fk6) // 1000000 * (1 if fk6 >= 0 else -1)  # trunc toward 0
+        b = hist[(r.lang, grade)]
+        b[0] += 1
+        b[1] = fk6 if b[1] is None else min(b[1], fk6)
+        b[2] = fk6 if b[2] is None else max(b[2], fk6)
+        b[3] += fk6
+    rows = q_text_readability(spark, sf_dir).collect()
+    got = {
+        (r.lang, r.fk_grade): [r.n_docs, r.min_fk6, r.max_fk6, r.sum_fk6]
+        for r in rows
+    }
+    assert got == {k: list(v) for k, v in hist.items()}
