@@ -176,7 +176,84 @@ _DQ_ORACLE = """
 """
 
 
+def _benford_exp6() -> list[int]:
+    """Benford expected proportions log10(1 + 1/d), d=1..9, in
+    micro-units — precomputed in PYTHON and inlined as literals on
+    BOTH engines (the nDCG-weight discipline; no engine evaluates a
+    log)."""
+    import math
+
+    return [int(math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5)) for d in range(1, 10)]
+
+
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit (Benford 1938; Nigrini
+    1996 — the standard fraud/synthetic-data screen a profiling
+    pipeline runs on monetary columns) over lineitem extended prices:
+    observed vs expected log10(1+1/d) proportions per leading digit,
+    with the absolute deviation in micro-units.
+
+    Determinism: prices snap to integer cents first; the leading digit
+    comes from the engine-stable int64→string rendering (never from
+    float formatting); observed shares are pure integer division; the
+    nine expected shares are Python-inlined literal ints.
+
+    Scale shape (100 TB): one scan → 9-group hash agg with map-side
+    combine; the grand total joins back as a broadcast 1-row frame."""
+    exp6 = _benford_exp6()
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    g = (
+        li.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    total = g.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    earr = F.array(*[F.lit(x) for x in exp6])
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("n_obs * 1000000 div n").cast("bigint").alias("obs6"),
+            F.element_at(earr, F.col("digit").cast("int")).cast("bigint").alias("exp6"),
+        )
+        .withColumn("dev6", F.abs(F.col("obs6") - F.col("exp6")).cast("bigint"))
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(f"({d + 1}, {x})" for d, x in enumerate(_benford_exp6()))
+    return f"""
+        WITH c AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM lineitem
+        ), g AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM c GROUP BY 1
+        ), t AS (
+            SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g
+        ), e(digit, exp6) AS (VALUES {vals})
+        SELECT g.digit, g.n_obs,
+               CAST(g.n_obs * 1000000 // t.n AS BIGINT) AS obs6,
+               CAST(e.exp6 AS BIGINT) AS exp6,
+               CAST(abs(g.n_obs * 1000000 // t.n - e.exp6) AS BIGINT) AS dev6
+        FROM g CROSS JOIN t JOIN e ON e.digit = g.digit
+        ORDER BY g.digit
+    """
+
+
 ORACLES: dict[str, str] = {
+    "benford_digit_audit": _benford_oracle(),
     "dq_expectations": _DQ_ORACLE,
     "profile_columns": """
         -- CAST on every integer sum: DuckDB sums into HUGEINT, which the

@@ -140,3 +140,35 @@ def test_mutual_information_matches_pure_python(spark, sf_dir):
     assert (row.mi_bits6, row.n_cells, row.n_docs) == want
     # MI is non-negative up to per-cell snap drift
     assert row.mi_bits6 >= -len(cells)
+
+
+def test_benford_expected_table_telescopes_to_one():
+    from gasket_rs_spark.operators.profile import _benford_exp6
+
+    e = _benford_exp6()
+    assert len(e) == 9
+    assert e == sorted(e, reverse=True)  # p(1) > p(2) > ... > p(9)
+    assert e[0] == 301030  # log10(2)
+    # Σ log10(1+1/d) = log10(10) = 1 exactly — rounding leaves ±5 ppm
+    assert abs(sum(e) - 1_000_000) <= 5
+
+
+def test_benford_audit_matches_python_counts(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from gasket_rs_spark.operators.profile import q_benford_digit_audit
+    from gasket_rs_spark.tables import load
+
+    rows = q_benford_digit_audit(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    cnt = Counter(
+        int(str(int(math.floor(r.l_extendedprice * 100 + 0.5)))[0])
+        for r in load(spark, sf_dir, "lineitem").select("l_extendedprice").collect()
+    )
+    n = sum(cnt.values())
+    for r in rows:
+        assert r.n_obs == cnt[r.digit]
+        assert r.obs6 == r.n_obs * 1_000_000 // n
+        assert r.dev6 == abs(r.obs6 - r.exp6)
+    assert sum(r.n_obs for r in rows) == n
