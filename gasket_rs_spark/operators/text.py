@@ -1615,6 +1615,135 @@ _PMI_ORACLE = f"""
 """
 
 
+_WIN_K = 5  # tokens per winnowing k-gram
+_WIN_W = 4  # winnow window: guarantees >=1 fingerprint per W consecutive grams
+_WIN_MAXDF = 32  # boilerplate cap: drop fingerprints shared by >32 docs
+_WIN_TOPK = 20
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-fingerprinting algorithm): hash every sliding
+    {_WIN_K}-token gram, select the MINIMUM hash in each window of
+    {_WIN_W} consecutive grams, and report the top-20 document pairs by
+    shared-fingerprint count. Winnowing guarantees any match of
+    ≥ k+w-1 tokens is detected while storing only ~2/(w+1) of the gram
+    hashes — the overlap detector plagiarism/mirror-hunting pipelines
+    use where span-dedup (which needs the full gram table) is too
+    expensive.
+
+    Determinism: the gram hash is md5 (identical hex on both engines);
+    window-min over lexicographic hex strings is engine-independent;
+    everything downstream is exact integer counting. Fingerprints
+    shared by >{_WIN_MAXDF} docs are boilerplate and dropped (the MOSS
+    convention), which also bounds the pair join at ≤ C(32,2) pairs
+    per fingerprint.
+
+    Scale shape (100 TB): grams via {_WIN_K}-1 lead() calls over ONE
+    doc-partitioned window (the span-dedup O(L) discipline — never
+    posexplode-per-position); the winnow min rides the SAME window
+    spec (one shuffle, one sort). The selected-fingerprint frame is
+    ~corpus/(w+1)/2 and df-capped before the self-join; it is
+    localCheckpointed because two join branches consume it (the
+    persist-compact-kernel-output rule). Production would xxhash64 the
+    gram before the shuffle; md5 strings are kept so the DuckDB twin
+    is byte-comparable."""
+    return winnow_pairs(load(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Selected winnowing fingerprints ``(doc_id, mh)``, distinct, full
+    windows only — the core of q_winnowing_fingerprint over any
+    (doc_id, text) frame."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat(
+        F.col("tok"),
+        *[x for i in range(1, _WIN_K) for x in (F.lit(" "), F.lead("tok", i).over(w))],
+    )
+    h = (
+        toks.withColumn("gram", gram)
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", "pos", F.md5("gram").alias("h"))
+    )
+    wwin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fp = (
+        h.select(
+            "doc_id",
+            F.min("h").over(wwin).alias("mh"),
+            F.count("*").over(wwin).alias("wn"),
+        )
+        .where(F.col("wn") == _WIN_W)
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    return fp
+
+
+def winnow_pairs(docs: DataFrame) -> DataFrame:
+    """Top-{_WIN_TOPK} doc pairs by shared winnowing fingerprints —
+    see q_winnowing_fingerprint."""
+    fp = winnow_fingerprints(docs)
+    df = (
+        fp.groupBy("mh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _WIN_MAXDF))
+        .select("mh")
+    )
+    fpk = fp.join(df, "mh").localCheckpoint(eager=True)
+    a = fpk.select("mh", F.col("doc_id").alias("doc_a"))
+    b = fpk.select("mh", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "mh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return pairs.orderBy(F.col("n_shared").desc(), "doc_a", "doc_b").limit(_WIN_TOPK)
+
+
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), g AS (
+        SELECT doc_id, pos,
+               tok {"".join(
+                   f"|| ' ' || lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos) "
+                   for i in range(1, _WIN_K)
+               )} AS gram
+        FROM toks
+    ), h AS (
+        SELECT doc_id, pos, md5(gram) AS h FROM g WHERE gram IS NOT NULL
+    ), wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS mh,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WIN_W - 1} FOLLOWING) AS wn
+        FROM h
+    ), fp AS (
+        SELECT DISTINCT doc_id, mh FROM wm WHERE wn = {_WIN_W}
+    ), df AS (
+        SELECT mh FROM fp GROUP BY mh
+        HAVING count(*) >= 2 AND count(*) <= {_WIN_MAXDF}
+    ), fpk AS MATERIALIZED (
+        SELECT fp.doc_id, fp.mh FROM fp JOIN df USING (mh)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fpk a JOIN fpk b ON a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT {_WIN_TOPK}
+"""
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid grade-level readability (Kincaid et al. 1975), a
     standard pretraining quality signal (e.g. in the C4/FineWeb
@@ -1696,6 +1825,7 @@ _READABILITY_ORACLE = """
 
 ORACLES: dict[str, str] = {
     "text_readability": _READABILITY_ORACLE,
+    "winnowing_fingerprint": _WINNOW_ORACLE,
     "collocation_pmi": _PMI_ORACLE,
     "text_novelty": """
         WITH toks AS (
