@@ -789,7 +789,118 @@ _TS_ORACLE = """
 """
 
 
+_EWMA_L = 8  # truncated lookback (weeks)
+
+
+def _ewma_weights() -> list[int]:
+    """Geometric EWMA weights for α=1/4 as EXACT integers: scaling
+    α(1-α)^j by 4^L gives W_j = 3^j · 4^(L-1-j) — the weights and every
+    downstream sum stay in int64, so neither engine ever multiplies a
+    float power. Truncation to L lags renormalizes by the sum of the
+    lags actually present (series heads use fewer)."""
+    return [3**j * 4 ** (_EWMA_L - 1 - j) for j in range(_EWMA_L)]
+
+
+def q_ewma_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=1/4, 8-week truncated
+    lookback — Roberts 1959, the EWMA control chart) of weekly event
+    counts per event type, zero-filled over the observed week×type
+    grid, with the residual the anomaly detector thresholds on.
+
+    Determinism: the geometric weights are exact int64 (see
+    _ewma_weights); num/den are integer CASE-guarded lag sums; ewma6 is
+    the pure integer ``num * 1e6 div den``. No floats anywhere — unlike
+    the usual recursive float formulation, cross-engine summation order
+    cannot exist as a concept here.
+
+    Scale shape (100 TB): one scan → (week, type) hash agg with
+    map-side combine; the grid and the 8-lag windows live on the
+    bounded weeks×types frame (≈hundreds of rows at any corpus size)."""
+    weights = _ewma_weights()
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "week", F.floor(F.col("ts_sec") / F.lit(604800)).cast("bigint")
+    )
+    counts = ev.groupBy("week", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    grid = (
+        ev.select("week")
+        .distinct()
+        .crossJoin(ev.select("event_type").distinct())
+        .join(counts, ["week", "event_type"], "left")
+        .select("week", "event_type", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    num = F.lit(weights[0]) * F.col("c")
+    den = F.lit(weights[0]).cast("bigint")
+    for j in range(1, _EWMA_L):
+        lagged = F.lag("c", j).over(w)
+        num = num + F.when(lagged.isNotNull(), F.lit(weights[j]) * lagged).otherwise(
+            F.lit(0)
+        )
+        den = den + F.when(lagged.isNotNull(), F.lit(weights[j])).otherwise(F.lit(0))
+    return (
+        grid.select(
+            "event_type",
+            "week",
+            "c",
+            num.cast("bigint").alias("num"),
+            den.cast("bigint").alias("den"),
+        )
+        .select(
+            "event_type",
+            "week",
+            "c",
+            F.expr("num * 1000000 div den").cast("bigint").alias("ewma6"),
+        )
+        .withColumn("resid6", (F.col("c") * 1_000_000 - F.col("ewma6")).cast("bigint"))
+        .orderBy("event_type", "week")
+    )
+
+
+def _ewma_oracle() -> str:
+    weights = _ewma_weights()
+    num_terms = [f"{weights[0]} * c"]
+    den_terms = [str(weights[0])]
+    for j in range(1, _EWMA_L):
+        lag = f"lag(c, {j}) OVER (PARTITION BY event_type ORDER BY week)"
+        num_terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {weights[j]} * {lag} ELSE 0 END"
+        )
+        den_terms.append(f"CASE WHEN {lag} IS NOT NULL THEN {weights[j]} ELSE 0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+        WITH e AS (
+            SELECT event_type,
+                   (epoch_ms(ts) // 1000) // 604800 AS week
+            FROM events
+        ), counts AS (
+            SELECT week, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2
+        ), grid AS (
+            SELECT g.week, g.event_type,
+                   CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM (SELECT w.week, ty.event_type
+                  FROM (SELECT DISTINCT week FROM e) w
+                  CROSS JOIN (SELECT DISTINCT event_type FROM e) ty) g
+            LEFT JOIN counts c ON c.week = g.week AND c.event_type = g.event_type
+        ), terms AS (
+            SELECT event_type, week, c,
+                   CAST({num} AS BIGINT) AS num,
+                   CAST({den} AS BIGINT) AS den
+            FROM grid
+        )
+        SELECT event_type, week, c,
+               CAST(num * 1000000 // den AS BIGINT) AS ewma6,
+               CAST(c * 1000000 - num * 1000000 // den AS BIGINT) AS resid6
+        FROM terms
+        ORDER BY event_type, week
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ewma_weekly": _ewma_oracle(),
     "assoc_rules": _ASSOC_ORACLE,
     "funnel_windowed": _FW_ORACLE,
     "session_trigrams": _TRIGRAM_ORACLE,

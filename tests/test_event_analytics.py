@@ -42,3 +42,48 @@ def test_session_trigrams_consistent_with_transitions(spark, sf_dir):
     for r in tris:
         assert r.n <= pairs[(r.t1, r.t2)]
         assert r.n <= pairs[(r.t2, r.t3)]
+
+
+def test_ewma_weights_are_exact_geometric():
+    from gasket_rs_spark.operators.analytics import _EWMA_L, _ewma_weights
+
+    w = _ewma_weights()
+    assert len(w) == _EWMA_L
+    assert w[0] == 4 ** (_EWMA_L - 1)
+    # exact ratio 3/4 between consecutive weights — no float ever involved
+    for a, b in zip(w, w[1:]):
+        assert 4 * b == 3 * a
+
+
+def test_ewma_weekly_matches_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.analytics import (
+        _EWMA_L,
+        _events_sec,
+        _ewma_weights,
+        q_ewma_weekly,
+    )
+
+    ev = _events_sec(spark, sf_dir).collect()
+    counts = defaultdict(int)
+    weeks, types = set(), set()
+    for r in ev:
+        wk = r.ts_sec // 604800
+        counts[(r.event_type, wk)] += 1
+        weeks.add(wk)
+        types.add(r.event_type)
+    W = _ewma_weights()
+    expected = {}
+    for t in types:
+        series = [(wk, counts.get((t, wk), 0)) for wk in sorted(weeks)]
+        for i, (wk, c) in enumerate(series):
+            num = den = 0
+            for j in range(min(_EWMA_L, i + 1)):
+                num += W[j] * series[i - j][1]
+                den += W[j]
+            ewma6 = num * 1_000_000 // den
+            expected[(t, wk)] = (c, ewma6, c * 1_000_000 - ewma6)
+    rows = q_ewma_weekly(spark, sf_dir).collect()
+    got = {(r.event_type, r.week): (r.c, r.ewma6, r.resid6) for r in rows}
+    assert got == expected
