@@ -691,6 +691,104 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of endpoint degrees
+    across edges — do high-degree nodes attach to other high-degree
+    nodes? Computed over the symmetrized customer–supplier purchase
+    graph (both orientations, so the x/y marginals coincide — the
+    standard undirected formulation). Output: one row with the exact
+    integer moments (m, Σx, Σx², Σxy) and the 6dp-snapped coefficient.
+
+    Determinism: the four moments are exact int64 sums (the raw sums
+    fit comfortably; only their cross-PRODUCTS don't, see below); the
+    coefficient is computed from them in DOUBLE with the identical
+    spelling on both engines — int64→double conversion and IEEE
+    multiply/divide are bit-deterministic, and the symmetric marginals
+    cancel the usual sqrt entirely:
+    r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²).
+
+    Scale shape (100 TB): one distinct over the fact join, one
+    degree hash-agg, one node-keyed join per endpoint, one global
+    4-moment aggregate with map-side partials — no windows, no pair
+    explosion. The int64 moments hold to ~10¹⁵ edges·deg³; past that
+    the moments themselves go to double (or Spark DECIMAL) with the
+    same downstream arithmetic."""
+    raw = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e2 = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("dx")), "src"
+        )
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy")), "dst")
+    )
+    m = e2.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    return m.select(
+        "m",
+        "sx",
+        "sxx",
+        "sxy",
+        F.expr(
+            "CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0"
+            " ELSE CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * 1e6 + 0.5) AS BIGINT) END"
+        ).alias("assort6"),
+    )
+
+
+_ASSORT_ORACLE = """
+    WITH raw AS MATERIALIZED (
+        SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                        CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(a.deg) AS BIGINT) AS sx,
+               CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+               CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+        FROM e JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst
+    )
+    SELECT m, sx, sxx, sxy,
+           CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0
+                ELSE CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e6 + 0.5) AS BIGINT) END AS assort6
+    FROM mom
+"""
+
+
 def _lpa_oracle() -> str:
     body = [
         """
@@ -816,4 +914,5 @@ ORACLES: dict[str, str] = {
     "link_prediction": _LINKPRED_ORACLE,
     "adamic_adar": _aa_oracle(),
     "label_propagation": _lpa_oracle(),
+    "degree_assortativity": _ASSORT_ORACLE,
 }

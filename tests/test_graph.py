@@ -146,3 +146,36 @@ def test_label_propagation_communities_shape(spark, sf_dir):
         # member ids are the 2k / 2k+1 node encoding: the checksum of
         # n_members ids is at least the smallest n_members ids' sum
         assert r.member_sum >= r.n_members
+
+
+def test_degree_assortativity_matches_python_pearson(spark, sf_dir):
+    """Independent reference: build the same symmetrized graph in
+    Python and compute the Pearson correlation of endpoint degrees."""
+    from collections import Counter
+
+    from gasket_rs_spark.operators.graph import q_degree_assortativity
+    from gasket_rs_spark.tables import load
+
+    row = q_degree_assortativity(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = {
+        (x.src, x.dst)
+        for x in orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+        .collect()
+    }
+    directed = list(pairs) + [(b, a) for a, b in pairs]
+    deg = Counter(a for a, _ in directed)
+    m = len(directed)
+    sx = sum(deg[a] for a, _ in directed)
+    sxx = sum(deg[a] ** 2 for a, _ in directed)
+    sxy = sum(deg[a] * deg[b] for a, b in directed)
+    assert (r.m, r.sx, r.sxx, r.sxy) == (m, sx, sxx, sxy)
+    import math
+
+    expected6 = int(math.floor((m * sxy - sx * sx) / (m * sxx - sx * sx) * 1e6 + 0.5))
+    assert r.assort6 == expected6
+    assert -1_000_000 <= r.assort6 <= 1_000_000
