@@ -174,6 +174,68 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+_CONTAIN_NUM, _CONTAIN_DEN = 4, 5  # containment threshold 4/5 — compared in ints
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (Broder 1997's
+    *containment* C(A,B) = |S(A)∩S(B)| / |S(A)|, the companion measure
+    to resemblance/Jaccard): flags documents MOSTLY CONTAINED in
+    another — quote extractions, boilerplate-wrapped reposts, and
+    truncated mirrors that Jaccard misses because the size imbalance
+    caps resemblance at |A|/|B|. Ordered pairs with C(A,B) ≥ 4/5 over
+    the same token-3-shingle sets as q_dedup_ngram_jaccard.
+
+    Determinism: the threshold is compared as ``5·|A∩B| ≥ 4·|A|`` and
+    the score is ``|A∩B|·1e6 div |A|`` — pure int64; no engine touches
+    a float.
+
+    Scale shape: same class as the Jaccard exact twin (the LSH path is
+    the 100 TB route) with the same two sound prunes: singleton
+    shingles can't witness a pair, and C(A,B) ≥ t forces
+    |B| ≥ t·|A| (the intersection fits inside B), spelled in exact
+    integers as ``5·|B| ≥ 4·|A|``. Shuffle keys are xxhash64 of the
+    shingle (8-byte), as in the Jaccard twin."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles().alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .where(F.col("n_sh") >= 1)
+    )
+    ex = docs.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle_str")
+    ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+    ex = (
+        ex.repartition("shingle")
+        .withColumn("_c", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("_c") >= 2)
+        .drop("_c")
+    )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") * _CONTAIN_DEN >= F.col("n_a") * _CONTAIN_NUM)
+        )
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .where(F.col("n_common") * _CONTAIN_DEN >= F.col("n_a") * _CONTAIN_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            "n_common",
+            F.expr("n_common * 1000000 div n_a").cast("bigint").alias("containment6"),
+        )
+    )
+
+
 _DECON_MOD = 29  # eval-split modulus; see q_decontaminate_fuzzy docstring
 
 
@@ -1707,6 +1769,30 @@ ORACLES: dict[str, str] = {
         SELECT train_doc, (b).e AS eval_doc, (b).j AS jaccard,
                CAST((b).c AS BIGINT) AS n_common
         FROM best
+    """,
+    "dedup_containment": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingles
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh WHERE len(shingles) >= 1
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(a.n_sh AS BIGINT) AS n_a,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(count(*) * 1000000 // a.n_sh AS BIGINT) AS containment6
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+                           AND b.n_sh * {_CONTAIN_DEN} >= a.n_sh * {_CONTAIN_NUM}
+        GROUP BY a.doc_id, b.doc_id, a.n_sh
+        HAVING count(*) * {_CONTAIN_DEN} >= a.n_sh * {_CONTAIN_NUM}
     """,
     "dedup_ngram_jaccard": """
         WITH sh AS (

@@ -40,3 +40,28 @@ def test_minhash_band_layout_midpoint():
     assert midpoint < D._JACCARD_THRESHOLD, (
         f"s-curve midpoint {midpoint:.2f} >= threshold {D._JACCARD_THRESHOLD}"
     )
+
+
+def test_containment_matches_python_reference(spark, sf_dir):
+    """Independent pure-Python recompute of ordered containment pairs
+    (threshold 4/5) over the fixture corpus — full set equality."""
+    from gasket_rs_spark.operators.dedup import q_dedup_containment
+    from gasket_rs_spark.tables import load
+
+    sh = {}
+    for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if s:
+            sh[r.doc_id] = s
+    expected = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b or 5 * len(sb) < 4 * len(sa):
+                continue
+            inter = len(sa & sb)
+            if 5 * inter >= 4 * len(sa):
+                expected[(a, b)] = (len(sa), inter, inter * 1_000_000 // len(sa))
+    rows = q_dedup_containment(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): (r.n_a, r.n_common, r.containment6) for r in rows}
+    assert got == expected
