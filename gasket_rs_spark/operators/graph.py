@@ -691,6 +691,126 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 2
+_HITS_TOPK = 10
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    customer→supplier purchase graph: customers are hubs, suppliers
+    authorities. {_HITS_ITERS} mutual-reinforcement rounds with
+    max-normalization after every half-step; output the top-{_HITS_TOPK}
+    per side as (side, node, score6).
+
+    Determinism: scores live on the int64 micro-unit grid end-to-end —
+    each half-step is an integer sum over edges followed by
+    ``raw · 1e6 div max(raw)`` (the global max is a 1-row broadcast);
+    no engine ever divides doubles, so unlike the textbook L2
+    formulation there is no sqrt and no float-summation order anywhere.
+
+    Scale shape (100 TB): per half-step one edge⋈score equi-join
+    (shuffle on node id) + a map-side-combinable groupBy + a 1-row max
+    cross-joined back (broadcast) — the q_graph_pagerank discipline,
+    including per-round localCheckpoint. Top-k extraction is
+    sort-limit (TakeOrdered), never a global window."""
+    edges = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            F.col("l_suppkey").cast("bigint").alias("supp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = edges.select("supp").distinct().select(
+        "supp", F.lit(1_000_000).cast("bigint").alias("a6")
+    )
+    hub = None
+    for _ in range(_HITS_ITERS):
+        hraw = (
+            edges.join(auth, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a6").cast("bigint").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select("cust", F.expr("raw * 1000000 div mx").cast("bigint").alias("h6"))
+            .localCheckpoint(eager=True)
+        )
+        araw = (
+            edges.join(hub, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h6").cast("bigint").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = (
+            araw.crossJoin(F.broadcast(amax))
+            .select("supp", F.expr("raw * 1000000 div mx").cast("bigint").alias("a6"))
+            .localCheckpoint(eager=True)
+        )
+    top_h = (
+        hub.orderBy(F.col("h6").desc(), "cust")
+        .limit(_HITS_TOPK)
+        .select(F.lit("hub").alias("side"), F.col("cust").alias("node"), F.col("h6").alias("score6"))
+    )
+    top_a = (
+        auth.orderBy(F.col("a6").desc(), "supp")
+        .limit(_HITS_TOPK)
+        .select(F.lit("auth").alias("side"), F.col("supp").alias("node"), F.col("a6").alias("score6"))
+    )
+    return top_h.unionAll(top_a)
+
+
+def _hits_oracle() -> str:
+    body = [
+        """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
+                        CAST(l.l_suppkey AS BIGINT) AS supp
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), a0 AS MATERIALIZED (
+        SELECT DISTINCT supp, CAST(1000000 AS BIGINT) AS a6 FROM e
+    )"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        prev = f"a{i - 1}"
+        body.append(
+            f""", hr{i} AS MATERIALIZED (
+        SELECT e.cust, CAST(sum(p.a6) AS BIGINT) AS raw
+        FROM e JOIN {prev} p USING (supp) GROUP BY 1
+    ), h{i} AS MATERIALIZED (
+        SELECT cust, CAST(raw * 1000000 // (SELECT max(raw) FROM hr{i})
+                          AS BIGINT) AS h6
+        FROM hr{i}
+    ), ar{i} AS MATERIALIZED (
+        SELECT e.supp, CAST(sum(h.h6) AS BIGINT) AS raw
+        FROM e JOIN h{i} h USING (cust) GROUP BY 1
+    ), a{i} AS MATERIALIZED (
+        SELECT supp, CAST(raw * 1000000 // (SELECT max(raw) FROM ar{i})
+                          AS BIGINT) AS a6
+        FROM ar{i}
+    )"""
+        )
+    t = _HITS_ITERS
+    body.append(
+        f"""
+    SELECT * FROM (
+        SELECT 'hub' AS side, cust AS node, h6 AS score6
+        FROM h{t} ORDER BY h6 DESC, cust LIMIT {_HITS_TOPK})
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'auth' AS side, supp AS node, a6 AS score6
+        FROM a{t} ORDER BY a6 DESC, supp LIMIT {_HITS_TOPK})
+    """
+    )
+    return "".join(body)
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002, "Assortative
     mixing in networks"): the Pearson correlation of endpoint degrees
@@ -915,4 +1035,5 @@ ORACLES: dict[str, str] = {
     "adamic_adar": _aa_oracle(),
     "label_propagation": _lpa_oracle(),
     "degree_assortativity": _ASSORT_ORACLE,
+    "hits_scores": _hits_oracle(),
 }

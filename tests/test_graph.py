@@ -179,3 +179,46 @@ def test_degree_assortativity_matches_python_pearson(spark, sf_dir):
     expected6 = int(math.floor((m * sxy - sx * sx) / (m * sxx - sx * sx) * 1e6 + 0.5))
     assert r.assort6 == expected6
     assert -1_000_000 <= r.assort6 <= 1_000_000
+
+
+def test_hits_scores_invariants_and_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.graph import _HITS_ITERS, q_hits_scores
+    from gasket_rs_spark.tables import load
+
+    rows = q_hits_scores(spark, sf_dir).collect()
+    hubs = [r for r in rows if r.side == "hub"]
+    auths = [r for r in rows if r.side == "auth"]
+    assert len(hubs) == 10 and len(auths) == 10
+    for group in (hubs, auths):
+        scores = [r.score6 for r in group]
+        assert scores == sorted(scores, reverse=True)
+        assert scores[0] == 1_000_000  # max-normalized: the top node is 1.0
+        assert all(0 < s <= 1_000_000 for s in scores)
+    # independent integer HITS in pure Python
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = {
+        (x.cust, x.supp)
+        for x in orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .selectExpr("o_custkey AS cust", "l_suppkey AS supp")
+        .collect()
+    }
+    a = {s: 1_000_000 for _, s in edges}
+    h = {}
+    for _ in range(_HITS_ITERS):
+        hraw = defaultdict(int)
+        for c, s in edges:
+            hraw[c] += a[s]
+        mx = max(hraw.values())
+        h = {c: v * 1_000_000 // mx for c, v in hraw.items()}
+        araw = defaultdict(int)
+        for c, s in edges:
+            araw[s] += h[c]
+        mx = max(araw.values())
+        a = {s: v * 1_000_000 // mx for s, v in araw.items()}
+    exp_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    exp_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.node, r.score6) for r in hubs] == exp_h
+    assert [(r.node, r.score6) for r in auths] == exp_a
