@@ -93,7 +93,112 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARDS = 256
+
+
+def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment balance audit — the check a 100 TB writer runs
+    before committing a layout: documents hash to {_SHARDS} shards
+    (md5 of doc_id, first two hex nibbles), shard load = Σ token
+    counts, and the output is one row of balance statistics: occupied
+    shards, total tokens, max/min load, the max/mean imbalance factor,
+    and the Gini coefficient of the load distribution (the standard
+    skew summary; 0 = perfectly even).
+
+    Determinism: the shard id is derived from md5 hex CHARACTERS via
+    ``strpos('0123456789abcdef', c)`` — identical on both engines, no
+    hex-integer parsing; loads and both ratio numerators are exact
+    int64; Gini uses the rank formulation
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) — ties contribute the same
+    Σ i·x under any tie order, so engine sort stability is irrelevant.
+
+    Scale shape: one scan → {_SHARDS}-group hash agg (map-side
+    combinable) → ONE bounded 1-row aggregate; the ranked sum runs
+    over the collected {_SHARDS}-element array (sort_array +
+    zip_with(sequence) — the bootstrap_ci bounded-rank pattern, no
+    single-partition window)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    hexpos = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1)) - 1"
+    shard = F.expr(f"({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)})").cast(
+        "bigint"
+    )
+    loads = (
+        docs.select(shard.alias("shard"), "n_tok")
+        .groupBy("shard")
+        .agg(F.sum("n_tok").cast("bigint").alias("load"))
+    )
+    one = loads.agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.sum("load").cast("bigint").alias("total_tokens"),
+        F.max("load").alias("max_load"),
+        F.min("load").alias("min_load"),
+        F.sort_array(F.collect_list("load")).alias("arr"),
+    )
+    ranked_sum = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.lit(1).cast("bigint"), F.size("arr").cast("bigint")),
+            lambda x, i: x * i,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return one.select(
+        "n_shards",
+        "total_tokens",
+        "max_load",
+        "min_load",
+        F.expr("max_load * n_shards * 1000000 div total_tokens")
+        .cast("bigint")
+        .alias("imbalance6"),
+        (
+            (F.lit(2) * ranked_sum - (F.col("n_shards") + 1) * F.col("total_tokens"))
+            * F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("gini_num"),
+    ).select(
+        "n_shards",
+        "total_tokens",
+        "max_load",
+        "min_load",
+        "imbalance6",
+        F.expr("gini_num div (n_shards * total_tokens)").cast("bigint").alias("gini6"),
+    )
+
+
+_SHARD_BALANCE_ORACLE = f"""
+    WITH d AS (
+        SELECT (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), loads AS (
+        SELECT shard, CAST(sum(n_tok) AS BIGINT) AS load FROM d GROUP BY 1
+    ), ranked AS (
+        SELECT load, row_number() OVER (ORDER BY load, shard) AS i FROM loads
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(load) AS BIGINT) AS total_tokens,
+               max(load) AS max_load, min(load) AS min_load,
+               CAST(sum(i * load) AS BIGINT) AS ranked_sum
+        FROM ranked
+    )
+    SELECT n_shards, total_tokens, max_load, min_load,
+           CAST(max_load * n_shards * 1000000 // total_tokens AS BIGINT)
+               AS imbalance6,
+           CAST((2 * ranked_sum - (n_shards + 1) * total_tokens) * 1000000
+                // (n_shards * total_tokens) AS BIGINT) AS gini6
+    FROM agg
+"""
+
+
 ORACLES: dict[str, str] = {
+    "shard_balance_audit": _SHARD_BALANCE_ORACLE,
     "skew_salted_join": """
         WITH dim AS (
             SELECT DISTINCT event_type,

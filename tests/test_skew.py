@@ -142,3 +142,29 @@ def test_hot_bucket_star_survivors_match_exact_witness(spark, monkeypatch):
         assert survivor_set(lsh_pairs) == expected
         assert survivor_set(exact_pairs) == expected
         spark.catalog.clearCache()
+
+
+def test_shard_balance_audit_matches_python_reference(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.skew import q_shard_balance_audit
+    from gasket_rs_spark.tables import load
+
+    row = q_shard_balance_audit(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    loads = defaultdict(int)
+    for d in load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        shard = int(h[0], 16) * 16 + int(h[1], 16)
+        loads[shard] += len(d.text.split(" "))
+    xs = sorted(loads.values())
+    n, tot = len(xs), sum(xs)
+    ranked = sum(i * x for i, x in enumerate(xs, start=1))
+    assert r.n_shards == n and r.total_tokens == tot
+    assert r.max_load == xs[-1] and r.min_load == xs[0]
+    assert r.imbalance6 == xs[-1] * n * 1_000_000 // tot
+    assert r.gini6 == (2 * ranked - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert r.imbalance6 >= 1_000_000  # max >= mean, always
+    assert 0 <= r.gini6 < 1_000_000
