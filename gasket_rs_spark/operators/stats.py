@@ -1219,7 +1219,135 @@ def _bootstrap_oracle_sql() -> str:
     """
 
 
+_NEYMAN_B = 1000  # total sample budget to allocate across strata
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934): given
+    a budget of {_NEYMAN_B} samples, allocate n_h ∝ N_h·σ_h across
+    language strata (σ over per-doc token counts) — the
+    minimum-variance design every stratified eval/labeling pipeline
+    should use instead of proportional allocation. Integer seats are
+    assigned by the largest-remainder (Hamilton) method so they sum to
+    the budget exactly.
+
+    Determinism: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — ONE sqrt of an
+    exact int64 per stratum (identically spelled on both engines, the
+    audio-DFT transcendental-snap rule), snapped to micro-units; the
+    allocation floor, remainders, and the largest-remainder ranking
+    (5×5 self-join count, ties to lang asc) are pure int64 — both
+    engines assign identical seats.
+
+    Scale shape (100 TB): one corpus scan → per-stratum moment agg
+    (map-side combinable, 3 int columns of state); everything after
+    lives on the |strata|-row frame (broadcast-sized at any scale)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("x")
+    )
+    mom = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    s = mom.select(
+        "lang",
+        "n_docs",
+        "sx",
+        "sxx",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("s6"),
+    )
+    tot = s.agg(F.sum("s6").cast("bigint").alias("stot"))
+    base = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "s6",
+            F.expr(f"{_NEYMAN_B} * s6 div stot").cast("bigint").alias("floor_alloc"),
+            F.expr(f"{_NEYMAN_B} * s6 - ({_NEYMAN_B} * s6 div stot) * stot")
+            .cast("bigint")
+            .alias("rem"),
+        )
+        .localCheckpoint(eager=True)  # |strata| rows; consumed by 3 branches
+    )
+    deficit = base.agg(
+        (F.lit(_NEYMAN_B) - F.sum("floor_alloc")).cast("bigint").alias("d")
+    )
+    other = base.select(
+        F.col("lang").alias("lang2"), F.col("rem").alias("rem2")
+    )
+    rank = (
+        base.join(
+            other,
+            (F.col("rem2") > F.col("rem"))
+            | ((F.col("rem2") == F.col("rem")) & (F.col("lang2") < F.col("lang"))),
+            "left",
+        )
+        .groupBy("lang", "n_docs", "s6", "floor_alloc", "rem")
+        .agg(F.count("lang2").cast("bigint").alias("rk"))
+    )
+    return (
+        rank.crossJoin(F.broadcast(deficit))
+        .select(
+            "lang",
+            "n_docs",
+            "s6",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") < F.col("d"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NEYMAN_ORACLE = f"""
+    WITH d AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents
+    ), mom AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY 1
+    ), s AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1e6
+                          + 0.5) AS BIGINT) AS s6
+        FROM mom
+    ), tot AS (
+        SELECT CAST(sum(s6) AS BIGINT) AS stot FROM s
+    ), base AS (
+        SELECT lang, n_docs, s6,
+               CAST({_NEYMAN_B} * s6 // stot AS BIGINT) AS floor_alloc,
+               CAST({_NEYMAN_B} * s6 - ({_NEYMAN_B} * s6 // stot) * stot
+                    AS BIGINT) AS rem
+        FROM s CROSS JOIN tot
+    ), deficit AS (
+        SELECT CAST({_NEYMAN_B} - sum(floor_alloc) AS BIGINT) AS dd FROM base
+    ), rk AS (
+        SELECT b.lang, b.n_docs, b.s6, b.floor_alloc,
+               CAST(count(o.lang) AS BIGINT) AS rk
+        FROM base b
+        LEFT JOIN base o ON (o.rem > b.rem)
+                         OR (o.rem = b.rem AND o.lang < b.lang)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT lang, n_docs, s6,
+           CAST(floor_alloc + CASE WHEN rk < dd THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM rk CROSS JOIN deficit
+    ORDER BY lang
+"""
+
+
 ORACLES: dict[str, str] = {
+    "neyman_allocation": _NEYMAN_ORACLE,
     "bootstrap_ci": _bootstrap_oracle_sql(),
     "ks_two_sample": """
         WITH hist AS (

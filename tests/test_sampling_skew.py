@@ -256,3 +256,40 @@ def test_ks_two_sample_matches_pure_python(spark, sf_dir):
     assert got["na"] == len(a) and got["nb"] == len(b)
     assert abs(got["ks_stat"] - d) < 2e-6
     assert got["reject_h0"] == (got["ks_stat"] > got["reject_threshold"])
+
+
+def test_neyman_allocation_sums_to_budget_and_matches_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.stats import _NEYMAN_B, q_neyman_allocation
+    from gasket_rs_spark.tables import load
+
+    rows = q_neyman_allocation(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == _NEYMAN_B  # Hamilton: exact budget
+    # independent reference
+    xs = defaultdict(list)
+    for d in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        xs[d.lang].append(len(d.text.split(" ")))
+    s6 = {
+        lang: int(
+            math.floor(
+                math.sqrt(len(v) * sum(x * x for x in v) - sum(v) ** 2) * 1e6 + 0.5
+            )
+        )
+        for lang, v in xs.items()
+    }
+    stot = sum(s6.values())
+    floor_alloc = {k: _NEYMAN_B * v // stot for k, v in s6.items()}
+    rem = {k: _NEYMAN_B * s6[k] - floor_alloc[k] * stot for k in s6}
+    deficit = _NEYMAN_B - sum(floor_alloc.values())
+    order = sorted(s6, key=lambda k: (-rem[k], k))
+    expected = {
+        k: floor_alloc[k] + (1 if order.index(k) < deficit else 0) for k in s6
+    }
+    got = {r.lang: r.alloc for r in rows}
+    assert got == expected
+    assert {r.lang: r.s6 for r in rows} == s6
+    # Neyman dominates: the highest N*sigma stratum gets the most seats
+    top = max(s6, key=lambda k: (s6[k], k))
+    assert got[top] == max(got.values())
