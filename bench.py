@@ -166,6 +166,17 @@ EXTRAS = [
     "theil_sen_trend",
     "adamic_adar",
     "mutual_information",
+    "retrieval_mrr",
+    "label_propagation",
+    "jl_projection",
+    "text_readability",
+    "benford_digit_audit",
+    "winnowing_fingerprint",
+    "ewma_weekly",
+    "degree_assortativity",
+    "hits_scores",
+    "shard_balance_audit",
+    "neyman_allocation",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
@@ -177,6 +188,7 @@ WITNESSES = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_components",
+    "dedup_containment",
 ]
 
 # The round-1 headline composition, emitted every run as headline_v1 so
