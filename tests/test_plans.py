@@ -658,3 +658,53 @@ def test_round11_late_wave_plan_shapes(spark, sf_dir):
     assert broadcast_hint_count(q_assoc_rules(spark, sf_dir)) >= 3
     # bootstrap: the 32-row replicate distribution joins back broadcast
     assert broadcast_hint_count(q_bootstrap_ci(spark, sf_dir)) >= 1
+
+
+def test_round11_wave3_plan_shapes(spark, sf_dir):
+    """Plan pins for this session's operators: no CartesianProduct on
+    any scaled table (the JL kernel is mapInPandas — no join at all;
+    Benford/Neyman/assortativity 1-row stat frames are broadcast)."""
+    from gasket_rs_spark.operators.analytics import q_ewma_weekly
+    from gasket_rs_spark.operators.graph import (
+        q_degree_assortativity,
+        q_hits_scores,
+        q_label_propagation,
+    )
+    from gasket_rs_spark.operators.profile import q_benford_digit_audit
+    from gasket_rs_spark.operators.similarity import q_jl_projection, q_retrieval_mrr
+    from gasket_rs_spark.operators.skew import q_shard_balance_audit
+    from gasket_rs_spark.operators.stats import q_neyman_allocation
+    from gasket_rs_spark.operators.text import (
+        q_text_readability,
+        q_winnowing_fingerprint,
+    )
+    from gasket_rs_spark.plans.inspect import broadcast_hint_count, count_operator
+
+    for fn in (
+        q_label_propagation,
+        q_hits_scores,
+        q_degree_assortativity,
+        q_winnowing_fingerprint,
+        q_text_readability,
+        q_ewma_weekly,
+        q_jl_projection,
+        q_shard_balance_audit,
+    ):
+        assert_no_cartesian(fn(spark, sf_dir))
+
+    # broadcast discipline: query side / 1-row stat frames are hinted
+    assert broadcast_hint_count(q_retrieval_mrr(spark, sf_dir)) >= 2
+    assert broadcast_hint_count(q_benford_digit_audit(spark, sf_dir)) >= 1
+    # the budget-total broadcast sits behind base's localCheckpoint; only
+    # the deficit broadcast is visible in the returned plan
+    assert broadcast_hint_count(q_neyman_allocation(spark, sf_dir)) >= 1
+
+    # JL rides one Arrow kernel + one bounded hash agg: no join, no window
+    jl = q_jl_projection(spark, sf_dir)
+    assert count_operator(jl, "Join") == 0
+    assert count_operator(jl, "Window") == 0
+
+    # readability/benford are single-scan row-local pipelines: no shuffle
+    # beyond the bounded final aggregate (i.e. exactly one Exchange pair)
+    rd = q_text_readability(spark, sf_dir)
+    assert count_operator(rd, "Window") == 0
