@@ -1464,6 +1464,52 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(docs, pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-member selection within near-dup clusters — the policy
+    step after clustering that every production dedup actually ships:
+    within each exact-Jaccard≥0.5 component, KEEP the longest member
+    (ties → smallest doc_id; "most complete copy wins", the common
+    C4/CCNet-style heuristic) and account for what the policy removes.
+    One row per multi-member cluster: size, kept doc + its token count,
+    and the tokens removed.
+
+    Determinism: pure integer everywhere — token counts, the windowed
+    argmax (n_tok DESC, doc_id ASC is a total order), and the removed
+    sum.
+
+    Scale shape: rides q_dedup_components (bounded union-find over the
+    exact pair graph; the LSH-fed variant is the 100 TB path) + one
+    component-keyed window and one hash agg — both on the same
+    component shuffle key, so AQE reuses the exchange."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    comp = q_dedup_components(spark, sf_dir)
+    m = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("n_tok").desc(), "doc_id")
+    ranked = m.withColumn("rk", F.row_number().over(w))
+    agg = m.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+    )
+    kept = ranked.where(F.col("rk") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_tok").alias("kept_tok"),
+    )
+    return (
+        agg.where(F.col("n_members") >= 2)
+        .join(kept, "component")
+        .select(
+            "component",
+            "n_members",
+            "kept_doc",
+            "kept_tok",
+            (F.col("sum_tok") - F.col("kept_tok")).cast("bigint").alias("removed_tok"),
+        )
+    )
+
+
 def q_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path cluster canonicalization: connected components over the
     MinHash-LSH candidate pairs (verified at Jaccard>=0.5). End-to-end this
@@ -1724,6 +1770,55 @@ ORACLES: dict[str, str] = {
         SELECT id AS doc_id, min(target) AS component
         FROM reach
         GROUP BY id
+    """,
+    "dedup_keep_best": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingles
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING round(count(*) * 1.0 / (a.n_sh + b.n_sh - count(*)), 6) >= 0.5
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            WITH RECURSIVE r(id, target) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.doc_a, r.target FROM r JOIN edges e ON e.doc_b = r.id
+            )
+            SELECT * FROM r
+        ), comp AS (
+            SELECT id AS doc_id, min(target) AS component FROM reach GROUP BY id
+        ), m AS (
+            SELECT c.doc_id, c.component,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY component
+                                         ORDER BY n_tok DESC, doc_id) AS rk
+            FROM m
+        ), agg AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok
+            FROM m GROUP BY 1
+        )
+        SELECT a.component, a.n_members, r.doc_id AS kept_doc,
+               r.n_tok AS kept_tok,
+               CAST(a.sum_tok - r.n_tok AS BIGINT) AS removed_tok
+        FROM agg a JOIN ranked r ON r.component = a.component AND r.rk = 1
+        WHERE a.n_members >= 2
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -87,3 +87,39 @@ def test_paths_agree_on_random_graph(spark, bound):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: find(i) for i in range(n)}
     assert got == want
+
+
+def test_keep_best_policy_invariants(spark, sf_dir):
+    """Keep-best is consistent with the component labeling: every
+    multi-member component appears exactly once, the kept doc is the
+    length-max (tie: min doc_id) member, and removed_tok is the rest."""
+    from gasket_rs_spark.operators.dedup import q_dedup_components, q_dedup_keep_best
+    from gasket_rs_spark.tables import load
+
+    comp = {
+        r.doc_id: r.component for r in q_dedup_components(spark, sf_dir).collect()
+    }
+    toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    expected = {}
+    for c, ds in members.items():
+        if len(ds) < 2:
+            continue
+        kept = min(ds, key=lambda d: (-toks[d], d))
+        expected[c] = (
+            len(ds),
+            kept,
+            toks[kept],
+            sum(toks[d] for d in ds) - toks[kept],
+        )
+    rows = q_dedup_keep_best(spark, sf_dir).collect()
+    got = {
+        r.component: (r.n_members, r.kept_doc, r.kept_tok, r.removed_tok)
+        for r in rows
+    }
+    assert got == expected
