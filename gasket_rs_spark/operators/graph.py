@@ -649,7 +649,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Albert & Kumara 2007) over the bipartite customer–supplier purchase
     graph (customers at 2k, suppliers at 2k+1, the k-core id scheme):
     every node starts labeled with its own id; each of the
-    {_LPA_ITERS} synchronous rounds relabels every node to the MODE of
+    3 synchronous rounds relabels every node to the MODE of
     its neighbors' labels (ties to the smallest label — the standard
     deterministic LPA tie-break). Output: the top-20 communities by
     size, with a Σ-member-id checksum pinning the exact membership.
@@ -698,8 +698,8 @@ _HITS_TOPK = 10
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) on the bipartite
     customer→supplier purchase graph: customers are hubs, suppliers
-    authorities. {_HITS_ITERS} mutual-reinforcement rounds with
-    max-normalization after every half-step; output the top-{_HITS_TOPK}
+    authorities. 2 mutual-reinforcement rounds with
+    max-normalization after every half-step; output the top-10
     per side as (side, node, score6).
 
     Determinism: scores live on the int64 micro-unit grid end-to-end —

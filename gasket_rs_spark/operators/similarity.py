@@ -1218,7 +1218,7 @@ def _jl_signs() -> list[list[int]]:
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection (Johnson & Lindenstrauss
     1984; Achlioptas 2003 sign matrix) of the 64-d embedding corpus to
-    {_JL_K} dims, with a norm-distortion audit: for each vector,
+    8 dims, with a norm-distortion audit: for each vector,
     ratio = ||Sx||² / (k·||x||²) has expectation 1 under the ±1
     projection; the output is the distortion histogram (0.05-wide
     buckets) with per-bucket min/max/sum — the acceptance check a real

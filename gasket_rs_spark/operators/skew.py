@@ -98,7 +98,7 @@ _SHARDS = 256
 
 def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-assignment balance audit — the check a 100 TB writer runs
-    before committing a layout: documents hash to {_SHARDS} shards
+    before committing a layout: documents hash to 256 shards
     (md5 of doc_id, first two hex nibbles), shard load = Σ token
     counts, and the output is one row of balance statistics: occupied
     shards, total tokens, max/min load, the max/mean imbalance factor,
@@ -112,9 +112,9 @@ def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) — ties contribute the same
     Σ i·x under any tie order, so engine sort stability is irrelevant.
 
-    Scale shape: one scan → {_SHARDS}-group hash agg (map-side
+    Scale shape: one scan -> 256-group hash agg (map-side
     combinable) → ONE bounded 1-row aggregate; the ranked sum runs
-    over the collected {_SHARDS}-element array (sort_array +
+    over the collected 256-element array (sort_array +
     zip_with(sequence) — the bootstrap_ci bounded-rank pattern, no
     single-partition window)."""
     docs = load(spark, sf_dir, "documents").select(

@@ -1224,7 +1224,7 @@ _NEYMAN_B = 1000  # total sample budget to allocate across strata
 
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman optimal stratified-sample allocation (Neyman 1934): given
-    a budget of {_NEYMAN_B} samples, allocate n_h ∝ N_h·σ_h across
+    a budget of 1000 samples, allocate n_h ∝ N_h·σ_h across
     language strata (σ over per-doc token counts) — the
     minimum-variance design every stratified eval/labeling pipeline
     should use instead of proportional allocation. Integer seats are

@@ -1624,8 +1624,8 @@ _WIN_TOPK = 20
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS local-fingerprinting algorithm): hash every sliding
-    {_WIN_K}-token gram, select the MINIMUM hash in each window of
-    {_WIN_W} consecutive grams, and report the top-20 document pairs by
+    5-token gram, select the MINIMUM hash in each window of
+    4 consecutive grams, and report the top-20 document pairs by
     shared-fingerprint count. Winnowing guarantees any match of
     ≥ k+w-1 tokens is detected while storing only ~2/(w+1) of the gram
     hashes — the overlap detector plagiarism/mirror-hunting pipelines
@@ -1635,11 +1635,11 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the gram hash is md5 (identical hex on both engines);
     window-min over lexicographic hex strings is engine-independent;
     everything downstream is exact integer counting. Fingerprints
-    shared by >{_WIN_MAXDF} docs are boilerplate and dropped (the MOSS
+    shared by >32 docs are boilerplate and dropped (the MOSS
     convention), which also bounds the pair join at ≤ C(32,2) pairs
     per fingerprint.
 
-    Scale shape (100 TB): grams via {_WIN_K}-1 lead() calls over ONE
+    Scale shape (100 TB): grams via 4 lead() calls over ONE
     doc-partitioned window (the span-dedup O(L) discipline — never
     posexplode-per-position); the winnow min rides the SAME window
     spec (one shuffle, one sort). The selected-fingerprint frame is
@@ -1683,7 +1683,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def winnow_pairs(docs: DataFrame) -> DataFrame:
-    """Top-{_WIN_TOPK} doc pairs by shared winnowing fingerprints —
+    """Top-20 doc pairs by shared winnowing fingerprints —
     see q_winnowing_fingerprint."""
     fp = winnow_fingerprints(docs)
     df = (
