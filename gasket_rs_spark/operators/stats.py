@@ -1219,6 +1219,92 @@ def _bootstrap_oracle_sql() -> str:
     """
 
 
+def q_spearman_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) per language between
+    two document quality signals: length (token count) and lexical
+    richness (type-token ratio in micro-units) — the standard check
+    that a quality signal isn't just re-measuring length, computed the
+    robust way (on ranks, so outlier docs can't dominate like they do
+    in Pearson / q_stats_corr). Ties get average ranks (kept exact by
+    DOUBLING: r = 2·rank + (ties−1), integer).
+
+    Determinism: both signals, the doubled average ranks, and Σd² are
+    exact int64; ρ = 1 − 1.5·Σd²/(n³−n) (the 6Σd²/4 tie-doubling fold)
+    is ONE identically-spelled double expression snapped at 6dp.
+
+    Scale shape (100 TB): signals are row-local in one scan; ranks are
+    two per-language windows (the distributed-sort-per-stratum cost
+    every rank statistic pays — at corpus scale each language sorts in
+    parallel across executors; skewed languages split under AQE);
+    everything after is a |langs|-row aggregate."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("s1"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div size(split(text, ' '))"
+        ).alias("s2"),
+    )
+    w1 = Window.partitionBy("lang").orderBy("s1")
+    w2 = Window.partitionBy("lang").orderBy("s2")
+    t1 = Window.partitionBy("lang", "s1")
+    t2 = Window.partitionBy("lang", "s2")
+    ranked = docs.select(
+        "lang",
+        (2 * F.rank().over(w1) + F.count("*").over(t1) - 1)
+        .cast("bigint")
+        .alias("r1"),
+        (2 * F.rank().over(w2) + F.count("*").over(t2) - 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("bigint")
+        .alias("sd2"),
+    )
+    return agg.select(
+        "lang",
+        "n",
+        "sd2",
+        F.expr(
+            "CAST(floor((1.0 - 1.5 * CAST(sd2 AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " - CAST(n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("rho6"),
+    ).orderBy("lang")
+
+
+_SPEARMAN_ORACLE = """
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS s1,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // len(string_split(text, ' ')) AS s2
+        FROM documents
+    ), ranked AS (
+        SELECT lang,
+               CAST(2 * rank() OVER (PARTITION BY lang ORDER BY s1)
+                    + count(*) OVER (PARTITION BY lang, s1) - 1
+                    AS BIGINT) AS r1,
+               CAST(2 * rank() OVER (PARTITION BY lang ORDER BY s2)
+                    + count(*) OVER (PARTITION BY lang, s2) - 1
+                    AS BIGINT) AS r2
+        FROM d
+    ), agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2
+        FROM ranked GROUP BY 1
+    )
+    SELECT lang, n, sd2,
+           CAST(floor((1.0 - 1.5 * CAST(sd2 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS rho6
+    FROM agg ORDER BY lang
+"""
+
+
 _NEYMAN_B = 1000  # total sample budget to allocate across strata
 
 
@@ -1348,6 +1434,7 @@ _NEYMAN_ORACLE = f"""
 
 ORACLES: dict[str, str] = {
     "neyman_allocation": _NEYMAN_ORACLE,
+    "spearman_quality_corr": _SPEARMAN_ORACLE,
     "bootstrap_ci": _bootstrap_oracle_sql(),
     "ks_two_sample": """
         WITH hist AS (

@@ -172,3 +172,47 @@ def test_benford_audit_matches_python_counts(spark, sf_dir):
         assert r.obs6 == r.n_obs * 1_000_000 // n
         assert r.dev6 == abs(r.obs6 - r.exp6)
     assert sum(r.n_obs for r in rows) == n
+
+
+def test_spearman_matches_scipy_style_reference(spark, sf_dir):
+    """Independent reference: average-rank Spearman via pure Python
+    (the doubled-rank trick must equal true average ranks)."""
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.stats import q_spearman_quality_corr
+    from gasket_rs_spark.tables import load
+
+    by_lang = defaultdict(list)
+    for r in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        toks = r.text.split(" ")
+        s1 = len(toks)
+        s2 = len(set(toks)) * 1_000_000 // len(toks)
+        by_lang[r.lang].append((s1, s2))
+
+    def avg_ranks_doubled(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            # doubled average rank of the tie block [i, j): 2*avg(i+1..j)
+            dr = (i + 1) + j  # = 2 * ((i+1)+j)/2
+            for k in range(i, j):
+                r[order[k]] = dr
+            i = j
+        return r
+
+    rows = {r.lang: r for r in q_spearman_quality_corr(spark, sf_dir).collect()}
+    import math
+
+    for lang, pairs in by_lang.items():
+        r1 = avg_ranks_doubled([p[0] for p in pairs])
+        r2 = avg_ranks_doubled([p[1] for p in pairs])
+        n = len(pairs)
+        sd2 = sum((a - b) ** 2 for a, b in zip(r1, r2))
+        rho6 = int(math.floor((1.0 - 1.5 * sd2 / (n**3 - n)) * 1e6 + 0.5))
+        got = rows[lang]
+        assert (got.n, got.sd2, got.rho6) == (n, sd2, rho6), lang
+        assert -1_000_000 <= got.rho6 <= 1_000_000
