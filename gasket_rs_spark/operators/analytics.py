@@ -789,6 +789,112 @@ _TS_ORACLE = """
 """
 
 
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 90% conformal coverage
+
+
+def q_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration (Vovk et al. 2005; Lei et
+    al. 2018) per event type: nonconformity score = |n·v − Σv| in
+    scaled cents (the scale-free integer form of |v − mean|), conformal
+    quantile = the ⌈(n+1)·0.9⌉-th smallest score — the finite-sample
+    correction that distinguishes conformal from a plain p90 — plus the
+    realized coverage of the resulting interval as the audit column.
+
+    Determinism: scores are exact int64 (cents ×n, no division by n
+    anywhere); the quantile index is integer ceil arithmetic
+    ``(9·(n+1) + 9) div 10``; the k-th order statistic is a windowed
+    row_number — duplicates make the tie order irrelevant to the
+    selected VALUE; coverage is pure integer division.
+
+    Scale shape (100 TB): one scan → per-type count (broadcast back),
+    one per-type distributed sort for the order statistic (rank
+    statistics' inherent cost; types sort in parallel), one broadcast
+    join of the 5-row quantile table for the coverage pass."""
+    ev = _events_sec(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        F.abs(F.col("n") * F.col("cents") - F.col("s")).cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy("event_type").orderBy("score", "event_id")
+    k_expr = f"({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}"
+    q = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.expr(f"rn = {k_expr}"))
+        .select(
+            "event_type",
+            "n",
+            F.expr(k_expr).cast("bigint").alias("k"),
+            F.col("score").alias("q_score"),
+        )
+    )
+    cov = (
+        scored.join(F.broadcast(q.select("event_type", "q_score")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("score") <= F.col("q_score"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le")
+        )
+    )
+    return q.join(cov, "event_type").select(
+        "event_type",
+        "n",
+        "k",
+        "q_score",
+        "n_le",
+        F.expr("n_le * 1000000 div n").cast("bigint").alias("cov6"),
+    ).orderBy("event_type")
+
+
+_CONFORMAL_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM ev GROUP BY 1
+    ), scored AS (
+        SELECT e.event_type, e.event_id, st.n,
+               CAST(abs(st.n * e.cents - st.s) AS BIGINT) AS score
+        FROM ev e JOIN stats st USING (event_type)
+    ), q AS (
+        SELECT event_type, n,
+               CAST(({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN - 1})
+                    // {_CONF_ALPHA_DEN} AS BIGINT) AS k,
+               score AS q_score
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY score, event_id) AS rn
+            FROM scored
+        )
+        WHERE rn = ({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN - 1})
+                   // {_CONF_ALPHA_DEN}
+    ), cov AS (
+        SELECT s.event_type,
+               CAST(sum(CASE WHEN s.score <= q.q_score THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_le
+        FROM scored s JOIN q USING (event_type)
+        GROUP BY 1
+    )
+    SELECT q.event_type, q.n, q.k, q.q_score, cov.n_le,
+           CAST(cov.n_le * 1000000 // q.n AS BIGINT) AS cov6
+    FROM q JOIN cov USING (event_type)
+    ORDER BY q.event_type
+"""
+
+
 _EWMA_L = 8  # truncated lookback (weeks)
 
 
@@ -901,6 +1007,7 @@ def _ewma_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "ewma_weekly": _ewma_oracle(),
+    "conformal_quantile": _CONFORMAL_ORACLE,
     "assoc_rules": _ASSOC_ORACLE,
     "funnel_windowed": _FW_ORACLE,
     "session_trigrams": _TRIGRAM_ORACLE,

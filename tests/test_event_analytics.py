@@ -87,3 +87,31 @@ def test_ewma_weekly_matches_python_reference(spark, sf_dir):
     rows = q_ewma_weekly(spark, sf_dir).collect()
     got = {(r.event_type, r.week): (r.c, r.ewma6, r.resid6) for r in rows}
     assert got == expected
+
+
+def test_conformal_quantile_matches_python_and_guarantees_coverage(spark, sf_dir):
+    from collections import defaultdict
+
+    from gasket_rs_spark.operators.analytics import (
+        _events_sec,
+        q_conformal_quantile,
+    )
+
+    vals = defaultdict(list)
+    import math
+
+    for r in _events_sec(spark, sf_dir).select("event_type", "value").collect():
+        vals[r.event_type].append(int(math.floor(r.value * 100 + 0.5)))
+    rows = {r.event_type: r for r in q_conformal_quantile(spark, sf_dir).collect()}
+    assert set(rows) == set(vals)
+    for t, cents in vals.items():
+        n, s = len(cents), sum(cents)
+        scores = sorted(abs(n * c - s) for c in cents)
+        k = (9 * (n + 1) + 9) // 10
+        got = rows[t]
+        assert (got.n, got.k, got.q_score) == (n, k, scores[k - 1])
+        n_le = sum(1 for x in scores if x <= scores[k - 1])
+        assert got.n_le == n_le
+        assert got.cov6 == n_le * 1_000_000 // n
+        # split-conformal finite-sample guarantee: coverage >= k/n >= 0.9
+        assert got.cov6 >= 900_000
