@@ -272,6 +272,146 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cs_pos(tok_col, i: int):
+    """Count-sketch counter index for hash row i — '#'-salted md5 so the
+    position hashes are independent of count-min's ':'-salted family."""
+    h = F.md5(F.concat_ws("#", tok_col, F.lit(str(i))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CM_W
+
+
+def _cs_sign(tok_col, i: int):
+    """±1 sign for hash row i: the 9th hex nibble of the same md5 —
+    engine-independent, balanced."""
+    h = F.md5(F.concat_ws("#", tok_col, F.lit(str(i))))
+    nib = F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint")
+    return F.when(nib < 8, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+
+
+def q_sketch_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch frequency estimates (Charikar, Chen & Farach-Colton
+    2002) for the corpus top-10 tokens, side by side with the exact
+    count — the SIGNED counterpart of q_sketch_count_min: random ±1
+    signs make the estimator unbiased (collisions cancel in
+    expectation), so the error column can be negative, where CM's
+    overcount is structurally ≥ 0. Estimate = lower median of the d=4
+    per-row estimates sign_i·grid[i][pos_i] (lower median keeps the
+    statistic on the integer grid — documented convention).
+
+    Determinism: positions and signs are md5-derived on both engines;
+    grid cells are exact signed int64 sums; the lower median is
+    element 2 of the sorted 4-vector (sort_array ≡ list_sort —
+    aggregation order can't matter).
+
+    Scale shape: identical to count-min — vocab-sized explode into a
+    constant d×w grid (cell-additive under batch merge), broadcast
+    probe of the top-k."""
+    toks = _tokens_exploded(load(spark, sf_dir, "documents"))
+    tok_counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    cells = tok_counts.select(
+        "cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("cs_row"),
+                    _cs_pos(F.col("tok"), i).alias("cs_col"),
+                    _cs_sign(F.col("tok"), i).alias("sgn"),
+                )
+                for i in range(_CM_D)
+            ])
+        ).alias("cell"),
+    ).select("cnt", "cell.cs_row", "cell.cs_col", "cell.sgn")
+    grid = cells.groupBy("cs_row", "cs_col").agg(
+        F.sum(F.col("sgn") * F.col("cnt")).cast("bigint").alias("cs_cnt")
+    )
+    top = tok_counts.orderBy(F.col("cnt").desc(), "tok").limit(_CM_TOPK)
+    probes = top.select(
+        "tok",
+        F.col("cnt").cast("bigint").alias("exact_cnt"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("cs_row"),
+                    _cs_pos(F.col("tok"), i).alias("cs_col"),
+                    _cs_sign(F.col("tok"), i).alias("sgn"),
+                )
+                for i in range(_CM_D)
+            ])
+        ).alias("cell"),
+    ).select("tok", "exact_cnt", "cell.cs_row", "cell.cs_col", "cell.sgn")
+    est = (
+        probes.join(F.broadcast(grid), ["cs_row", "cs_col"])
+        .select("tok", "exact_cnt", (F.col("sgn") * F.col("cs_cnt")).alias("e"))
+        .groupBy("tok", "exact_cnt")
+        .agg(F.element_at(F.sort_array(F.collect_list("e")), 2).alias("cs_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        F.col("cs_est").cast("bigint").alias("cs_est"),
+        (F.col("cs_est") - F.col("exact_cnt")).cast("bigint").alias("err"),
+    )
+
+
+def _cs_pos_sql(tok_expr: str, i: int) -> str:
+    return f"(('0x' || substr(md5({tok_expr} || '#{i}'), 1, 8))::BIGINT % {_CM_W})"
+
+
+def _cs_sign_sql(tok_expr: str, i: int) -> str:
+    return (
+        f"(CASE WHEN ('0x' || substr(md5({tok_expr} || '#{i}'), 9, 1))::BIGINT < 8"
+        f" THEN 1 ELSE -1 END)"
+    )
+
+
+def _cs_oracle() -> str:
+    pos_cases = "\n".join(
+        f"               WHEN {i} THEN {_cs_pos_sql('tok', i)}" for i in range(_CM_D)
+    )
+    sgn_cases = "\n".join(
+        f"               WHEN {i} THEN {_cs_sign_sql('tok', i)}" for i in range(_CM_D)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tc AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), cells AS (
+        SELECT u.cs_row,
+               CASE u.cs_row
+{pos_cases}
+               END AS cs_col,
+               CASE u.cs_row
+{sgn_cases}
+               END AS sgn,
+               cnt
+        FROM tc, (SELECT unnest(range({_CM_D})) AS cs_row) u
+    ), grid AS (
+        SELECT cs_row, cs_col, CAST(sum(sgn * cnt) AS BIGINT) AS cs_cnt
+        FROM cells GROUP BY 1, 2
+    ), top AS (
+        SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt
+        FROM tc ORDER BY cnt DESC, tok LIMIT {_CM_TOPK}
+    ), probes AS (
+        SELECT t.tok, t.exact_cnt, u.cs_row,
+               CASE u.cs_row
+{pos_cases}
+               END AS cs_col,
+               CASE u.cs_row
+{sgn_cases}
+               END AS sgn
+        FROM top t, (SELECT unnest(range({_CM_D})) AS cs_row) u
+    ), est AS (
+        SELECT p.tok, p.exact_cnt,
+               (list_sort(list(p.sgn * g.cs_cnt)))[2] AS cs_est
+        FROM probes p JOIN grid g USING (cs_row, cs_col)
+        GROUP BY 1, 2
+    )
+    SELECT tok, exact_cnt, CAST(cs_est AS BIGINT) AS cs_est,
+           CAST(cs_est - exact_cnt AS BIGINT) AS err
+    FROM est
+    """
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-SIZE ESTIMATION from count-min sketches (the AMS/CM
     inner-product estimator, Cormode & Muthukrishnan 2005 §4.2) — the
@@ -586,6 +726,7 @@ def _join_size_oracle_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "sketch_count_sketch": _cs_oracle(),
     "join_size_estimate": _join_size_oracle_sql(),
     "quantile_normalize_sketch": """
         WITH b AS (

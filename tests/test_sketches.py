@@ -260,3 +260,44 @@ def test_join_size_estimate_one_sided(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select("user_id")
     purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
     assert clicks.join(purchases, "user_id").count() == r["exact_size"]
+
+
+def test_count_sketch_estimates_close_and_signs_balanced(spark, sf_dir):
+    """Count-Sketch is unbiased: the lower-median estimate of a heavy
+    hitter lands within the sketch's L2 noise — and, unlike count-min,
+    the error CAN be negative. Also pins the sign family balance."""
+    from gasket_rs_spark.operators.sketches import (
+        _CM_D,
+        _cs_sign,
+        q_sketch_count_sketch,
+    )
+    from gasket_rs_spark.tables import load
+
+    rows = q_sketch_count_sketch(spark, sf_dir).collect()
+    assert len(rows) == 10
+    total = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("sum(size(split(text, ' '))) AS n")
+        .collect()[0]
+        .n
+    )
+    for r in rows:
+        assert r.err == r.cs_est - r.exact_cnt
+        # L2 noise bound (loose, deterministic-data safe): |err| well
+        # under the total corpus mass / sqrt(w)-ish envelope
+        assert abs(r.err) < total // 8, (r.tok, r.err, total)
+    # sign family is roughly balanced over the vocabulary
+    import pyspark.sql.functions as F
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    bal = toks.select(
+        *[_cs_sign(F.col("tok"), i).alias(f"s{i}") for i in range(_CM_D)]
+    ).groupBy().sum()
+    sums = bal.collect()[0]
+    n_vocab = toks.count()
+    for v in sums:
+        assert abs(v) < max(20, n_vocab // 2)
