@@ -15,7 +15,7 @@ of them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gasket_rs_spark.tables import load
@@ -169,6 +169,90 @@ def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HRW_N = 8  # cluster size before the resize (nodes 0..7; resize adds node 8)
+
+
+def q_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight hashing (Thaler & Ravishankar
+    1996 — the consistent-placement scheme behind cache/shard routing):
+    each document lands on the node with the highest md5(doc:node)
+    weight. The witness resizes the cluster from 8 to 9 nodes and
+    audits HRW's minimal-disruption contract: one output row per
+    (node8 → node9) movement class with its count — the only rows with
+    node8 ≠ node9 MUST have node9 = 8 (every moved key moves TO the
+    new node; nothing reshuffles between old nodes), and the moved
+    fraction concentrates near 1/9.
+
+    Determinism: placement is an argmax over md5 hex strings
+    (lexicographic, engine-identical), realized as a windowed
+    row_number per doc — ties are impossible in practice (128-bit
+    hashes) and broken by node id anyway.
+
+    Scale shape (100 TB): the doc×nodes candidate frame is a row-local
+    explode of a 9-literal array (no join), the argmax is one window
+    keyed on doc_id, and the audit is a 9²-bounded groupBy. A real
+    router computes the same argmax per key in O(nodes) with no
+    shuffle at all; the windowed form here exists to be
+    oracle-comparable."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    cand = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(n) for n in range(_HRW_N + 1)])
+        ).alias("node"),
+    ).select(
+        "doc_id",
+        "node",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("node"))).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "node")
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    node9 = ranked.where(F.col("rn") == 1).select(
+        "doc_id", F.col("node").alias("node9")
+    )
+    w8 = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "node")
+    node8 = (
+        cand.where(F.col("node") < _HRW_N)
+        .withColumn("rn", F.row_number().over(w8))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("node").alias("node8"))
+    )
+    return (
+        node8.join(node9, "doc_id")
+        .groupBy("node8", "node9")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("node8", "node9")
+    )
+
+
+_HRW_ORACLE = f"""
+    WITH cand AS (
+        SELECT d.doc_id, u.node,
+               md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.node AS VARCHAR))
+                   AS h
+        FROM documents d, (SELECT unnest(range({_HRW_N + 1})) AS node) u
+    ), n9 AS (
+        SELECT doc_id, node AS node9 FROM (
+            SELECT doc_id, node,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, node) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ), n8 AS (
+        SELECT doc_id, node AS node8 FROM (
+            SELECT doc_id, node,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, node) AS rn
+            FROM cand WHERE node < {_HRW_N}
+        ) WHERE rn = 1
+    )
+    SELECT n8.node8, n9.node9, CAST(count(*) AS BIGINT) AS n_docs
+    FROM n8 JOIN n9 USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 _SHARD_BALANCE_ORACLE = f"""
     WITH d AS (
         SELECT (strpos('0123456789abcdef',
@@ -199,6 +283,7 @@ _SHARD_BALANCE_ORACLE = f"""
 
 ORACLES: dict[str, str] = {
     "shard_balance_audit": _SHARD_BALANCE_ORACLE,
+    "rendezvous_hashing": _HRW_ORACLE,
     "skew_salted_join": """
         WITH dim AS (
             SELECT DISTINCT event_type,

@@ -168,3 +168,36 @@ def test_shard_balance_audit_matches_python_reference(spark, sf_dir):
     assert r.gini6 == (2 * ranked - (n + 1) * tot) * 1_000_000 // (n * tot)
     assert r.imbalance6 >= 1_000_000  # max >= mean, always
     assert 0 <= r.gini6 < 1_000_000
+
+
+def test_rendezvous_hashing_minimal_disruption_contract(spark, sf_dir):
+    """HRW resize 8->9: every moved doc moves TO the new node, stayers
+    dominate, and the moved fraction is near 1/9. Cross-checked against
+    a pure-Python HRW router."""
+    import hashlib
+
+    from gasket_rs_spark.operators.skew import _HRW_N, q_rendezvous_hashing
+    from gasket_rs_spark.tables import load
+
+    rows = q_rendezvous_hashing(spark, sf_dir).collect()
+    moved = sum(r.n_docs for r in rows if r.node8 != r.node9)
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        if r.node8 != r.node9:
+            assert r.node9 == _HRW_N  # moves only TO the new node
+    assert 0 < moved < total
+    assert abs(moved / total - 1 / (_HRW_N + 1)) < 0.05
+
+    def hrw(doc_id, n):
+        return max(
+            range(n),
+            key=lambda node: hashlib.md5(f"{doc_id}:{node}".encode()).hexdigest(),
+        )
+
+    from collections import Counter
+
+    expected = Counter()
+    for d in load(spark, sf_dir, "documents").select("doc_id").collect():
+        expected[(hrw(d.doc_id, _HRW_N), hrw(d.doc_id, _HRW_N + 1))] += 1
+    got = {(r.node8, r.node9): r.n_docs for r in rows}
+    assert got == dict(expected)
