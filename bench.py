@@ -177,6 +177,10 @@ EXTRAS = [
     "hits_scores",
     "shard_balance_audit",
     "neyman_allocation",
+    "spearman_quality_corr",
+    "conformal_quantile",
+    "sketch_count_sketch",
+    "rendezvous_hashing",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
@@ -189,6 +193,7 @@ WITNESSES = [
     "dedup_embedding_cosine",
     "dedup_components",
     "dedup_containment",
+    "dedup_keep_best",
 ]
 
 # The round-1 headline composition, emitted every run as headline_v1 so
