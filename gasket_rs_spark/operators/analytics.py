@@ -1005,8 +1005,185 @@ def _ewma_oracle() -> str:
     """
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (Box & Jenkins 1970) of the
+    zero-filled daily event-count series at lags 1..7 — the seasonality
+    probe run before trusting any weekly-aggregation window choice.
+
+    Determinism: with n days, total S and counts c_t all int64, the
+    centered series y_t = n·c_t − S is exact (n² scaling avoids the
+    rational mean), so num_k = Σ y_t·y_{t+k} and den = Σ y_t² are exact
+    int64 and acf6 = num_k·10⁶ div den is pure integer (int÷int
+    truncation is engine-identical, including negatives).
+
+    Scale shape (100 TB): one scan → per-day count agg (map-side
+    combine); the zero-filled grid is calendar-bounded (≤tens of
+    thousands of rows for decades), localCheckpointed once and reused
+    by the totals, the lag join (a 7×-exploded bounded self-join) and
+    the denominator — no second corpus scan."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    grid = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(counts, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # bounded; feeds tot + both join sides
+    )
+    tot = grid.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
+    )
+    y = grid.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("c") - F.col("s")).alias("y")
+    )
+    den = y.agg(F.sum(F.col("y") * F.col("y")).cast("bigint").alias("den_ss"))
+    lags = tot.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
+    )
+    a = y.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = y.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    return (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "num",
+            "den_ss",
+            F.expr("num * 1000000 div den_ss").cast("bigint").alias("acf6"),
+        )
+        .orderBy("lag")
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint locator (Page 1954 / Pettitt-style):
+    per event type, the day where the cumulative sum of mean-centered
+    daily counts attains its maximum absolute deviation — the standard
+    "when did the rate shift?" estimator a pipeline-health monitor runs
+    over ingest volumes.
+
+    Determinism: centered values n·c_t − S are exact int64 per type
+    (same n²-scaling as the ACF witness), the running cumsum is an
+    order-fixed window (day is unique within type), and the argmax is
+    realized as row_number ordered by (|cum| DESC, day ASC) — the
+    md5-argmax convention, value-deterministic under ties.
+
+    Scale: per-(type, day) count agg, calendar-bounded grid, one
+    partitioned window per type — no global sort, no driver loop."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    days = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    grid = (
+        counts.select("event_type").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+        )
+    )
+    tot = grid.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        grid.join(F.broadcast(tot), F.col("event_type") == F.col("t_type"))
+        .select(
+            "event_type", "day", "n",
+            F.sum(F.col("n") * F.col("c") - F.col("s")).over(w).alias("cum"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cum")).desc(), F.col("day")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("cum")).cast("bigint").alias("max_abs_cum"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
     "ewma_weekly": _ewma_oracle(),
+    "acf_daily": """
+        WITH counts AS (
+            SELECT (epoch_ms(ts) // 1000) // 86400 AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ), rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+        grid AS (
+            SELECT gs.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM rng) gs
+            LEFT JOIN counts c ON c.day = gs.day
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+            FROM grid
+        ), y AS (
+            SELECT day, n * c - s AS y FROM grid, tot
+        ), den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den_ss FROM y),
+        lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+        num AS (
+            SELECT lag, CAST(sum(a.y * b.y) AS BIGINT) AS num
+            FROM lags CROSS JOIN y a JOIN y b ON b.day = a.day + lag
+            GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, num, den_ss,
+               CAST(num * 1000000 // den_ss AS BIGINT) AS acf6
+        FROM num CROSS JOIN den
+        ORDER BY lag
+    """,
+    "cusum_changepoint": """
+        WITH counts AS (
+            SELECT event_type, (epoch_ms(ts) // 1000) // 86400 AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+        grid AS (
+            SELECT t.event_type, gs.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM (SELECT DISTINCT event_type FROM counts) t
+            CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day
+                        FROM rng) gs
+            LEFT JOIN counts c ON c.event_type = t.event_type
+                              AND c.day = gs.day
+        ), tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s
+            FROM grid GROUP BY 1
+        ), cum AS (
+            SELECT g.event_type, g.day, t.n,
+                   CAST(sum(t.n * g.c - t.s) OVER (
+                       PARTITION BY g.event_type ORDER BY g.day) AS BIGINT)
+                       AS cum
+            FROM grid g JOIN tot t ON g.event_type = t.event_type
+        ), pick AS (
+            SELECT event_type, day, n, cum,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(cum) DESC, day) AS rn
+            FROM cum
+        )
+        SELECT event_type, day AS cp_day,
+               CAST(abs(cum) AS BIGINT) AS max_abs_cum,
+               n AS n_days
+        FROM pick WHERE rn = 1
+        ORDER BY event_type
+    """,
     "conformal_quantile": _CONFORMAL_ORACLE,
     "assoc_rules": _ASSOC_ORACLE,
     "funnel_windowed": _FW_ORACLE,

@@ -1432,9 +1432,275 @@ _NEYMAN_ORACLE = f"""
 """
 
 
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) per language:
+    does the lexicographically-first source's doc-length distribution
+    differ from the rest of the corpus? — the nonparametric two-sample
+    check a curation pipeline runs before trusting a per-source filter
+    threshold. Emits 2·U (integer even under ties) and the rank-biserial
+    effect size r = 2U/(n1·n2) − 1 in truncated micro-units.
+
+    Determinism: ranks use the tie-DOUBLING identity (r = 2·rank +
+    ties − 1 = twice the average rank, exact int64 — the Spearman
+    convention); 2·U1 = Σ₁r_doubled − n1·(n1+1) stays integer, and the
+    effect size is the pure-integer `u2·10⁶ div (n1·n2) − 10⁶` (int÷int
+    truncation is identical cross-engine). No floats anywhere.
+
+    Scale shape (100 TB): one corpus scan → per-lang rank windows (the
+    distributed sort-per-stratum every rank statistic pays), then a
+    |langs|-row aggregate; the min-source frame is broadcast."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.col("n_chars").cast("bigint").alias("x")
+    )
+    min_src = docs.groupBy(F.col("lang").alias("m_lang")).agg(
+        F.min("source").alias("src1")
+    )
+    d = docs.join(F.broadcast(min_src), F.col("lang") == F.col("m_lang")).select(
+        "lang", "x", (F.col("source") == F.col("src1")).cast("bigint").alias("g1")
+    )
+    w = Window.partitionBy("lang").orderBy("x")
+    t = Window.partitionBy("lang", "x")
+    ranked = d.select(
+        "lang",
+        "g1",
+        (2 * F.rank().over(w) + F.count("*").over(t) - 1).cast("bigint").alias("r2x"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum("g1").cast("bigint").alias("n1"),
+            (F.count("*") - F.sum("g1")).cast("bigint").alias("n2"),
+            F.sum(F.when(F.col("g1") == 1, F.col("r2x")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("rsum2x"),
+        )
+        .select(
+            "lang",
+            "n1",
+            "n2",
+            (F.col("rsum2x") - F.col("n1") * (F.col("n1") + 1)).alias("u2"),
+        )
+        .withColumn(
+            "rb6",
+            F.expr("u2 * 1000000 div (n1 * n2) - 1000000").cast("bigint"),
+        )
+        .orderBy("lang")
+    )
+
+
+_KENDALL_SAMPLE = 200  # per-lang deterministic md5 sample cap
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation (Kendall 1938) per language between
+    doc length and type-token ratio — the concordant/discordant-pair
+    twin of q_spearman_quality_corr, with the tie correction. Pairs are
+    O(n²), so the witness runs on a deterministic md5-ranked sample of
+    ≤200 docs per language (the bounded-sample pattern of
+    similarity.py) — the 100 TB cost is the sample, not the corpus.
+
+    Determinism: concordant / discordant / tie counts are exact int64
+    over the same sampled pairs on both engines (md5 ranking is
+    engine-identical); τ-b = (C−D)/√((n0−tx)(n0−ty)) takes ONE sqrt of
+    an exact-int64 product (the Neyman convention) and is emitted as
+    floor(τ·10⁶ + 0.5) micro-units — an integer column, so the ±0.0
+    trap can't exist."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("s1"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div size(split(text, ' '))"
+        ).alias("s2"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    samp = docs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KENDALL_SAMPLE
+    )
+    a = samp.select(
+        "lang", F.col("doc_id").alias("ida"), F.col("s1").alias("xa"),
+        F.col("s2").alias("ya"),
+    )
+    b = samp.select(
+        F.col("lang").alias("lang_b"), F.col("doc_id").alias("idb"),
+        F.col("s1").alias("xb"), F.col("s2").alias("yb"),
+    )
+    pairs = a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("ida") < F.col("idb")))
+    con = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    ).cast("bigint")
+    dis = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    ).cast("bigint")
+    agg = pairs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(con).cast("bigint").alias("conc"),
+        F.sum(dis).cast("bigint").alias("disc"),
+        F.sum((F.col("xa") == F.col("xb")).cast("bigint")).cast("bigint").alias("tx"),
+        F.sum((F.col("ya") == F.col("yb")).cast("bigint")).cast("bigint").alias("ty"),
+    )
+    return agg.select(
+        "lang",
+        "n0",
+        "conc",
+        "disc",
+        F.expr(
+            "CAST(floor(CAST(conc - disc AS DOUBLE)"
+            " / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))"
+            " * 1e6 + 0.5) AS BIGINT)"
+        ).alias("tau6"),
+    ).orderBy("lang")
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (Cramér 1946) of the lang × source
+    association — the [0,1]-normalized companion to
+    q_lang_source_chisq's raw χ², which is what a corpus-balance
+    dashboard actually thresholds on (χ² grows with N; V doesn't).
+    V = √(χ² / (N·min(R−1, C−1))) over the zero-filled grid.
+
+    Determinism: χ² is snapped at 6dp exactly as in the χ² witness, so
+    both engines divide identical doubles by an exact integer and take
+    ONE sqrt of the identical quotient — bit-identical — then v6 snaps
+    to integer micro-units (no ±0.0: V ≥ 0).
+
+    Scale: same shape as the χ² witness — one (lang,source) count agg,
+    dimension-sized grid, broadcast marginals."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        row_t.crossJoin(F.broadcast(col_t))
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    cell = F.pow(F.col("o") - F.col("e"), 2) / F.col("e")
+    r_c = row_t.crossJoin(F.broadcast(col_t)).agg(
+        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("c")
+    )
+    return (
+        grid.agg(
+            (F.floor(F.sum(cell) * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+            F.sum("o").cast("bigint").alias("n"),
+        )
+        .crossJoin(F.broadcast(r_c))
+        .select(
+            "chi2",
+            "n",
+            F.least(F.col("r") - 1, F.col("c") - 1).cast("bigint").alias("min_dim"),
+            F.expr(
+                "CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)"
+                " * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("v6"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "neyman_allocation": _NEYMAN_ORACLE,
     "spearman_quality_corr": _SPEARMAN_ORACLE,
+    "mann_whitney_u": """
+        WITH d AS (
+            SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                   CASE WHEN source = min(source) OVER (PARTITION BY lang)
+                        THEN 1 ELSE 0 END AS g1
+            FROM documents
+        ), ranked AS (
+            SELECT lang, g1,
+                   CAST(2 * rank() OVER (PARTITION BY lang ORDER BY x)
+                        + count(*) OVER (PARTITION BY lang, x) - 1
+                        AS BIGINT) AS r2x
+            FROM d
+        ), agg AS (
+            SELECT lang,
+                   CAST(sum(g1) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN g1 = 1 THEN r2x ELSE 0 END) AS BIGINT)
+                       AS rsum2x
+            FROM ranked GROUP BY 1
+        )
+        SELECT lang, n1, n2,
+               CAST(rsum2x - n1 * (n1 + 1) AS BIGINT) AS u2,
+               CAST((rsum2x - n1 * (n1 + 1)) * 1000000 // (n1 * n2)
+                    - 1000000 AS BIGINT) AS rb6
+        FROM agg ORDER BY lang
+    """,
+    "kendall_tau": f"""
+        WITH d AS (
+            SELECT lang, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS s1,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       * 1000000 // len(string_split(text, ' ')) AS s2
+            FROM documents
+        ), samp AS (
+            SELECT * FROM (
+                SELECT lang, doc_id, s1, s2,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM d) WHERE rn <= {_KENDALL_SAMPLE}
+        ), pairs AS (
+            SELECT a.lang,
+                   CASE WHEN (a.s1 < b.s1 AND a.s2 < b.s2)
+                          OR (a.s1 > b.s1 AND a.s2 > b.s2) THEN 1 ELSE 0 END AS con,
+                   CASE WHEN (a.s1 < b.s1 AND a.s2 > b.s2)
+                          OR (a.s1 > b.s1 AND a.s2 < b.s2) THEN 1 ELSE 0 END AS dis,
+                   CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END AS ty
+            FROM samp a JOIN samp b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ), agg AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(con) AS BIGINT) AS conc,
+                   CAST(sum(dis) AS BIGINT) AS disc,
+                   CAST(sum(tx) AS BIGINT) AS tx,
+                   CAST(sum(ty) AS BIGINT) AS ty
+            FROM pairs GROUP BY 1
+        )
+        SELECT lang, n0, conc, disc,
+               CAST(floor(CAST(conc - disc AS DOUBLE)
+                    / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS tau6
+        FROM agg ORDER BY lang
+    """,
+    "cramers_v": """
+        WITH obs AS (
+            SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+        ), row_t AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        col_t AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        n_t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        grid AS (
+            SELECT coalesce(o.o, 0) AS o,
+                   CAST(r.rt * c.ct AS DOUBLE) / n.n AS e
+            FROM row_t r CROSS JOIN col_t c
+            LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+            CROSS JOIN n_t n
+        ), stat AS (
+            SELECT floor(sum(pow(o - e, 2) / e) * 1e6 + 0.5) / 1e6 AS chi2,
+                   CAST(sum(o) AS BIGINT) AS n
+            FROM grid
+        ), rc AS (
+            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                   CAST(count(DISTINCT source) AS BIGINT) AS c
+            FROM documents
+        )
+        SELECT chi2, n,
+               CAST(least(r - 1, c - 1) AS BIGINT) AS min_dim,
+               CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5)
+                    AS BIGINT) AS v6
+        FROM stat CROSS JOIN rc
+    """,
     "bootstrap_ci": _bootstrap_oracle_sql(),
     "ks_two_sample": """
         WITH hist AS (
