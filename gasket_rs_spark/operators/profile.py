@@ -252,7 +252,80 @@ def _benford_oracle() -> str:
     """
 
 
+# FK edges of the fixture star schema: (edge name, child table, child
+# key, parent table, parent key). events.user_id→customer is the edge
+# most likely to drift (event streams outlive dimension snapshots).
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: child rows whose key has no parent (orphans — broken joins
+    waiting to happen) AND parent keys no child references (unreferenced
+    — the q22-idle-customers signal generalized). The check every
+    warehouse load runs before publishing a snapshot.
+
+    One row per edge: child row count, orphan rows, distinct orphan
+    keys, unreferenced parent keys. Pure integer counts — nothing to
+    snap.
+
+    Scale: per edge, the child side reduces to a (key → count) agg
+    BEFORE the join (map-side combinable; the join then carries one row
+    per distinct key, not per child row), joined full-outer to the
+    distinct parent keys — shuffle on 8-byte keys, dimension parents
+    broadcast by AQE. Edges are independent — the union evaluates them
+    in parallel."""
+    out = None
+    for edge, child_t, ck, parent_t, pk in _FK_EDGES:
+        child = (
+            load(spark, sf_dir, child_t)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        parent = load(spark, sf_dir, parent_t).select(F.col(pk).alias("k")).distinct()
+        j = child.join(parent.withColumn("p", F.lit(1)), "k", "full_outer")
+        row = j.agg(
+            F.sum(F.coalesce("c", F.lit(0))).cast("bigint").alias("n_child_rows"),
+            F.sum(F.when(F.col("p").isNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+            F.count_if(F.col("p").isNull()).cast("bigint").alias("n_orphan_keys"),
+            F.count_if(F.col("c").isNull()).cast("bigint").alias("n_unreferenced_parents"),
+        ).select(F.lit(edge).alias("edge"), "n_child_rows", "n_orphan_rows",
+                 "n_orphan_keys", "n_unreferenced_parents")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for edge, child_t, ck, parent_t, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{edge}' AS edge,
+               CAST(sum(coalesce(c, 0)) AS BIGINT) AS n_child_rows,
+               CAST(sum(CASE WHEN p IS NULL THEN c ELSE 0 END) AS BIGINT)
+                   AS n_orphan_rows,
+               CAST(count(*) FILTER (p IS NULL) AS BIGINT) AS n_orphan_keys,
+               CAST(count(*) FILTER (c IS NULL) AS BIGINT)
+                   AS n_unreferenced_parents
+        FROM (SELECT {ck} AS k, CAST(count(*) AS BIGINT) AS c
+              FROM {child_t} GROUP BY 1) ch
+        FULL OUTER JOIN (SELECT DISTINCT {pk} AS k, 1 AS p
+                         FROM {parent_t}) pa USING (k)""")
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
 ORACLES: dict[str, str] = {
+    "referential_integrity_audit": _ri_oracle(),
     "benford_digit_audit": _benford_oracle(),
     "dq_expectations": _DQ_ORACLE,
     "profile_columns": """

@@ -428,7 +428,213 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout keys (the locality-superior sibling of Z-order)
+# ---------------------------------------------------------------------------
+
+_H_BITS = 8  # 8 bits per dimension -> 16-bit Hilbert index
+
+
+def _hilbert_levels() -> list[int]:
+    return [1 << b for b in range(_H_BITS - 1, -1, -1)]  # 128, 64, .., 1
+
+
+def _hilbert_spark(df: DataFrame) -> DataFrame:
+    """Append hd = Hilbert index of (hx, hy) via the unrolled
+    quadrant-rotation recurrence. Two chained projections per level keep
+    Catalyst's project-collapse growth linear (each level's outputs
+    reference the previous level's columns at most twice). The quadrant
+    digit (3·rx)⊕ry is spelled arithmetically (3rx + ry − 2rx·ry) so the
+    oracle needs no engine-specific XOR operator."""
+    keep = [c for c in df.columns if c not in ("hx", "hy", "hd")]
+    for s in _hilbert_levels():
+        df = df.select(
+            *keep, "hd",
+            F.expr(f"hx div {s}").alias("rx"),
+            F.expr(f"hy div {s}").alias("ry"),
+            F.expr(f"hx % {s}").alias("xm"),
+            F.expr(f"hy % {s}").alias("ym"),
+        )
+        df = df.select(
+            *keep,
+            F.expr(f"hd + {s * s} * (3 * rx + ry - 2 * rx * ry)").alias("hd"),
+            F.expr(
+                f"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - ym"
+                " ELSE ym END ELSE xm END"
+            ).alias("hx"),
+            F.expr(
+                f"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - xm"
+                " ELSE xm END ELSE ym END"
+            ).alias("hy"),
+        )
+    return df.select(*keep, "hd")
+
+
+def _hilbert_sql(source_cte: str, keep: str) -> tuple[str, str]:
+    """The SAME per-level recurrence as chained MATERIALIZED CTEs (plain
+    CTEs inline and the expression tree grows exponentially — the BPE
+    lesson)."""
+    ctes = []
+    prev = source_cte
+    for i, s in enumerate(_hilbert_levels()):
+        cur = f"hlvl{i}"
+        ctes.append(
+            f"{cur} AS MATERIALIZED (\n"
+            f"  SELECT {keep},\n"
+            f"    hd + {s * s} * (3 * (hx // {s}) + (hy // {s})"
+            f" - 2 * (hx // {s}) * (hy // {s})) AS hd,\n"
+            f"    CASE WHEN hy // {s} = 0 THEN CASE WHEN hx // {s} = 1"
+            f" THEN {s - 1} - (hy % {s}) ELSE hy % {s} END"
+            f" ELSE hx % {s} END AS hx,\n"
+            f"    CASE WHEN hy // {s} = 0 THEN CASE WHEN hx // {s} = 1"
+            f" THEN {s - 1} - (hx % {s}) ELSE hx % {s} END"
+            f" ELSE hy % {s} END AS hy\n"
+            f"  FROM {prev})"
+        )
+        prev = cur
+    return ",\n".join(ctes), prev
+
+
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (l_partkey, l_suppkey) + the
+    same bucket audit as q_zorder_layout — the layout that strictly
+    dominates Z-order for multi-dimensional file skipping (every aligned
+    2^k×2^k quadrant is a CONTIGUOUS index range, so min/max zone maps
+    prune both dimensions; Morton buckets interleave rows from distant
+    quadrants at the 2^k boundaries).
+
+    The index is pure int64 arithmetic (div/mod/CASE — no floats, no
+    XOR), computed on the DISTINCT quantized key pairs (≤2^16 rows —
+    dimension-bounded at ANY corpus size) and the audit aggregates that
+    bounded frame; the fact table pays one (px, sy) count aggregation,
+    map-side combinable. At 100 TB the same kernel feeds
+    `repartitionByRange("hval")` before the write.
+
+    Pinned in tests/test_warehouse.py: bijectivity over the full 2^16
+    grid, unit-step adjacency (a Hamiltonian path), corner start, and
+    quadrant-contiguity at every scale k=1..7 — the defining property
+    Z-order lacks (its pin shows Morton VIOLATES it)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).cast("bigint").alias("px"),
+        (F.col("l_suppkey") % 256).cast("bigint").alias("sy"),
+    )
+    pairs = (
+        li.groupBy("px", "sy")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "px", "sy", "cnt",
+            F.col("px").alias("hx"), F.col("sy").alias("hy"),
+            F.lit(0).cast("bigint").alias("hd"),
+        )
+    )
+    hil = _hilbert_spark(pairs)
+    return (
+        hil.groupBy(F.shiftright("hd", 10).alias("h_bucket"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.min("px").alias("min_px"),
+            F.max("px").alias("max_px"),
+            F.min("sy").alias("min_sy"),
+            F.max("sy").alias("max_sy"),
+        )
+        .orderBy("h_bucket")
+    )
+
+
+def _hilbert_oracle() -> str:
+    ctes, last = _hilbert_sql("pairs", "px, sy, cnt")
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(l_partkey % 256 AS BIGINT) AS hx,
+                   CAST(l_suppkey % 256 AS BIGINT) AS hy,
+                   0::BIGINT AS hd
+            FROM lineitem GROUP BY 1, 2
+        ),
+        {ctes}
+        SELECT hd >> 10 AS h_bucket,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               min(px) AS min_px, max(px) AS max_px,
+               min(sy) AS min_sy, max(sy) AS max_sy
+        FROM {last}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (small-file bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 1024  # target rows per compacted output file
+
+
+def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: assign input files to target-size
+    output bins — the maintenance job every lakehouse table needs once
+    streaming ingest has produced thousands of under-sized files.
+
+    The file manifest is simulated from lineitem (file = 100-order key
+    range, ~400 rows each — SF-invariant); files are packed per
+    TABLE PARTITION (part_bucket = 64 consecutive files), the unit real
+    compaction jobs operate on, by the deterministic sorted-fill policy:
+    order files by (rows DESC, file_id), running-cumsum, bin =
+    (cum−1) div target. A bin can overflow by at most one file — the
+    standard greedy guarantee — and the whole plan is integer-exact.
+
+    Scale: the manifest is metadata-sized (#files, not #rows); the only
+    corpus-scale work is the per-file row count (map-side combinable).
+    The packing window is PARTITIONED by part_bucket — no global sort,
+    no single-partition window, arbitrarily many partitions pack in
+    parallel."""
+    files = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.expr("l_orderkey div 100").alias("file_id"))
+        .agg(F.count("*").cast("bigint").alias("rows"))
+        .withColumn("part_bucket", F.expr("file_id div 64"))
+    )
+    w = Window.partitionBy("part_bucket").orderBy(F.col("rows").desc(), "file_id")
+    packed = files.withColumn("cum", F.sum("rows").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - 1) div {_COMPACT_TARGET}")
+    )
+    return (
+        packed.groupBy("part_bucket", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("rows").cast("bigint").alias("bin_rows"),
+            F.min("rows").cast("bigint").alias("min_file_rows"),
+            F.max("rows").cast("bigint").alias("max_file_rows"),
+        )
+        .withColumn(
+            "fill6", F.expr(f"bin_rows * 1000000 div {_COMPACT_TARGET}").cast("bigint")
+        )
+        .orderBy("part_bucket", "bin_id")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "hilbert_layout": _hilbert_oracle(),
+    "compaction_bin_packing": f"""
+        WITH files AS (
+            SELECT l_orderkey // 100 AS file_id,
+                   CAST(count(*) AS BIGINT) AS rows
+            FROM lineitem GROUP BY 1
+        ), packed AS (
+            SELECT file_id // 64 AS part_bucket, file_id, rows,
+                   CAST(sum(rows) OVER (PARTITION BY file_id // 64
+                        ORDER BY rows DESC, file_id) AS BIGINT) AS cum
+            FROM files
+        )
+        SELECT part_bucket, (cum - 1) // {_COMPACT_TARGET} AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(rows) AS BIGINT) AS bin_rows,
+               CAST(min(rows) AS BIGINT) AS min_file_rows,
+               CAST(max(rows) AS BIGINT) AS max_file_rows,
+               CAST(sum(rows) * 1000000 // {_COMPACT_TARGET} AS BIGINT) AS fill6
+        FROM packed
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "incremental_agg_maintenance": """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,

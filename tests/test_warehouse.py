@@ -344,3 +344,97 @@ def test_incremental_agg_maintenance_equals_full_rebuild(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def _py_hilbert(px, sy):
+    """Pure-python re-spelling of the witness recurrence (verify the
+    PROPERTIES below, which are implementation-independent)."""
+    x, y, d = px, sy, 0
+    for s in [128, 64, 32, 16, 8, 4, 2, 1]:
+        rx, ry = x // s, y // s
+        d += s * s * (3 * rx + ry - 2 * rx * ry)
+        xm, ym = x % s, y % s
+        if ry == 0:
+            x, y = (s - 1 - ym, s - 1 - xm) if rx == 1 else (ym, xm)
+        else:
+            x, y = xm, ym
+    return d
+
+
+def test_hilbert_curve_properties():
+    """The defining Hilbert properties over the FULL 2^16 grid:
+    bijective, unit-step adjacent (a Hamiltonian path from (0,0)), and
+    every aligned 2^k x 2^k quadrant is a CONTIGUOUS index range — the
+    zone-map-pruning property Z-order (Morton) provably lacks."""
+    grid = {}
+    for x in range(256):
+        for y in range(256):
+            grid[(x, y)] = _py_hilbert(x, y)
+    ds = sorted(grid.values())
+    assert ds == list(range(65536))  # bijection
+    assert grid[(0, 0)] == 0  # corner start
+    by_d = {d: xy for xy, d in grid.items()}
+    for d in range(1, 65536):  # unit-step adjacency
+        (x0, y0), (x1, y1) = by_d[d - 1], by_d[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+    for k in range(1, 8):  # quadrant contiguity at every scale
+        q = {}
+        for (x, y), d in grid.items():
+            q.setdefault((x >> k, y >> k), []).append(d)
+        for ds_q in q.values():
+            assert max(ds_q) - min(ds_q) == (1 << (2 * k)) - 1
+
+    # contrast: Morton violates quadrant contiguity... in the OTHER
+    # direction — contiguous quadrants but NON-unit steps (jumps of up
+    # to 255+255 at quadrant boundaries kill run-length locality).
+    def morton(x, y):
+        z = 0
+        for b in range(8):
+            z += (((x >> b) & 1) << (2 * b + 1)) + (((y >> b) & 1) << (2 * b))
+        return z
+
+    mby_d = {morton(x, y): (x, y) for x in range(256) for y in range(256)}
+    max_step = max(
+        abs(mby_d[d - 1][0] - mby_d[d][0]) + abs(mby_d[d - 1][1] - mby_d[d][1])
+        for d in range(1, 65536)
+    )
+    assert max_step > 1  # Morton jumps; Hilbert never does
+
+
+def test_hilbert_spark_kernel_matches_python(spark):
+    """The unrolled Spark recurrence equals the python one on a
+    deterministic sample of the grid (all 4 corners + a diagonal band)."""
+    from gasket_rs_spark.operators.warehouse import _hilbert_spark
+
+    pts = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+    pts += [(0, 0), (255, 0), (0, 255), (255, 255)]
+    df = spark.createDataFrame(pts, "px: bigint, sy: bigint").selectExpr(
+        "px", "sy", "px AS hx", "sy AS hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    got = {(r["px"], r["sy"]): r["hd"] for r in _hilbert_spark(df).collect()}
+    assert got == {(x, y): _py_hilbert(x, y) for x, y in pts}
+
+
+def test_compaction_bins_cover_all_files_with_bounded_overflow(spark, sf_dir):
+    """Sorted-fill guarantees: every file lands in exactly one bin
+    (per-partition bin_rows sum to the partition's file rows) and a bin
+    overflows the target by less than its own largest file."""
+    from gasket_rs_spark.operators.warehouse import (
+        _COMPACT_TARGET,
+        q_compaction_bin_packing,
+    )
+    from gasket_rs_spark.tables import load
+    from pyspark.sql import functions as F
+
+    bins = q_compaction_bin_packing(spark, sf_dir).collect()
+    for r in bins:
+        assert r["bin_rows"] < _COMPACT_TARGET + r["max_file_rows"]
+    got_total = sum(r["bin_rows"] for r in bins)
+    want_total = load(spark, sf_dir, "lineitem").count()
+    assert got_total == want_total
+    got_files = sum(r["n_files"] for r in bins)
+    want_files = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.expr("l_orderkey div 100").alias("f")).distinct().count()
+    )
+    assert got_files == want_files
