@@ -1005,6 +1005,164 @@ def _ewma_oracle() -> str:
     """
 
 
+_MARKOV_ITERS = 20
+_MARKOV_START = 200_000  # 1e6 div 5 — uniform start mass in micro-units
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain: the
+    event-type transition matrix (consecutive events per user) powered
+    for 20 iterations from the uniform start — "where does a user
+    session end up spending its time?", the chain analysis behind
+    Markov attribution and journey simulation.
+
+    Determinism: the chain state is INTEGER micro-unit mass; each step
+    is π'_j = Σ_i (π_i·c_ij) div r_i — int64 multiply then truncating
+    div, identical on both engines, so unlike float power iteration
+    there is no summation-order surface at all. Truncation leaks ≤1
+    micro-unit per (i,j) term per step by design (documented, not
+    redistributed). The oracle unrolls the same 20 steps as
+    MATERIALIZED CTEs (the BPE/DoReMi pattern).
+
+    Scale: ONE corpus pass builds transitions (per-user lead window —
+    the sessionization shuffle); the 25-cell matrix and 5-row state
+    vector then iterate driver-side on broadcast-sized frames —
+    localCheckpoint per step, same discipline as pagerank."""
+    ev = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    trans = (
+        ev.select("user_id", "event_id", "ts_sec", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    m = (
+        trans.join(
+            trans.groupBy(F.col("src").alias("r_src")).agg(
+                F.sum("c").cast("bigint").alias("r")
+            ),
+            F.col("src") == F.col("r_src"),
+        )
+        .select("src", "dst", "c", "r")
+        .localCheckpoint(eager=True)
+    )
+    pi = (
+        m.select(F.col("src").alias("state")).distinct()
+        .select("state", F.lit(_MARKOV_START).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pi.join(m, pi.state == m.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum(F.expr("(v * c) div r")).cast("bigint").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.select("state", F.col("v").alias("pi_micro")).orderBy("state")
+
+
+def _markov_oracle() -> str:
+    ctes = ["""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts_sec, event_id) AS dst
+            FROM e
+        ), trans AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+            FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        ), m AS MATERIALIZED (
+            SELECT t.src, t.dst, t.c, r.r
+            FROM trans t
+            JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS r
+                  FROM trans GROUP BY 1) r ON r.src = t.src
+        ), pi0 AS MATERIALIZED (
+            SELECT DISTINCT src AS state,
+                   """ + f"{_MARKOV_START}::BIGINT AS v FROM m)"]
+    for i in range(_MARKOV_ITERS):
+        ctes.append(
+            f"""pi{i + 1} AS MATERIALIZED (
+            SELECT m.dst AS state,
+                   CAST(sum((p.v * m.c) // m.r) AS BIGINT) AS v
+            FROM pi{i} p JOIN m ON m.src = p.state
+            GROUP BY m.dst)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT state, v AS pi_micro FROM pi{_MARKOV_ITERS} ORDER BY state"
+    )
+
+
+def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream: every
+    purchase credits the click/view/signup touches of the same user in
+    the preceding 2 hours under THREE policies at once — last-touch,
+    first-touch, and linear (equal split) — the standard trio an
+    attribution dashboard compares before anyone argues about Shapley.
+
+    Per channel: conversions won under last/first-touch and the linear
+    credit mass. Determinism: touch ordering is (ts_sec, event_id) —
+    unique tiebreak; linear credit is floor(10⁶/k) micro-units per
+    touch (k = touches in the purchase's window) — identical integer
+    truncation on both engines, documented as deliberately not summing
+    to exactly 10⁶ per conversion (the remainder is dropped, not
+    redistributed).
+
+    Scale: one interval join purchases⋈touches on user_id bounded by
+    the 2 h window (the streaming interval-join state bound), one
+    window pair partitioned by purchase (per-purchase state is the
+    touch count, bounded by the window span), then a |channels|-row
+    aggregate."""
+    ev = _events_sec(spark, sf_dir)
+    touches = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts_sec").alias("t_sec"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_sec").alias("p_sec"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("t_sec") <= F.col("p_sec"))
+        & (F.col("t_sec") > F.col("p_sec") - 7200),
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_sec").desc(), F.col("touch_id").desc()
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy("t_sec", "touch_id")
+    k = Window.partitionBy("purchase_id")
+    credited = pairs.select(
+        "channel",
+        (F.row_number().over(w_last) == 1).cast("bigint").alias("is_last"),
+        (F.row_number().over(w_first) == 1).cast("bigint").alias("is_first"),
+        F.expr(f"1000000 div count(*) OVER (PARTITION BY purchase_id)").alias(
+            "lin_micro"
+        ),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.sum("is_last").cast("bigint").alias("n_last_touch"),
+            F.sum("is_first").cast("bigint").alias("n_first_touch"),
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("lin_micro").cast("bigint").alias("linear_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation function (Box & Jenkins 1970) of the
     zero-filled daily event-count series at lags 1..7 — the seasonality
@@ -1122,6 +1280,42 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "ewma_weekly": _ewma_oracle(),
+    "markov_stationary": _markov_oracle(),
+    "attribution_multi_touch": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), pairs AS (
+            SELECT p.event_id AS purchase_id, t.event_id AS touch_id,
+                   t.event_type AS channel, t.ts_sec AS t_sec
+            FROM e p JOIN e t
+              ON p.event_type = 'purchase'
+             AND t.event_type IN ('click', 'view', 'signup')
+             AND t.user_id = p.user_id
+             AND t.ts_sec <= p.ts_sec
+             AND t.ts_sec > p.ts_sec - 7200
+        ), credited AS (
+            SELECT channel,
+                   CASE WHEN row_number() OVER (PARTITION BY purchase_id
+                        ORDER BY t_sec DESC, touch_id DESC) = 1
+                        THEN 1 ELSE 0 END AS is_last,
+                   CASE WHEN row_number() OVER (PARTITION BY purchase_id
+                        ORDER BY t_sec, touch_id) = 1
+                        THEN 1 ELSE 0 END AS is_first,
+                   1000000 // count(*) OVER (PARTITION BY purchase_id)
+                       AS lin_micro
+            FROM pairs
+        )
+        SELECT channel,
+               CAST(sum(is_last) AS BIGINT) AS n_last_touch,
+               CAST(sum(is_first) AS BIGINT) AS n_first_touch,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(lin_micro) AS BIGINT) AS linear_micro
+        FROM credited
+        GROUP BY channel
+        ORDER BY channel
+    """,
     "acf_daily": """
         WITH counts AS (
             SELECT (epoch_ms(ts) // 1000) // 86400 AS day,

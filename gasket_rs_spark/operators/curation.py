@@ -470,7 +470,89 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LQC_BUCKETS = 64
+
+
+def _lqc_weights() -> list[int]:
+    """Pseudo-trained per-bucket weights in [-500, 499], derived from
+    md5 of the bucket index in PYTHON so both engines consume identical
+    literal ints (the JL-signs convention). Production replaces these
+    with real logistic-regression weights; the Spark plumbing — hashed
+    features, row-local dot product, thresholded keep — is the same."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:4], 16) % 1000 - 500
+        for b in range(_LQC_BUCKETS)
+    ]
+
+
+def q_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality classifier applied at corpus
+    scale: score(doc) = Σ_tokens w[h(token) mod 64] with a literal
+    weight table, keep iff score > 0 — the hashed-bag-of-words scorer
+    behind CCNet/fastText-quality filtering, minus the training (the
+    weight table is a deterministic md5 fixture; see _lqc_weights).
+
+    Per language: docs, kept docs, total score, keep-rate in
+    micro-units. Determinism: weights and scores are pure int64; the
+    per-token bucket is the engine-identical md5-hex-prefix integer.
+
+    Scale: scoring is ROW-LOCAL — one higher-order fold over the
+    token array inside whole-stage codegen (no explode shuffle, no
+    UDF); the only exchange is the |langs|-row final aggregate. At
+    100 TB this is the cheapest possible classifier pass: one scan,
+    one narrow map."""
+    warr = F.array(*[F.lit(w) for w in _lqc_weights()])
+    bucket = (
+        "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT)"
+        f" % {_LQC_BUCKETS}"
+    )
+    score = F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT),"
+        f" (acc, t) -> acc + element_at(warr, CAST({bucket} AS INT) + 1))"
+    )
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "warr", warr
+    ).select("lang", score.alias("score"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("bigint")).cast("bigint").alias("n_keep"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .withColumn("keep6", F.expr("n_keep * 1000000 div n_docs").cast("bigint"))
+        .orderBy("lang")
+    )
+
+
+def _lqc_oracle() -> str:
+    warr = "[" + ", ".join(str(w) for w in _lqc_weights()) + "]"
+    return f"""
+        WITH scored AS (
+            SELECT lang,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        t -> {warr}[CAST(('0x' || substr(md5(t), 1, 4))::BIGINT
+                                         % {_LQC_BUCKETS} AS INT) + 1]))
+                        AS BIGINT) AS score
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               CAST(sum(score) AS BIGINT) AS sum_score,
+               CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS keep6
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
 ORACLES: dict[str, str] = {
+    "linear_quality_classifier": _lqc_oracle(),
     "dsir_select": f"""
         WITH toks AS (
             SELECT doc_id, lang,

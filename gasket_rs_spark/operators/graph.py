@@ -128,29 +128,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_EDGE_Q = 0.9  # edge = co-purchase pair in the top decile of strength
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + global clustering coefficient of the STRONG
-    supplier co-purchase graph — edges are the top-decile pairs by
-    shared-order count (a data-derived p90 threshold: a fixed count
-    degenerates with corpus density — measured, co ≥ 2 yields a complete
-    clique at sf ≤ 0.01 and coefficient ≡ 1.0). The standard
-    node-iterator/ordered-adjacency formulation: edges stored once as
-    (a < b), triangles counted by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈
-    e3(a,c) with a < b < c — each triangle generated exactly once, no
-    dedup/division pass, join fan per edge bounded by node degree (at
-    100 TB the degeneracy-ordered variant of this exact plan is the
-    published MapReduce algorithm). Edge generation reuses the
-    market-basket shape: keyed on the ORDER, linear in orders, never
-    suppliers².
-
-    The p90 threshold comes from the CO-COUNT HISTOGRAM (distinct
-    shared-order counts — bounded by max basket statistics, ~hundreds of
-    rows), cumulated with a single-partition window over that bounded
-    frame (the Heaps-curve pattern) — never a global sort of the pairs.
-
-    Output: one row — n_edges, n_wedges, n_triangles, clustering
-    coefficient 3·triangles/wedges snapped at 6dp. EXACT oracle
-    (identical SQL)."""
+def _strong_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONG co-purchase edges (ea < eb), the shared input of
+    q_graph_triangles and q_local_clustering_coefficient — top-decile
+    pairs by shared-order count with the data-derived p90 threshold
+    (see q_graph_triangles for why a fixed count degenerates). The
+    returned frame is localCheckpointed: both consumers fan it into
+    5+ branches and the basket self-join is the dominant shuffle."""
     d = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -190,7 +174,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = cum.where(
         F.col("cum") >= F.ceil(F.lit(_TRI_EDGE_Q) * F.col("n_pairs"))
     ).agg(F.min("co").alias("thr"))
-    edges = (
+    return (
         co.crossJoin(F.broadcast(thr))
         .where(F.col("co") >= F.col("thr"))
         .select("ea", "eb")
@@ -198,6 +182,32 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cheap to materialize, saves 5 re-filters of co.
         .localCheckpoint(eager=True)
     )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the STRONG
+    supplier co-purchase graph — edges are the top-decile pairs by
+    shared-order count (a data-derived p90 threshold: a fixed count
+    degenerates with corpus density — measured, co ≥ 2 yields a complete
+    clique at sf ≤ 0.01 and coefficient ≡ 1.0). The standard
+    node-iterator/ordered-adjacency formulation: edges stored once as
+    (a < b), triangles counted by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈
+    e3(a,c) with a < b < c — each triangle generated exactly once, no
+    dedup/division pass, join fan per edge bounded by node degree (at
+    100 TB the degeneracy-ordered variant of this exact plan is the
+    published MapReduce algorithm). Edge generation reuses the
+    market-basket shape: keyed on the ORDER, linear in orders, never
+    suppliers².
+
+    The p90 threshold comes from the CO-COUNT HISTOGRAM (distinct
+    shared-order counts — bounded by max basket statistics, ~hundreds of
+    rows), cumulated with a single-partition window over that bounded
+    frame (the Heaps-curve pattern) — never a global sort of the pairs.
+
+    Output: one row — n_edges, n_wedges, n_triangles, clustering
+    coefficient 3·triangles/wedges snapped at 6dp. EXACT oracle
+    (identical SQL)."""
+    edges = _strong_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("ea").alias("node"))
         .unionByName(edges.select(F.col("eb").alias("node")))
@@ -234,7 +244,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRI_ORACLE = f"""
+# Shared CTE prefix: the strong-edge construction (SQL twin of
+# _strong_edges), reused by the triangles and local-clustering oracles.
+_EDGES_CTES = f"""
     WITH d AS (
         SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
     ), co AS (
@@ -255,7 +267,9 @@ _TRI_ORACLE = f"""
         WHERE cum >= ceil({_TRI_EDGE_Q} * n_pairs)
     ), edges AS (
         SELECT ea, eb FROM co, thr WHERE co.co >= thr.thr
-    ), deg AS (
+    )"""
+
+_TRI_ORACLE = _EDGES_CTES + """, deg AS (
         SELECT node, count(*) AS deg FROM (
             SELECT ea AS node FROM edges
             UNION ALL SELECT eb FROM edges
@@ -275,6 +289,80 @@ _TRI_ORACLE = f"""
                 THEN floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6
                 ELSE 0.0 END AS clustering_coeff
     FROM ne, w, tri
+"""
+
+
+def q_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    over the strong co-purchase graph — c(v) = triangles(v) / C(deg v,
+    2), the node-level drilldown of q_graph_triangles' single global
+    coefficient (which node sits in a tight clique vs a hub-and-spoke
+    star?).
+
+    Per-node triangle counts come from the SAME a<b<c ordered join
+    (each triangle found once), then credited to all three corners via
+    a 3-way union — no per-node neighborhood re-scan. Determinism:
+    counts are int64 and lcc6 = 2·tri·10⁶ div (deg·(deg−1)) is the
+    pure-integer micro-unit ratio — no floats at all.
+
+    Scale: shares _strong_edges' checkpointed decile frame with the
+    triangles witness; the credit union and both aggs shuffle on the
+    8-byte node key."""
+    edges = _strong_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("ea").alias("node"))
+        .unionByName(edges.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e1 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
+    e2 = edges.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
+    e3 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("tri"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("tri"),
+        )
+        .where(F.col("deg") >= 2)
+        .withColumn("lcc6", F.expr("2 * tri * 1000000 div (deg * (deg - 1))"))
+        .orderBy("node")
+    )
+
+
+_LCC_ORACLE = _EDGES_CTES + """, deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT ea AS node FROM edges
+            UNION ALL SELECT eb FROM edges
+        ) GROUP BY node
+    ), tris AS (
+        SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.ea = e1.eb
+        JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+    ), tri_per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+           CAST(2 * coalesce(t.tri, 0) * 1000000 // (d.deg * (d.deg - 1))
+                AS BIGINT) AS lcc6
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY d.node
 """
 
 
@@ -1030,6 +1118,7 @@ _LINKPRED_ORACLE = f"""
 ORACLES: dict[str, str] = {
     "graph_pagerank": _pr_oracle(),
     "graph_triangles": _TRI_ORACLE,
+    "local_clustering_coefficient": _LCC_ORACLE,
     "graph_kcore": _kcore_oracle(),
     "link_prediction": _LINKPRED_ORACLE,
     "adamic_adar": _aa_oracle(),

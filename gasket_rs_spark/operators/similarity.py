@@ -1192,6 +1192,105 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro precision@k curve for k = 1..10 of cosine retrieval
+    against label-match relevance — the metric that, unlike the single
+    scalar MRR, shows WHERE the ranking degrades (a cliff after k=3
+    means a different index than a flat slide). One row per cutoff:
+    total relevant retrieved across queries and prec@k in micro-units.
+
+    Determinism: rides the exact q_retrieval_mrr scoring (micro-unit
+    snapped cosines, unique (c6 DESC, vec_id) ranks); the curve itself
+    is a cumulative join of the bounded 10-row rel-at-rank frame
+    against the literal cutoffs, with prec6 = hits·10⁶ div (n_q·k) —
+    pure integers.
+
+    Scale: the corpus pass is the same broadcast-query score + top-10
+    window; everything after lives on ≤10 rows."""
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.floor(
+            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
+    rel_at_rank = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("rk")
+        .agg(
+            F.sum((F.col("label") == F.col("qlabel")).cast("bigint"))
+            .cast("bigint")
+            .alias("rel_r")
+        )
+    )
+    nq = queries.agg(F.count("*").cast("bigint").alias("n_q"))
+    ks = nq.select(
+        "n_q", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k")
+    )
+    return (
+        ks.join(broadcast(rel_at_rank), F.col("rk") <= F.col("k"))
+        .groupBy("k", "n_q")
+        .agg(F.sum("rel_r").cast("bigint").alias("hits"))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "hits",
+            "n_q",
+            F.expr("hits * 1000000 div (n_q * k)").cast("bigint").alias("prec6"),
+        )
+        .orderBy("k")
+    )
+
+
+_PREC_ORACLE = """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ), p AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               d.vec_id, d.label,
+               CAST(floor(list_dot_product(q.vec, d.vec)
+                          / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+        FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+    ), r AS (
+        SELECT query_id, qlabel, label, c6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c6 DESC, vec_id) AS rk
+        FROM p
+    ), rel AS (
+        SELECT rk, CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rel_r
+        FROM r WHERE rk <= 10 GROUP BY rk
+    ), nq AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_q FROM v WHERE vec_id % 100 = 0
+    ), ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(rel_r) AS BIGINT) AS hits,
+           n_q,
+           CAST(sum(rel_r) * 1000000 // (n_q * k) AS BIGINT) AS prec6
+    FROM ks CROSS JOIN nq JOIN rel ON rel.rk <= ks.k
+    GROUP BY k, n_q
+    ORDER BY k
+"""
+
+
 _JL_K = 8  # projected dimensionality (64 -> 8)
 _JL_BUCKET = 50_000  # 0.05-wide distortion-ratio histogram buckets
 
@@ -1576,6 +1675,7 @@ ORACLES: dict[str, str] = {
     "rrf_fusion": _rrf_oracle(),
     "retrieval_ndcg": _ndcg_oracle(),
     "retrieval_mrr": _mrr_oracle(),
+    "precision_at_k": _PREC_ORACLE,
     "jl_projection": _jl_oracle(),
     "maxsim_late_interaction": f"""
         WITH v AS (
