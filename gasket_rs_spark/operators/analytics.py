@@ -1005,6 +1005,178 @@ def _ewma_oracle() -> str:
     """
 
 
+_HOLT_OFF_L = 1 << 30
+_HOLT_OFF_B = 1 << 31
+_HOLT_SHIFT = 1 << 32
+_HOLT_H = 7  # forecast horizon (days)
+
+
+def _holt_fold_sql(xs: str) -> str:
+    """The shared Holt(α=β=¼) integer fold body: state (level, trend)
+    in milli-units packed into ONE int64 — (OFF_L+l)·2³² + (OFF_B+b) —
+    because DuckDB's list_reduce accumulator must have the element
+    type. The first combine call sees the raw x₀ (< 2³², unambiguous)
+    and initializes l=x₁·1000, b=(x₁−x₀)·1000; every later step is the
+    classical recurrence with truncating integer division:
+    l' = (x·1000 + 3(l+b)) div 4, b' = ((l'−l) + 3b) div 4."""
+    s, ol, ob = _HOLT_SHIFT, _HOLT_OFF_L, _HOLT_OFF_B
+    return (
+        f"(acc, x) -> CASE WHEN acc < {s} THEN"
+        f" ({ol} + x * 1000) * {s} + ({ob} + (x - acc) * 1000)"
+        f" ELSE"
+        f" ({ol} + (x * 1000 + 3 * ((acc div {s} - {ol}) + (acc % {s} - {ob})))"
+        f" div 4) * {s}"
+        f" + ({ob} + (((x * 1000 + 3 * ((acc div {s} - {ol}) + (acc % {s} - {ob})))"
+        f" div 4 - (acc div {s} - {ol})) + 3 * (acc % {s} - {ob})) div 4)"
+        f" END"
+    )
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (Holt 1957, α=β=¼) of the
+    zero-filled daily event counts per type, with the 7-day-ahead
+    linear forecast — the trend-aware capacity-planning estimate EWMA
+    (level-only) can't give.
+
+    The recurrence is inherently sequential, so it runs as ONE
+    higher-order fold over the bounded per-type daily array (sorted
+    via sort_array(collect_list(struct)) — collect_list alone has no
+    order guarantee), with the (level, trend) state packed into a
+    single int64 (see _holt_fold_sql). All arithmetic is int64 with
+    truncating division — identical on both engines; DuckDB folds the
+    same packed lambda through list_reduce over list(c ORDER BY day).
+
+    Scale: the corpus pays one (type, day) count agg; each fold runs
+    over a calendar-bounded array (≤ tens of thousands of elements for
+    decades) — per-type state is one int64, types fold in parallel."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    days = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    grid = (
+        counts.select("event_type").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+        )
+    )
+    arrs = grid.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, c))), s -> s.c)"
+        ).alias("xs")
+    )
+    folded = arrs.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1),"
+            " element_at(xs, 1),"
+            f" {_holt_fold_sql('xs')})"
+        ).alias("acc"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr(f"acc div {_HOLT_SHIFT} - {_HOLT_OFF_L}").alias("level_milli"),
+        F.expr(f"acc % {_HOLT_SHIFT} - {_HOLT_OFF_B}").alias("trend_milli"),
+        F.expr(
+            f"(acc div {_HOLT_SHIFT} - {_HOLT_OFF_L})"
+            f" + {_HOLT_H} * (acc % {_HOLT_SHIFT} - {_HOLT_OFF_B})"
+        ).alias("forecast7_milli"),
+    ).orderBy("event_type")
+
+
+def _holt_oracle() -> str:
+    fold = _holt_fold_sql("xs").replace(" div ", " // ")
+    return f"""
+        WITH e AS (
+            SELECT event_type, (epoch_ms(ts) // 1000) // 86400 AS day
+            FROM events
+        ), counts AS (
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2
+        ), rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+        grid AS (
+            SELECT t.event_type, gs.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM (SELECT DISTINCT event_type FROM counts) t
+            CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day
+                        FROM rng) gs
+            LEFT JOIN counts c ON c.event_type = t.event_type
+                              AND c.day = gs.day
+        ), arrs AS (
+            SELECT event_type, list(c ORDER BY day) AS xs
+            FROM grid GROUP BY 1
+        ), folded AS (
+            SELECT event_type,
+                   CAST(len(xs) AS BIGINT) AS n_days,
+                   list_reduce(xs, {fold}) AS acc
+            FROM arrs
+        )
+        SELECT event_type, n_days,
+               acc // {_HOLT_SHIFT} - {_HOLT_OFF_L} AS level_milli,
+               acc % {_HOLT_SHIFT} - {_HOLT_OFF_B} AS trend_milli,
+               (acc // {_HOLT_SHIFT} - {_HOLT_OFF_L})
+                   + {_HOLT_H} * (acc % {_HOLT_SHIFT} - {_HOLT_OFF_B})
+                   AS forecast7_milli
+        FROM folded ORDER BY event_type
+    """
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Börzsönyi et al. 2001): the Pareto frontier of
+    parts under (price minimized, size maximized) — "no other part is
+    both cheaper and at least as large" — the multi-criteria shortlist
+    operator a global sort can't express and a naive formulation makes
+    quadratic.
+
+    Distributive trick: with size ∈ [1, 50] the dominance tests reduce
+    to the bounded per-size price-minima table — keep (p, s) iff
+    p = min_price(size = s) AND p < min_price(size > s) — so the corpus
+    pays one groupBy(size) agg; the ≤50-row minima frame computes its
+    suffix minima via a bounded self-join and broadcasts back. Prices
+    compare in exact cents (the 2dp grid), no floats.
+
+    Scale: this is the textbook distributed-skyline shape (local minima
+    per partition combine map-side; the frontier itself is bounded by
+    the dominance dimension's cardinality)."""
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    per_size = parts.groupBy(F.col("p_size").alias("ms")).agg(
+        F.min("cents").alias("min_eq")
+    )
+    suffix = (
+        per_size.alias("a")
+        .join(
+            per_size.alias("b").select(
+                F.col("ms").alias("bs"), F.col("min_eq").alias("bmin")
+            ),
+            F.col("bs") > F.col("ms"),
+            "left",
+        )
+        .groupBy("ms", "min_eq")
+        .agg(F.min("bmin").alias("min_gt"))
+    )
+    return (
+        parts.join(F.broadcast(suffix), F.col("p_size") == F.col("ms"))
+        .where(
+            (F.col("cents") == F.col("min_eq"))
+            & (F.col("min_gt").isNull() | (F.col("cents") < F.col("min_gt")))
+        )
+        .select("p_partkey", "p_size", "cents")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
 _MARKOV_ITERS = 20
 _MARKOV_START = 200_000  # 1e6 div 5 — uniform start mass in micro-units
 
@@ -1281,6 +1453,26 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "ewma_weekly": _ewma_oracle(),
     "markov_stationary": _markov_oracle(),
+    "holt_linear_forecast": _holt_oracle(),
+    "skyline_pareto": """
+        WITH parts AS (
+            SELECT p_partkey, p_size,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM part
+        ), per_size AS (
+            SELECT p_size AS ms, CAST(min(cents) AS BIGINT) AS min_eq
+            FROM parts GROUP BY 1
+        ), suffix AS (
+            SELECT a.ms, a.min_eq, CAST(min(b.min_eq) AS BIGINT) AS min_gt
+            FROM per_size a LEFT JOIN per_size b ON b.ms > a.ms
+            GROUP BY 1, 2
+        )
+        SELECT p.p_partkey, p.p_size, p.cents
+        FROM parts p JOIN suffix s ON p.p_size = s.ms
+        WHERE p.cents = s.min_eq
+          AND (s.min_gt IS NULL OR p.cents < s.min_gt)
+        ORDER BY p.p_size, p.p_partkey
+    """,
     "attribution_multi_touch": """
         WITH e AS (
             SELECT user_id, event_id, event_type,

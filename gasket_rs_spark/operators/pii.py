@@ -172,7 +172,60 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L_DIV = 3  # minimum distinct sensitive values per equivalence class
+_L_QI_BUCKET = 500  # n_chars quantization for the quasi-identifier
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007) — the stronger
+    release gate after k-anonymity: within each quasi-identifier class
+    (lang, n_chars-bucket) the SENSITIVE attribute (source) must take
+    at least l = 3 distinct values, else membership in the class leaks
+    the sensitive value even when the class is large.
+
+    One row: l, classes, violating classes, docs at risk, and the
+    minimum observed diversity. Pure integer counts (count_distinct per
+    class) — nothing to snap. Scale: one map-side-combinable groupBy on
+    the QI pair; everything after is the bounded class frame."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"n_chars div {_L_QI_BUCKET}").alias("len_bucket"),
+        "source",
+    )
+    classes = docs.groupBy("lang", "len_bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("source").cast("bigint").alias("l_div"),
+    )
+    return classes.agg(
+        F.lit(_L_DIV).cast("bigint").alias("l"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum((F.col("l_div") < _L_DIV).cast("bigint")).cast("bigint").alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("l_div") < _L_DIV, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+        F.min("l_div").cast("bigint").alias("min_l"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l_diversity_audit": f"""
+        WITH classes AS (
+            SELECT lang, n_chars // {_L_QI_BUCKET} AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT source) AS BIGINT) AS l_div
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT CAST({_L_DIV} AS BIGINT) AS l,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN l_div < {_L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_classes,
+               CAST(sum(CASE WHEN l_div < {_L_DIV} THEN n ELSE 0 END) AS BIGINT)
+                   AS n_docs_at_risk,
+               CAST(min(l_div) AS BIGINT) AS min_l
+        FROM classes
+    """,
     "dp_noisy_counts": f"""
         WITH counts AS (
             SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -1432,6 +1432,72 @@ _NEYMAN_ORACLE = f"""
 """
 
 
+_ROC_POINTS = 20  # evenly spaced thresholds across the score range
+
+
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points for the same signal/label pair as q_auc_exact
+    (n_chars separating English docs): TPR/FPR at 21 evenly spaced
+    thresholds — the curve the scalar AUC collapses; reading it shows
+    WHERE the filter threshold should sit.
+
+    Determinism: thresholds are the pure-integer grid
+    t_i = min + i·(max−min) div 20; tp/fp counts are int64 over the
+    bounded score histogram; rates are hits·10⁶ div totals. No floats.
+
+    Scale: rides the same bounded value-histogram as the AUC witness
+    (one map-side-combinable groupBy, corpus-independent row count);
+    the 21-threshold grid crosses the histogram broadcast-side."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.col("n_chars").cast("bigint").alias("s"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").cast("bigint").alias("np"),
+            F.sum(1 - F.col("pos")).cast("bigint").alias("nn"),
+        )
+        .localCheckpoint(eager=True)  # bounded rows; range + cross consumers
+    )
+    rng = hist.agg(
+        F.min("s").alias("s_min"),
+        F.max("s").alias("s_max"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+    thresholds = rng.select(
+        "n_pos",
+        "n_neg",
+        F.explode(F.sequence(F.lit(0), F.lit(_ROC_POINTS))).alias("i"),
+        "s_min",
+        "s_max",
+    ).select(
+        "i",
+        "n_pos",
+        "n_neg",
+        F.expr(f"s_min + i * (s_max - s_min) div {_ROC_POINTS}").alias("thr"),
+    )
+    return (
+        thresholds.join(F.broadcast(hist), F.col("s") >= F.col("thr"))
+        .groupBy("i", "thr", "n_pos", "n_neg")
+        .agg(
+            F.sum("np").cast("bigint").alias("tp"),
+            F.sum("nn").cast("bigint").alias("fp"),
+        )
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            "thr",
+            "tp",
+            "fp",
+            F.expr("tp * 1000000 div n_pos").cast("bigint").alias("tpr6"),
+            F.expr("fp * 1000000 div n_neg").cast("bigint").alias("fpr6"),
+        )
+        .orderBy("i")
+    )
+
+
 def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test (Mann & Whitney 1947) per language:
     does the lexicographically-first source's doc-length distribution
@@ -1610,6 +1676,33 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "neyman_allocation": _NEYMAN_ORACLE,
     "spearman_quality_corr": _SPEARMAN_ORACLE,
+    "roc_curve": f"""
+        WITH hist AS (
+            SELECT CAST(n_chars AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS np,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+                       AS nn
+            FROM documents GROUP BY 1
+        ), rng AS (
+            SELECT min(s) AS s_min, max(s) AS s_max,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg
+            FROM hist
+        ), thr AS (
+            SELECT i, n_pos, n_neg,
+                   s_min + i * (s_max - s_min) // {_ROC_POINTS} AS thr
+            FROM rng, (SELECT unnest(generate_series(0, {_ROC_POINTS})) AS i)
+        )
+        SELECT CAST(t.i AS BIGINT) AS i, t.thr,
+               CAST(sum(h.np) AS BIGINT) AS tp,
+               CAST(sum(h.nn) AS BIGINT) AS fp,
+               CAST(sum(h.np) * 1000000 // t.n_pos AS BIGINT) AS tpr6,
+               CAST(sum(h.nn) * 1000000 // t.n_neg AS BIGINT) AS fpr6
+        FROM thr t JOIN hist h ON h.s >= t.thr
+        GROUP BY t.i, t.thr, t.n_pos, t.n_neg
+        ORDER BY t.i
+    """,
     "mann_whitney_u": """
         WITH d AS (
             SELECT lang, CAST(n_chars AS BIGINT) AS x,
