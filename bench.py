@@ -181,6 +181,28 @@ EXTRAS = [
     "conformal_quantile",
     "sketch_count_sketch",
     "rendezvous_hashing",
+    # round-11 session-2 additions (TPC-H completion + wave 4/5)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lateness",
+    "tpch_q20_part_promotion",
+    "mann_whitney_u",
+    "kendall_tau",
+    "cramers_v",
+    "acf_daily",
+    "cusum_changepoint",
+    "hilbert_layout",
+    "compaction_bin_packing",
+    "referential_integrity_audit",
+    "attribution_multi_touch",
+    "markov_stationary",
+    "local_clustering_coefficient",
+    "precision_at_k",
+    "linear_quality_classifier",
+    "skyline_pareto",
+    "roc_curve",
+    "l_diversity_audit",
+    "holt_linear_forecast",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
