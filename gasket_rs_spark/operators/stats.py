@@ -1432,6 +1432,130 @@ _NEYMAN_ORACLE = f"""
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    weighted order statistic (lower weighted median: smallest value v
+    with 2·W(≤v) ≥ W_total) a pricing analysis needs when line items
+    carry different volumes; plain median over rows answers a different
+    question.
+
+    Determinism: prices collapse to exact cents, weights to int64
+    quantities; the cumulative weight runs over the (flag, cents)
+    HISTOGRAM (value-unique per group, so the window order needs no
+    row tiebreak), and the pick `min(cents | 2·cum ≥ tot)` is pure
+    integer comparison.
+
+    Scale: one map-side-combinable (flag, cents) agg collapses the
+    corpus to the bounded value histogram; the per-flag window sorts
+    only histogram rows (distributed per-stratum sort — the rank-
+    statistic cost), then a |flags|-row aggregate."""
+    hist = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("q").cast("bigint").alias("w"))
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(win).cast("bigint").alias("cum"),
+        F.sum("w").over(tot).cast("bigint").alias("totw"),
+    )
+    return (
+        cum.where(2 * F.col("cum") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+            F.max("totw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WILSON_THR = 50.0  # "success" = event value at or above this
+_WILSON_Z = 1.96  # 95% two-sided normal quantile, literal on both engines
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (Wilson 1927) for the per-event-type
+    success proportion (value ≥ 50) — the CI every conversion/accept
+    dashboard should use instead of the Wald interval that collapses
+    at small n or extreme p.
+
+    Determinism: k and n are exact int64; p = k/n and the whole
+    center±radius expression are IEEE ops on identical inputs spelled
+    identically on both engines, with ONE sqrt (the Neyman rule), then
+    floor-snapped to micro-units as integer lo6/hi6 columns (no ±0.0
+    surface). z = 1.96 and z² = 3.8416 are decimal literals that parse
+    to the same doubles everywhere.
+
+    Scale: one map-side-combinable count aggregate; the interval math
+    lives on the |types|-row frame."""
+    z2 = _WILSON_Z * _WILSON_Z
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("value") >= _WILSON_THR).cast("bigint"))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    expr = (
+        "CAST(k AS DOUBLE) / n"  # p
+    )
+    lo = (
+        f"((({expr}) + {z2} / (2 * n)) - {_WILSON_Z} * sqrt(((({expr})"
+        f" * (1.0 - ({expr}))) + {z2} / (4 * n * CAST(n AS DOUBLE))) / n))"
+        f" / (1.0 + {z2} / n)"
+    )
+    hi = lo.replace(f"- {_WILSON_Z} * sqrt", f"+ {_WILSON_Z} * sqrt")
+    return agg.select(
+        "event_type",
+        "k",
+        "n",
+        F.expr(f"CAST(floor(({lo}) * 1e6 + 0.5) AS BIGINT)").alias("lo6"),
+        F.expr(f"CAST(floor(({hi}) * 1e6 + 0.5) AS BIGINT)").alias("hi6"),
+    ).orderBy("event_type")
+
+
+def _wilson_oracle() -> str:
+    z2 = _WILSON_Z * _WILSON_Z
+    expr = "CAST(k AS DOUBLE) / n"
+    lo = (
+        f"((({expr}) + {z2} / (2 * n)) - {_WILSON_Z} * sqrt(((({expr})"
+        f" * (1.0 - ({expr}))) + {z2} / (4 * n * CAST(n AS DOUBLE))) / n))"
+        f" / (1.0 + {z2} / n)"
+    )
+    hi = lo.replace(f"- {_WILSON_Z} * sqrt", f"+ {_WILSON_Z} * sqrt")
+    return f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN value >= {_WILSON_THR} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, k, n,
+               CAST(floor(({lo}) * 1e6 + 0.5) AS BIGINT) AS lo6,
+               CAST(floor(({hi}) * 1e6 + 0.5) AS BIGINT) AS hi6
+        FROM agg ORDER BY event_type
+    """
+
+
 _ROC_POINTS = 20  # evenly spaced thresholds across the score range
 
 
@@ -1676,6 +1800,28 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "neyman_allocation": _NEYMAN_ORACLE,
     "spearman_quality_corr": _SPEARMAN_ORACLE,
+    "wilson_ci": _wilson_oracle(),
+    "weighted_median": """
+        WITH hist AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT l_returnflag, cents,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                       AS totw
+            FROM hist
+        )
+        SELECT l_returnflag,
+               CAST(min(cents) AS BIGINT) AS wmedian_cents,
+               CAST(max(totw) AS BIGINT) AS total_weight
+        FROM cum WHERE 2 * cum >= totw
+        GROUP BY 1 ORDER BY 1
+    """,
     "roc_curve": f"""
         WITH hist AS (
             SELECT CAST(n_chars AS BIGINT) AS s,

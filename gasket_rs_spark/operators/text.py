@@ -1823,7 +1823,76 @@ _READABILITY_ORACLE = """
 """
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-
+    similarity matrix a mixture designer reads before merging or
+    reweighting corpora (two sources with 0.9 vocab overlap are not two
+    domains). For every source pair (sa < sb): |A∩B|, |A|, |B| and
+    Jaccard in micro-units.
+
+    Determinism: pure set counts (distinct (source, token)) and the
+    integer micro ratio inter·10⁶ div (na + nb − inter).
+
+    Scale: the corpus collapses to the distinct (source, token) frame
+    in one combinable agg; the intersection join shuffles on the token
+    (linear in vocab × source-incidence, never docs²); per-source sizes
+    broadcast onto the bounded |sources|² output."""
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy(F.col("source").alias("sz_src")).agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    a = vocab.select(F.col("source").alias("sa"), "tok")
+    b = vocab.select(F.col("source").alias("sb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes), F.col("sa") == F.col("sz_src"))
+        .withColumnRenamed("sz", "na")
+        .drop("sz_src")
+        .join(F.broadcast(sizes), F.col("sb") == F.col("sz_src"))
+        .withColumnRenamed("sz", "nb")
+        .drop("sz_src")
+        .select(
+            "sa", "sb", "inter", "na", "nb",
+            F.expr("inter * 1000000 div (na + nb - inter)")
+            .cast("bigint")
+            .alias("jaccard6"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+_VOCAB_OVERLAP_ORACLE = """
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS sz FROM vocab GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+        FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.sa, i.sb, i.inter, x.sz AS na, y.sz AS nb,
+           CAST(i.inter * 1000000 // (x.sz + y.sz - i.inter) AS BIGINT)
+               AS jaccard6
+    FROM inter i
+    JOIN sizes x ON x.source = i.sa
+    JOIN sizes y ON y.source = i.sb
+    ORDER BY i.sa, i.sb
+"""
+
+
 ORACLES: dict[str, str] = {
+    "source_vocab_overlap": _VOCAB_OVERLAP_ORACLE,
     "text_readability": _READABILITY_ORACLE,
     "winnowing_fingerprint": _WINNOW_ORACLE,
     "collocation_pmi": _PMI_ORACLE,

@@ -102,3 +102,77 @@ def test_holt_matches_pure_python_fold(spark, sf_dir):
         for r in q_holt_linear_forecast(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_weighted_median_matches_pure_python(spark, sf_dir):
+    from gasket_rs_spark.operators.stats import q_weighted_median
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    per_flag = defaultdict(lambda: defaultdict(int))
+    for f, p, q in zip(t["l_returnflag"].to_pylist(),
+                       t["l_extendedprice"].to_pylist(),
+                       t["l_quantity"].to_pylist()):
+        per_flag[f][math.floor(p * 100 + 0.5)] += int(q)
+    want = {}
+    for f, hist in per_flag.items():
+        tot = sum(hist.values())
+        cum = 0
+        for cents in sorted(hist):
+            cum += hist[cents]
+            if 2 * cum >= tot:
+                want[f] = (cents, tot)
+                break
+    got = {r["l_returnflag"]: (r["wmedian_cents"], r["total_weight"])
+           for r in q_weighted_median(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_wilson_ci_brackets_p_and_matches_python(spark, sf_dir):
+    from gasket_rs_spark.operators.stats import (
+        _WILSON_THR,
+        _WILSON_Z,
+        q_wilson_ci,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"])
+    agg = defaultdict(lambda: [0, 0])
+    for ty, v in zip(t["event_type"].to_pylist(), t["value"].to_pylist()):
+        agg[ty][0] += 1
+        agg[ty][1] += v >= _WILSON_THR
+    z2 = _WILSON_Z * _WILSON_Z
+    want = {}
+    for ty, (n, k) in agg.items():
+        p = k / n
+        center = p + z2 / (2 * n)
+        rad = _WILSON_Z * math.sqrt((p * (1.0 - p) + z2 / (4 * n * float(n))) / n)
+        denom = 1.0 + z2 / n
+        want[ty] = (k, n, math.floor((center - rad) / denom * 1e6 + 0.5),
+                    math.floor((center + rad) / denom * 1e6 + 0.5))
+    got = {r["event_type"]: (r["k"], r["n"], r["lo6"], r["hi6"])
+           for r in q_wilson_ci(spark, sf_dir).collect()}
+    assert got == want
+    for ty, (k, n, lo6, hi6) in got.items():
+        assert 0 <= lo6 <= k * 1_000_000 // n <= hi6 <= 1_000_000
+
+
+def test_source_vocab_overlap_is_symmetric_jaccard(spark, sf_dir):
+    from gasket_rs_spark.operators.text import q_source_vocab_overlap
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    vocab = defaultdict(set)
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        vocab[s].update(txt.split(" "))
+    srcs = sorted(vocab)
+    want = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(vocab[sa] & vocab[sb])
+            na, nb = len(vocab[sa]), len(vocab[sb])
+            want[(sa, sb)] = (inter, na, nb,
+                              inter * 1000000 // (na + nb - inter))
+    got = {(r["sa"], r["sb"]): (r["inter"], r["na"], r["nb"], r["jaccard6"])
+           for r in q_source_vocab_overlap(spark, sf_dir).collect()}
+    assert got == want
