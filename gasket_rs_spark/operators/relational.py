@@ -917,6 +917,76 @@ def q_tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate with a deterministic tiebreak: the most frequent
+    order priority per market segment (count DESC, then priority ASC so
+    equal counts can't flip the answer between runs or engines) —
+    realized as the count-then-row_number argmax, the engine-portable
+    spelling of MODE() WITHIN GROUP.
+
+    Scale: (segment, priority) counts combine map-side; the argmax
+    window runs on the bounded |segments|×|priorities| frame."""
+    counts = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the finished-order key sequence ('F'
+    status punches holes in the dense orderkey range): island count,
+    key span, and total missing keys — the sequence-integrity audit for
+    any monotonically-keyed ingest.
+
+    The classic key − row_number() island id needs a GLOBAL window; at
+    100 TB that is a single-partition sort, so islands are counted
+    WITHOUT it: an island start is a key whose predecessor key is
+    absent (left-anti self-join on key−1, shuffle on the 8-byte key),
+    and the missing-key total is pure arithmetic on min/max/count. All
+    int64."""
+    keys = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    starts = keys.join(
+        keys.select((F.col("k") + 1).alias("k")), "k", "left_anti"
+    )
+    stats = keys.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.min("k").cast("bigint").alias("key_min"),
+        F.max("k").cast("bigint").alias("key_max"),
+    )
+    n_islands = starts.agg(F.count("*").cast("bigint").alias("n_islands"))
+    return (
+        stats.crossJoin(F.broadcast(n_islands))
+        .select(
+            "n_keys",
+            "key_min",
+            "key_max",
+            "n_islands",
+            (F.col("key_max") - F.col("key_min") + 1 - F.col("n_keys"))
+            .cast("bigint")
+            .alias("total_missing"),
+        )
+    )
+
+
 def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped: minimum-cost supplier (the correlated-MIN subquery).
 
@@ -1927,6 +1997,35 @@ ORACLES: dict[str, str] = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "agg_mode": """
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, o_orderpriority AS mode_priority,
+               n AS mode_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY n DESC, o_orderpriority) AS rn
+              FROM counts)
+        WHERE rn = 1
+        ORDER BY c_mktsegment
+    """,
+    "gaps_islands": """
+        WITH keys AS (
+            SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ), starts AS (
+            SELECT a.k FROM keys a LEFT JOIN keys b ON b.k = a.k - 1
+            WHERE b.k IS NULL
+        )
+        SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+               CAST((SELECT min(k) FROM keys) AS BIGINT) AS key_min,
+               CAST((SELECT max(k) FROM keys) AS BIGINT) AS key_max,
+               CAST((SELECT count(*) FROM starts) AS BIGINT) AS n_islands,
+               CAST((SELECT max(k) FROM keys) - (SELECT min(k) FROM keys) + 1
+                    - (SELECT count(*) FROM keys) AS BIGINT) AS total_missing
     """,
     "tpch_q2_min_cost_supplier": """
         WITH eu_supp AS (

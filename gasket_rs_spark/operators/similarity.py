@@ -1291,6 +1291,137 @@ _PREC_ORACLE = """
 """
 
 
+def q_ranker_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired ranker comparison: cosine vs raw dot-product retrieval
+    judged per query by DCG@10 against label-match relevance, reported
+    as wins/ties/losses + mean DCG delta — the offline A/B readout that
+    decides a ranker swap (a win-rate with per-query pairing, not two
+    unpaired averages).
+
+    Determinism: both scores snap from the SAME pair dot product
+    (cosine at 1e-6 after norm division, raw dot at 1e-3), DCG weights
+    are the Python-inlined literal table (no engine evaluates log2),
+    and wins/deltas are pure int64. The dot-product fold is evaluated
+    once per snap (2× per pair) — still one corpus pass, noted as the
+    price of sharing the scan between two rankers.
+
+    Scale: one broadcast-query corpus pass, two per-query top-10
+    windows over the same exchange, then a 1-row aggregate."""
+    w6, _ = _ndcg_weights()
+    emb = _with_vec(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = _dot(F.col("qvec"), F.col("vec"))
+    scored = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.floor(dot / (F.col("qnrm") * F.col("nrm")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c6"),
+        F.floor(dot * 1e3 + F.lit(0.5)).cast("bigint").alias("d3"),
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
+    wb = Window.partitionBy("query_id").orderBy(F.col("d3").desc(), "vec_id")
+    warr = F.array(*[F.lit(x) for x in w6])
+    rel = F.col("label") == F.col("qlabel")
+    per_q = (
+        scored.select(
+            "query_id",
+            F.when(rel, 1).otherwise(0).alias("r"),
+            F.row_number().over(wa).alias("rka"),
+            F.row_number().over(wb).alias("rkb"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r") == 1) & (F.col("rka") <= 10),
+                    F.element_at(warr, F.col("rka")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dcga6"),
+            F.sum(
+                F.when(
+                    (F.col("r") == 1) & (F.col("rkb") <= 10),
+                    F.element_at(warr, F.col("rkb")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dcgb6"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum((F.col("dcga6") > F.col("dcgb6")).cast("bigint"))
+        .cast("bigint")
+        .alias("a_wins"),
+        F.sum((F.col("dcgb6") > F.col("dcga6")).cast("bigint"))
+        .cast("bigint")
+        .alias("b_wins"),
+        F.sum((F.col("dcga6") == F.col("dcgb6")).cast("bigint"))
+        .cast("bigint")
+        .alias("ties"),
+        F.sum(F.col("dcga6") - F.col("dcgb6")).cast("bigint").alias("delta_sum6"),
+    ).withColumn("mean_delta6", F.expr("delta_sum6 div n_queries").cast("bigint"))
+
+
+def _winrate_oracle() -> str:
+    w6, _ = _ndcg_weights()
+    warr = "[" + ", ".join(str(x) for x in w6) + "]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), p AS (
+            SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   d.vec_id, d.label,
+                   CAST(floor(list_dot_product(q.vec, d.vec)
+                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6,
+                   CAST(floor(list_dot_product(q.vec, d.vec) * 1e3 + 0.5)
+                        AS BIGINT) AS d3
+            FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+        ), r AS (
+            SELECT query_id,
+                   CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c6 DESC, vec_id) AS rka,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d3 DESC, vec_id) AS rkb
+            FROM p
+        ), per_q AS (
+            SELECT query_id,
+                   CAST(sum(CASE WHEN rel = 1 AND rka <= 10
+                                 THEN {warr}[CAST(rka AS INT)] ELSE 0 END)
+                        AS BIGINT) AS dcga6,
+                   CAST(sum(CASE WHEN rel = 1 AND rkb <= 10
+                                 THEN {warr}[CAST(rkb AS INT)] ELSE 0 END)
+                        AS BIGINT) AS dcgb6
+            FROM r GROUP BY query_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN dcga6 > dcgb6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a_wins,
+               CAST(sum(CASE WHEN dcgb6 > dcga6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b_wins,
+               CAST(sum(CASE WHEN dcga6 = dcgb6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties,
+               CAST(sum(dcga6 - dcgb6) AS BIGINT) AS delta_sum6,
+               CAST(sum(dcga6 - dcgb6) // count(*) AS BIGINT) AS mean_delta6
+        FROM per_q
+    """
+
+
 _JL_K = 8  # projected dimensionality (64 -> 8)
 _JL_BUCKET = 50_000  # 0.05-wide distortion-ratio histogram buckets
 
@@ -1676,6 +1807,7 @@ ORACLES: dict[str, str] = {
     "retrieval_ndcg": _ndcg_oracle(),
     "retrieval_mrr": _mrr_oracle(),
     "precision_at_k": _PREC_ORACLE,
+    "ranker_winrate": _winrate_oracle(),
     "jl_projection": _jl_oracle(),
     "maxsim_late_interaction": f"""
         WITH v AS (

@@ -1432,6 +1432,44 @@ _NEYMAN_ORACLE = f"""
 """
 
 
+def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order value per priority — the multiplicative
+    average (exp of mean log) that price/ratio distributions need where
+    the arithmetic mean overweights outliers.
+
+    Determinism (the DoReMi log discipline): each row's ln(price) is
+    ONE transcendental on a parquet-exact double, snapped immediately
+    to int64 micro-units; the per-group sum and the `sum div n` mean
+    are pure integers, so summation order cannot matter; the final exp
+    is ONE transcendental applied to the identical integer-derived
+    double on both engines, snapped to cents.
+
+    Scale: one scan, one map-side-combinable agg — nothing else."""
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.log(F.col("o_totalprice")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ln6"),
+    )
+    return (
+        rows.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("ln6").cast("bigint").alias("sum_ln6"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "sum_ln6",
+            F.expr(
+                "CAST(floor(exp(CAST(sum_ln6 div n_orders AS DOUBLE) / 1e6)"
+                " * 100 + 0.5) AS BIGINT)"
+            ).alias("geo_mean_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median unit price per return flag — the
     weighted order statistic (lower weighted median: smallest value v
@@ -1801,6 +1839,20 @@ ORACLES: dict[str, str] = {
     "neyman_allocation": _NEYMAN_ORACLE,
     "spearman_quality_corr": _SPEARMAN_ORACLE,
     "wilson_ci": _wilson_oracle(),
+    "agg_geometric_mean": """
+        WITH rows_ln AS (
+            SELECT o_orderpriority,
+                   CAST(floor(ln(o_totalprice) * 1e6 + 0.5) AS BIGINT) AS ln6
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(ln6) AS BIGINT) AS sum_ln6,
+               CAST(floor(exp(CAST(sum(ln6) // count(*) AS DOUBLE) / 1e6)
+                    * 100 + 0.5) AS BIGINT) AS geo_mean_cents
+        FROM rows_ln
+        GROUP BY 1 ORDER BY 1
+    """,
     "weighted_median": """
         WITH hist AS (
             SELECT l_returnflag,

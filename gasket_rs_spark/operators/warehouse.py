@@ -562,6 +562,109 @@ def _hilbert_oracle() -> str:
     """
 
 
+_ZONEMAP_CUTS = [f"{y}-01-01" for y in range(1995, 2003)]  # yearly predicates
+
+
+def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit: for each
+    yearly predicate `l_shipdate >= cutoff`, how many of the simulated
+    files (100-order key ranges, the compaction-planner manifest) can
+    be pruned WITHOUT opening them because their max shipdate falls
+    below the cutoff — the measurement that tells you whether the
+    table's layout (insertion order here; see q_zorder_layout /
+    q_hilbert_layout for the fix) actually supports data skipping.
+
+    One row per cutoff: files, prunable files, rows inside them, and
+    the prune ratio in micro-units. Days are exact int64 (epoch-day);
+    cutoff days are Python-precomputed literals. Pure integers.
+
+    Scale: the corpus pays one per-file min/max/count agg (map-side
+    combinable — exactly the stats a parquet footer already holds);
+    the 8-cutoff grid crosses the metadata-sized manifest."""
+    import datetime as _dt
+
+    cut_days = [
+        ( _dt.date.fromisoformat(c) - _dt.date(1970, 1, 1)).days
+        for c in _ZONEMAP_CUTS
+    ]
+    files = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.expr("l_orderkey div 100").alias("file_id"),
+            # calendar-day arithmetic: immune to the NTZ/UTC parquet
+            # encoding drift the tables.load docstring documents
+            F.expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+            .cast("bigint")
+            .alias("ship_day"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("rows"),
+            F.min("ship_day").cast("bigint").alias("min_day"),
+            F.max("ship_day").cast("bigint").alias("max_day"),
+        )
+        .localCheckpoint(eager=True)  # metadata-sized; 8 cutoff consumers
+    )
+    cuts = files.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d).cast("bigint") for d in cut_days])
+        ).alias("cut_day")
+    )
+    return (
+        cuts.crossJoin(files)
+        .groupBy("cut_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum((F.col("max_day") < F.col("cut_day")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum(
+                F.when(F.col("max_day") < F.col("cut_day"), F.col("rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_pruned"),
+        )
+        .withColumn(
+            "prune6", F.expr("n_pruned * 1000000 div n_files").cast("bigint")
+        )
+        .orderBy("cut_day")
+    )
+
+
+def _zonemap_oracle() -> str:
+    import datetime as _dt
+
+    cut_days = [
+        (_dt.date.fromisoformat(c) - _dt.date(1970, 1, 1)).days
+        for c in _ZONEMAP_CUTS
+    ]
+    cuts = ", ".join(str(d) for d in cut_days)
+    return f"""
+        WITH files AS (
+            SELECT l_orderkey // 100 AS file_id,
+                   CAST(count(*) AS BIGINT) AS rows,
+                   CAST(min(date_diff('day', DATE '1970-01-01',
+                                      CAST(l_shipdate AS DATE))) AS BIGINT)
+                       AS min_day,
+                   CAST(max(date_diff('day', DATE '1970-01-01',
+                                      CAST(l_shipdate AS DATE))) AS BIGINT)
+                       AS max_day
+            FROM lineitem GROUP BY 1
+        ), cuts AS (SELECT unnest([{cuts}]) AS cut_day)
+        SELECT CAST(cut_day AS BIGINT) AS cut_day,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN max_day < cut_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pruned,
+               CAST(sum(CASE WHEN max_day < cut_day THEN rows ELSE 0 END)
+                    AS BIGINT) AS rows_pruned,
+               CAST(sum(CASE WHEN max_day < cut_day THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS prune6
+        FROM cuts CROSS JOIN files
+        GROUP BY cut_day
+        ORDER BY cut_day
+    """
+
+
 # ---------------------------------------------------------------------------
 # Compaction planner (small-file bin packing)
 # ---------------------------------------------------------------------------
@@ -614,6 +717,7 @@ def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "hilbert_layout": _hilbert_oracle(),
+    "zonemap_pruning_audit": _zonemap_oracle(),
     "compaction_bin_packing": f"""
         WITH files AS (
             SELECT l_orderkey // 100 AS file_id,
