@@ -551,7 +551,98 @@ def _lqc_oracle() -> str:
     """
 
 
+_APPORTION_SHARDS = 360  # total output shards to apportion across sources
+
+
+def q_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER (Hamilton) apportionment of a fixed shard
+    budget across sources — the writer-side twin of the mixture
+    policies: given per-source doc counts and a 360-shard budget, each
+    source gets floor(n_i·S/N) shards plus one bonus shard for the
+    largest fractional remainders until the budget is exact. This is
+    how a layout planner turns fractional mixture weights into an
+    integer shard manifest with Σ shards ≡ S (no rounding drift).
+
+    Pure int64 arithmetic (quota numerators, remainders, ranks);
+    remainder ties break by source name on both engines. Scale: one
+    corpus pass → bounded source frame; the remainder ranking runs via
+    sort_array over the collected ≤k-row struct list (the
+    shard_balance_audit bounded-rank pattern — no single-partition
+    window on the Spark side)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"n_docs * {_APPORTION_SHARDS} div n_total")
+        .cast("bigint")
+        .alias("base"),
+        F.expr(f"(n_docs * {_APPORTION_SHARDS}) % n_total")
+        .cast("bigint")
+        .alias("rem"),
+    )
+    one = quota.agg(
+        F.sum("base").cast("bigint").alias("base_sum"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("rem")).alias("nr"),
+                    F.col("source").alias("source"),
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("base").alias("base"),
+                    F.col("rem").alias("rem"),
+                )
+            )
+        ).alias("arr"),
+    )
+    return (
+        one.select("base_sum", F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.source").alias("source"),
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.base").alias("base_shards"),
+            F.col("s.rem").alias("rem_num"),
+            (
+                F.col("s.base")
+                + F.when(
+                    F.col("pos") < F.lit(_APPORTION_SHARDS) - F.col("base_sum"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("shards"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "mixture_apportionment": f"""
+        WITH counts AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts
+        ), quota AS (
+            SELECT source, n_docs,
+                   CAST(n_docs * {_APPORTION_SHARDS} // n_total AS BIGINT)
+                       AS base,
+                   CAST((n_docs * {_APPORTION_SHARDS}) % n_total AS BIGINT)
+                       AS rem
+            FROM counts CROSS JOIN tot
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                   CAST(sum(base) OVER () AS BIGINT) AS base_sum
+            FROM quota
+        )
+        SELECT source, n_docs, base AS base_shards, rem AS rem_num,
+               CAST(base + CASE WHEN rk <= {_APPORTION_SHARDS} - base_sum
+                                THEN 1 ELSE 0 END AS BIGINT) AS shards
+        FROM ranked ORDER BY source
+    """,
     "linear_quality_classifier": _lqc_oracle(),
     "dsir_select": f"""
         WITH toks AS (

@@ -209,7 +209,157 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T_CLOSE6 = 200_000  # t = 0.2 on the 1e-6 grid
+_T_SENS_BUCKET = 150  # n_chars quantization for the ordered sensitive attr
+_T_SENS_M = 4  # fixed ordered-bucket count (values clamp into the last one)
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li et al. 2007) — the third rung of the
+    k-anonymity / l-diversity / t-closeness ladder: within each
+    quasi-identifier class (lang, source) the distribution of the
+    ORDERED sensitive attribute (n_chars quartile bucket, clamped into
+    m = 4 fixed buckets) must stay within Earth-Mover's Distance t of
+    the global distribution, else the class leaks a sensitive skew
+    even when it is large and diverse.
+
+    For an ordered attribute the EMD is the mean absolute cumulative
+    gap: EMD = (1/(m−1))·Σ_b |P_g(≤b) − P(≤b)|. Integer-exact core:
+    the gap per bucket is |cum_c·N − cum_C·n_g| over the common
+    denominator n_g·N — pure int64 (≤ 5e4·5e4·3 ≪ 2^63); only the
+    final per-class division runs in doubles (IEEE division is
+    deterministic), snapped to the 1e-6 grid.
+
+    Scale: one corpus pass → bounded class×bucket grid (zero-filled —
+    a missing bucket IS distance); the global cumulative is the SUM of
+    the per-class cumulatives, so no second corpus pass."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.least(
+            F.expr(f"n_chars div {_T_SENS_BUCKET}"), F.lit(_T_SENS_M - 1)
+        ).alias("sb"),
+    )
+    cb = docs.groupBy("lang", "source", "sb").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    classes = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_g")
+    )
+    grid = classes.select(
+        "lang",
+        "source",
+        "n_g",
+        F.explode(F.sequence(F.lit(0), F.lit(_T_SENS_M - 1))).alias("sb"),
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("lang", "source")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(cb, ["lang", "source", "sb"], "left")
+        .select(
+            "lang", "source", "n_g", "sb", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        .withColumn("cum_c", F.sum("c").over(wcum).cast("bigint"))
+    )
+    glob = cum.groupBy("sb").agg(F.sum("cum_c").cast("bigint").alias("cum_all"))
+    tot = classes.agg(F.sum("n_g").cast("bigint").alias("n_total"))
+    per = (
+        cum.join(F.broadcast(glob), "sb")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang", "source", "n_g", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("n_total")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            )
+            .cast("bigint")
+            .alias("gap_num")
+        )
+        .select(
+            "lang",
+            "source",
+            "n_g",
+            F.floor(
+                F.col("gap_num").cast("double")
+                / (F.col("n_g") * F.col("n_total") * F.lit(_T_SENS_M - 1)).cast(
+                    "double"
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("emd6"),
+        )
+    )
+    return per.agg(
+        F.lit(_T_CLOSE6).cast("bigint").alias("t6"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum((F.col("emd6") > _T_CLOSE6).cast("bigint"))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("emd6") > _T_CLOSE6, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+        F.max("emd6").cast("bigint").alias("max_emd6"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "t_closeness_audit": f"""
+        WITH docs AS (
+            SELECT lang, source,
+                   least(n_chars // {_T_SENS_BUCKET}, {_T_SENS_M - 1}) AS sb
+            FROM documents
+        ), cb AS (
+            SELECT lang, source, sb, CAST(count(*) AS BIGINT) AS c
+            FROM docs GROUP BY 1, 2, 3
+        ), classes AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_g
+            FROM docs GROUP BY 1, 2
+        ), grid AS (
+            SELECT lang, source, n_g, b.sb
+            FROM classes CROSS JOIN
+                 (SELECT unnest(generate_series(0, {_T_SENS_M - 1})) AS sb) b
+        ), cum AS (
+            SELECT grid.lang, grid.source, grid.n_g, grid.sb,
+                   CAST(sum(COALESCE(cb.c, 0)) OVER (
+                       PARTITION BY grid.lang, grid.source ORDER BY grid.sb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_c
+            FROM grid LEFT JOIN cb
+              ON grid.lang = cb.lang AND grid.source = cb.source
+                 AND grid.sb = cb.sb
+        ), gcum AS (
+            SELECT sb, CAST(sum(cum_c) AS BIGINT) AS cum_all
+            FROM cum GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n_total FROM classes
+        ), per AS (
+            SELECT cum.lang, cum.source, cum.n_g,
+                   CAST(floor(
+                       CAST(sum(abs(cum.cum_c * tot.n_total
+                                    - gcum.cum_all * cum.n_g)) AS DOUBLE)
+                       / CAST(cum.n_g * tot.n_total * {_T_SENS_M - 1} AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT) AS emd6
+            FROM cum JOIN gcum USING (sb) CROSS JOIN tot
+            GROUP BY cum.lang, cum.source, cum.n_g, tot.n_total
+        )
+        SELECT CAST({_T_CLOSE6} AS BIGINT) AS t6,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN emd6 > {_T_CLOSE6} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_violating_classes,
+               CAST(sum(CASE WHEN emd6 > {_T_CLOSE6} THEN n_g ELSE 0 END)
+                   AS BIGINT) AS n_docs_at_risk,
+               CAST(max(emd6) AS BIGINT) AS max_emd6
+        FROM per
+    """,
     "l_diversity_audit": f"""
         WITH classes AS (
             SELECT lang, n_chars // {_L_QI_BUCKET} AS len_bucket,

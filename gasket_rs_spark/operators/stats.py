@@ -1835,7 +1835,215 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KAPPA_CHAR_CUTS = (200, 400)  # rater A: n_chars tertile cut points
+_KAPPA_TOK_CUTS = (40, 75)  # rater B: whitespace-token tertile cut points
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-rater agreement (Cohen 1960) between two
+    heuristic document-quality raters — the metric every labeling /
+    rater-QA pipeline reports before trusting annotations: rater A
+    buckets documents by character count, rater B by whitespace token
+    count (3 ordinal categories each, fixed literal cut points), and
+    kappa corrects their observed agreement for chance agreement from
+    the marginals.
+
+    Integer-exact core: with N items, D = N·Σ_c n_cc (agreement
+    numerator scale) and E = Σ_c row_c·col_c (chance numerator),
+    kappa = (N·D' − E)/(N² − E) where D' = Σ_c n_cc — every term is
+    int64; only the final single division runs in doubles (IEEE
+    division is deterministic — it is float SUM ORDER that differs
+    across engines), snapped to the 1e-6 grid.
+
+    Scale: one corpus pass → ≤9-cell contingency; marginal joins are
+    over ≤3-row frames."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") < _KAPPA_CHAR_CUTS[0], 0)
+        .when(F.col("n_chars") < _KAPPA_CHAR_CUTS[1], 1)
+        .otherwise(2)
+        .alias("ra"),
+        F.when(F.size(F.split("text", " ")) < _KAPPA_TOK_CUTS[0], 0)
+        .when(F.size(F.split("text", " ")) < _KAPPA_TOK_CUTS[1], 1)
+        .otherwise(2)
+        .alias("rb"),
+    )
+    cells = docs.groupBy("ra", "rb").agg(F.count("*").cast("bigint").alias("c"))
+    rows = cells.groupBy("ra").agg(F.sum("c").cast("bigint").alias("row_n"))
+    cols = cells.groupBy("rb").agg(F.sum("c").cast("bigint").alias("col_n"))
+    pe = (
+        rows.join(cols, rows["ra"] == cols["rb"])
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias("pe_num"))
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("observed_agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            "n_items",
+            "observed_agree",
+            "pe_num",
+            F.floor(
+                (F.col("n_items") * F.col("observed_agree") - F.col("pe_num")).cast(
+                    "double"
+                )
+                / (F.col("n_items") * F.col("n_items") - F.col("pe_num")).cast(
+                    "double"
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("kappa6"),
+        )
+    )
+
+
+_MAD_K = 3  # flag |x - median| > K * MAD
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION per
+    event type — the robust sibling of q_outlier_iqr (MAD has a 50%
+    breakdown point; IQR fences break down at 25%). Flags rows with
+    |x − median| > 3·MAD.
+
+    Determinism: values snap to int64 micro-units up front; both
+    medians are the LOWER median — rank (n+1) div 2 of a
+    (value, event_id)-ordered partitioned window — so no engine ever
+    averages two middle values in floats. Everything downstream is
+    integer compares.
+
+    Scale: two partitioned sort-windows over the corpus (no global
+    sort, no single-partition window) + broadcast joins of the 5-row
+    median frames."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("v6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v6", "event_id")
+    cnt = Window.partitionBy("event_type")
+    med = (
+        ev.select(
+            "event_type",
+            "v6",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v6").alias("med6"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "v6", "med6", F.abs(F.col("v6") - F.col("med6")).alias("d6")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d6", "event_id")
+    mad = (
+        dev.select(
+            "event_type",
+            "d6",
+            F.row_number().over(wd).alias("rn"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d6").alias("mad6"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("med6").alias("median6"),
+            F.max("mad6").alias("mad6"),
+            F.sum((F.col("d6") > F.lit(_MAD_K) * F.col("mad6")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "median6",
+            "mad6",
+            "n_outliers",
+            F.expr("n_outliers * 1000000 div n").cast("bigint").alias("outlier_share6"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "cohens_kappa": f"""
+        WITH rated AS (
+            SELECT CASE WHEN n_chars < {_KAPPA_CHAR_CUTS[0]} THEN 0
+                        WHEN n_chars < {_KAPPA_CHAR_CUTS[1]} THEN 1
+                        ELSE 2 END AS ra,
+                   CASE WHEN len(string_split(text, ' ')) < {_KAPPA_TOK_CUTS[0]} THEN 0
+                        WHEN len(string_split(text, ' ')) < {_KAPPA_TOK_CUTS[1]} THEN 1
+                        ELSE 2 END AS rb
+            FROM documents
+        ), cells AS (
+            SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+            FROM rated GROUP BY 1, 2
+        ), marg AS (
+            SELECT r.ra AS cat, r.row_n, co.col_n FROM
+                (SELECT ra, CAST(sum(c) AS BIGINT) AS row_n FROM cells GROUP BY 1) r
+                JOIN
+                (SELECT rb, CAST(sum(c) AS BIGINT) AS col_n FROM cells GROUP BY 1) co
+                ON r.ra = co.rb
+        ), pe AS (
+            SELECT CAST(sum(row_n * col_n) AS BIGINT) AS pe_num FROM marg
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT)
+                       AS observed_agree
+            FROM cells
+        )
+        SELECT n_items, observed_agree, pe_num,
+               CAST(floor(CAST(n_items * observed_agree - pe_num AS DOUBLE)
+                          / CAST(n_items * n_items - pe_num AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS kappa6
+        FROM tot CROSS JOIN pe
+    """,
+    "mad_outliers": f"""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+            FROM events
+        ), med AS (
+            SELECT event_type, v6 AS med6 FROM (
+                SELECT event_type, v6,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY v6, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM ev
+            ) WHERE rn = (n + 1) // 2
+        ), dev AS (
+            SELECT ev.event_id, ev.event_type, ev.v6, med.med6,
+                   abs(ev.v6 - med.med6) AS d6
+            FROM ev JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, d6 AS mad6 FROM (
+                SELECT event_type, d6,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY d6, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+            ) WHERE rn = (n + 1) // 2
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(med6) AS BIGINT) AS median6,
+               CAST(max(mad6) AS BIGINT) AS mad6,
+               CAST(sum(CASE WHEN d6 > {_MAD_K} * mad.mad6 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN d6 > {_MAD_K} * mad.mad6 THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS outlier_share6
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
     "neyman_allocation": _NEYMAN_ORACLE,
     "spearman_quality_corr": _SPEARMAN_ORACLE,
     "wilson_ci": _wilson_oracle(),
