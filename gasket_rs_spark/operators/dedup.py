@@ -1666,7 +1666,92 @@ _FUZZY_ORACLE = """
 """
 
 
+_ER_LEV_MAX = 2  # edit-distance threshold for a candidate duplicate pair
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION via blocking + pairwise edit distance — the
+    record-linkage pass a customer-MDM pipeline runs to find
+    near-identical identities: block customers on (nation, market
+    segment) so only plausible co-referent records are compared, score
+    each within-block pair with Levenshtein over the name, and flag
+    pairs at distance ≤ 2 as candidate duplicates. Reported per
+    segment: customers, pairs compared, candidate matches, the closest
+    observed distance, and the match share.
+
+    Levenshtein is integer on both engines (pinned equal on literal
+    pairs in tests); everything else is counts — nothing to snap.
+
+    Scale: blocking bounds the quadratic — pairs grow as Σ_b n_b², so
+    the block key must keep n_b ~ constant as the corpus grows (at
+    100 TB the (nation, segment) key would be refined with
+    sorted-neighborhood windows or phonetic keys; same plan shape,
+    finer key). The pair join shuffles on the block key only."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_mktsegment").alias("segment"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("lev"),
+    )
+    per_seg = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    return (
+        pairs.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum((F.col("lev") <= _ER_LEV_MAX).cast("bigint"))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.min("lev").cast("bigint").alias("min_lev"),
+        )
+        .join(per_seg, "segment")
+        .select(
+            "segment",
+            "n_customers",
+            "n_pairs",
+            "n_matches",
+            "min_lev",
+            F.expr("n_matches * 1000000 div n_pairs")
+            .cast("bigint")
+            .alias("match_share6"),
+        )
+        .orderBy("segment")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "entity_resolution": f"""
+        WITH pairs AS (
+            SELECT a.c_mktsegment AS segment,
+                   levenshtein(a.c_name, b.c_name) AS lev
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+        ), per_seg AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY 1
+        )
+        SELECT p.segment, s.n_customers,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN lev <= {_ER_LEV_MAX} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matches,
+               CAST(min(lev) AS BIGINT) AS min_lev,
+               CAST(sum(CASE WHEN lev <= {_ER_LEV_MAX} THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS match_share6
+        FROM pairs p JOIN per_seg s ON p.segment = s.segment
+        GROUP BY 1, 2 ORDER BY 1
+    """,
     "fuzzy_vocab_join": _FUZZY_ORACLE,
     "dedup_incremental": """
         WITH incoming AS (

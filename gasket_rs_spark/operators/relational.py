@@ -1555,7 +1555,63 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / boolean aggregate surface: BIT_AND / BIT_OR / BIT_XOR
+    over a derived flag word plus BOOL_AND / BOOL_OR per order priority
+    — the aggregate family engines use for permission masks, feature
+    flags, and set-membership fingerprints. The flag word packs three
+    order predicates into bits 0..2, so the bit aggregates have
+    non-trivial values on every group.
+
+    Pure integer/boolean — nothing to snap; all three bit aggregates
+    are map-side combinable (associative + commutative), so at 100 TB
+    they reduce like any sum: partial per partition, one k-row
+    exchange."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (
+            F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+            + F.when(F.col("o_orderstatus") == "F", 2).otherwise(0)
+            + F.when(F.col("o_custkey") % 2 == 0, 4).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("flags"),
+        (F.col("o_totalprice") > 1000).alias("pricey"),
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("bit_and(flags)").cast("bigint").alias("flags_and"),
+            F.expr("bit_or(flags)").cast("bigint").alias("flags_or"),
+            F.expr("bit_xor(flags)").cast("bigint").alias("flags_xor"),
+            F.expr("bool_and(pricey)").alias("all_pricey"),
+            F.expr("bool_or(pricey)").alias("any_pricey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "agg_bitwise": """
+        WITH o AS (
+            SELECT o_orderpriority,
+                   CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
+                        + CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 0 END
+                        + CASE WHEN o_custkey % 2 = 0 THEN 4 ELSE 0 END
+                        AS BIGINT) AS flags,
+                   o_totalprice > 1000 AS pricey
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(bit_and(flags) AS BIGINT) AS flags_and,
+               CAST(bit_or(flags) AS BIGINT) AS flags_or,
+               CAST(bit_xor(flags) AS BIGINT) AS flags_xor,
+               bool_and(pricey) AS all_pricey,
+               bool_or(pricey) AS any_pricey
+        FROM o GROUP BY 1 ORDER BY 1
+    """,
     "flagship_revenue_by_region": """
         SELECT r_name,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

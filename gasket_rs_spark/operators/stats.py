@@ -1974,7 +1974,281 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BT_T = 10  # Bradley-Terry MM iterations (fixed, unrolled in the oracle)
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY pairwise-preference strength fit (Bradley & Terry
+    1952, via the Zermelo/MM update) — the model behind RLHF reward
+    aggregation, chatbot-arena leaderboards, and any
+    pairwise-comparison ranking. Comparisons are data-derived so both
+    engines reproduce them: within each language, every source pair
+    plays one "game", won by the source with the higher snapped mean
+    document length (ties = no game). The MM update
+    π_i ← W_i / Σ_j n_ij/(π_i+π_j), normalized to Σπ = k·1e6, runs
+    T = 10 fixed iterations.
+
+    Determinism engineering (the DoReMi discipline): strengths live on
+    the int64 micro-grid; each reciprocal term is an INTEGER division
+    (n·1e12) DIV (π_i+π_j) so the Σ_j sum is an integer sum (order
+    can't perturb it); the normalizer is integer; strengths clamp to
+    ≥1 so a winless source can never divide by zero. A pure-Python
+    fixpoint pin lives in tests.
+
+    Scale: ONE corpus pass to the (lang, source) frame; games and the
+    T-step loop run on ≤k²-row frames with a localCheckpoint per step
+    (O(k²·T) driver-side work — microscopic at any corpus size)."""
+    docs = load(spark, sf_dir, "documents")
+    per_ls = docs.groupBy("lang", "source").agg(
+        F.expr("sum(n_chars) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("m6")
+    )
+    a = per_ls.alias("a")
+    b = per_ls.alias("b")
+    duels = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") < F.col("b.source"))
+        & (F.col("a.m6") != F.col("b.m6")),
+    ).select(
+        F.when(F.col("a.m6") > F.col("b.m6"), F.col("a.source"))
+        .otherwise(F.col("b.source"))
+        .alias("winner"),
+        F.when(F.col("a.m6") > F.col("b.m6"), F.col("b.source"))
+        .otherwise(F.col("a.source"))
+        .alias("loser"),
+    )
+    games = (
+        duels.select(F.col("winner").alias("i"), F.col("loser").alias("j"))
+        .unionAll(duels.select(F.col("loser").alias("i"), F.col("winner").alias("j")))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    universe = games.select(F.col("i").alias("source")).distinct()
+    wins = (
+        universe.join(
+            duels.groupBy(F.col("winner").alias("source")).agg(
+                F.count("*").cast("bigint").alias("w")
+            ),
+            "source",
+            "left",
+        )
+        .select("source", F.coalesce("w", F.lit(0)).cast("bigint").alias("wins"))
+        .localCheckpoint(eager=True)
+    )
+    kk = wins.agg(F.count("*").cast("bigint").alias("k"))
+    cur = wins.select("source", F.lit(1_000_000).cast("bigint").alias("pi"))
+    for _ in range(_BT_T):
+        # bounded k-row frame; checkpoint per step or lineage doubles
+        cur = cur.localCheckpoint(eager=True)
+        pa = cur.select(F.col("source").alias("i"), F.col("pi").alias("pi_i"))
+        pb = cur.select(F.col("source").alias("j"), F.col("pi").alias("pi_j"))
+        s = (
+            games.join(F.broadcast(pa), "i")
+            .join(F.broadcast(pb), "j")
+            .select(
+                "i",
+                F.expr("n * 1000000000000 div (pi_i + pi_j)")
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").cast("bigint").alias("s"))
+        )
+        raw = (
+            wins.join(s, wins["source"] == s["i"])
+            .select(
+                "source",
+                F.expr("wins * 1000000000000 div s").cast("bigint").alias("raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = raw.agg(F.sum("raw").cast("bigint").alias("tot"))
+        cur = (
+            raw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(kk))
+            .select(
+                "source",
+                F.greatest(
+                    F.expr("raw * k * 1000000 div tot").cast("bigint"), F.lit(1)
+                )
+                .cast("bigint")
+                .alias("pi"),
+            )
+        )
+    n_games = games.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_games"))
+    return (
+        wins.join(n_games, wins["source"] == n_games["i"])
+        .join(cur.withColumnRenamed("pi", "bt6"), "source")
+        .select("source", F.col("wins").alias("n_wins"), "n_games", "bt6")
+        .orderBy("source")
+    )
+
+
+def _bt_oracle() -> str:
+    iters = "".join(
+        f""", s{t} AS MATERIALIZED (
+            SELECT g.i,
+                   CAST(sum(g.n * 1000000000000 // (pa.pi + pb.pi)) AS BIGINT)
+                       AS s
+            FROM games g
+            JOIN p{t - 1} pa ON g.i = pa.source
+            JOIN p{t - 1} pb ON g.j = pb.source
+            GROUP BY 1
+        ), r{t} AS MATERIALIZED (
+            SELECT w.source,
+                   CAST(w.wins * 1000000000000 // s.s AS BIGINT) AS raw
+            FROM wins w JOIN s{t} s ON w.source = s.i
+        ), p{t} AS MATERIALIZED (
+            SELECT r.source,
+                   greatest(CAST(r.raw * kk.k * 1000000 // tot.t AS BIGINT),
+                            1) AS pi
+            FROM r{t} r
+            CROSS JOIN (SELECT CAST(sum(raw) AS BIGINT) AS t FROM r{t}) tot
+            CROSS JOIN kk
+        )"""
+        for t in range(1, _BT_T + 1)
+    )
+    return f"""
+        WITH per_ls AS (
+            SELECT lang, source,
+                   CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS m6
+            FROM documents GROUP BY 1, 2
+        ), duels AS MATERIALIZED (
+            SELECT CASE WHEN a.m6 > b.m6 THEN a.source ELSE b.source END
+                       AS winner,
+                   CASE WHEN a.m6 > b.m6 THEN b.source ELSE a.source END
+                       AS loser
+            FROM per_ls a JOIN per_ls b
+              ON a.lang = b.lang AND a.source < b.source AND a.m6 <> b.m6
+        ), games AS MATERIALIZED (
+            SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT winner AS i, loser AS j FROM duels
+                UNION ALL
+                SELECT loser AS i, winner AS j FROM duels
+            ) GROUP BY 1, 2
+        ), wins AS MATERIALIZED (
+            SELECT u.source, CAST(COALESCE(w.w, 0) AS BIGINT) AS wins
+            FROM (SELECT DISTINCT i AS source FROM games) u
+            LEFT JOIN (SELECT winner AS source, CAST(count(*) AS BIGINT) AS w
+                       FROM duels GROUP BY 1) w USING (source)
+        ), kk AS (
+            SELECT CAST(count(*) AS BIGINT) AS k FROM wins
+        ), p0 AS (
+            SELECT source, CAST(1000000 AS BIGINT) AS pi FROM wins
+        ){iters}
+        SELECT w.source, w.wins AS n_wins, g.n_games, p.pi AS bt6
+        FROM wins w
+        JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS n_games FROM games
+              GROUP BY 1) g ON w.source = g.i
+        JOIN p{_BT_T} p ON w.source = p.source
+        ORDER BY w.source
+    """
+
+
+_ISO_BUCKET_W = 16  # score-bucket width over events.value
+_ISO_B = 32  # bucket count (values clamp into the last bucket)
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION calibration (pool-adjacent-violators fit)
+    of purchase rate against the event-value score — the standard
+    monotone calibrator behind reliability curves and score→probability
+    mapping. Scores land in ≤32 fixed-width buckets; the fitted value
+    per bucket is the PAV solution via its MINIMAX characterization
+    (Barlow et al. 1972): fit(b) = max_{j≤b} min_{k≥b} mean(y[j..k]).
+
+    Determinism: segment means are (pos·1e6) DIV cnt — pure int64 —
+    and min/max COMMUTE with the monotone floor, so the integer minimax
+    equals floor(true-PAV·1e6) exactly (pinned against a
+    Fraction-arithmetic stack PAV in tests). No floats anywhere.
+
+    Scale: ONE corpus pass to the ≤32-row bucket frame; the O(B³)
+    minimax joins run on broadcast bucket frames — constant work at
+    any corpus size (the B-bounded sketch-grid discipline of
+    quantile_normalize_sketch)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.least(
+            F.expr(f"cast(floor(value / {_ISO_BUCKET_W}) as bigint)"),
+            F.lit(_ISO_B - 1).cast("bigint"),
+        ).alias("b"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    buckets = ev.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    j = buckets.select(F.col("b").alias("j"))
+    k = buckets.select(F.col("b").alias("k"))
+    pairs = j.crossJoin(F.broadcast(k)).where(F.col("j") <= F.col("k"))
+    seg = (
+        pairs.join(
+            F.broadcast(buckets),
+            (F.col("b") >= F.col("j")) & (F.col("b") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.sum("pos").cast("bigint").alias("p"),
+            F.sum("cnt").cast("bigint").alias("c"),
+        )
+        .select("j", "k", F.expr("p * 1000000 div c").cast("bigint").alias("mean6"))
+    )
+    fit = (
+        F.broadcast(buckets.select("b"))
+        .join(seg, (F.col("j") <= F.col("b")) & (F.col("k") >= F.col("b")))
+        .groupBy("b", "j")
+        .agg(F.min("mean6").alias("inner6"))
+        .groupBy("b")
+        .agg(F.max("inner6").cast("bigint").alias("iso6"))
+    )
+    return (
+        buckets.join(F.broadcast(fit), "b")
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("cnt").alias("n"),
+            F.col("pos").alias("n_pos"),
+            F.expr("pos * 1000000 div cnt").cast("bigint").alias("raw6"),
+            "iso6",
+        )
+        .orderBy("bucket")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "bradley_terry": _bt_oracle(),
+    "isotonic_calibration": f"""
+        WITH ev AS (
+            SELECT least(CAST(floor(value / {_ISO_BUCKET_W}) AS BIGINT),
+                         {_ISO_B - 1}) AS b,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ), buckets AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM ev GROUP BY 1
+        ), seg AS (
+            SELECT j.b AS j, k.b AS k,
+                   CAST(sum(m.pos) * 1000000 // sum(m.cnt) AS BIGINT) AS mean6
+            FROM buckets j
+            JOIN buckets k ON j.b <= k.b
+            JOIN buckets m ON m.b >= j.b AND m.b <= k.b
+            GROUP BY 1, 2
+        ), fit AS (
+            SELECT b, CAST(max(inner6) AS BIGINT) AS iso6 FROM (
+                SELECT bb.b, seg.j, min(seg.mean6) AS inner6
+                FROM buckets bb
+                JOIN seg ON seg.j <= bb.b AND seg.k >= bb.b
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT buckets.b AS bucket, cnt AS n, pos AS n_pos,
+               CAST(pos * 1000000 // cnt AS BIGINT) AS raw6,
+               fit.iso6
+        FROM buckets JOIN fit ON buckets.b = fit.b
+        ORDER BY bucket
+    """,
     "cohens_kappa": f"""
         WITH rated AS (
             SELECT CASE WHEN n_chars < {_KAPPA_CHAR_CUTS[0]} THEN 0
