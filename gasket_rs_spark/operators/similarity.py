@@ -1801,7 +1801,105 @@ def _mrr_oracle() -> str:
     """
 
 
+_KC_K = 8  # coreset size (greedy k-center steps)
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY k-CENTER coreset selection (Gonzalez 1985; the
+    "farthest-point" selector behind diversity-targeted data curation
+    à la Sener & Savarese 2018): seed with the lowest vec_id, then
+    k−1 times pick the point FARTHEST (squared L2) from the selected
+    set — a 2-approximation of the k-center optimum and the standard
+    way to pick a small maximally-diverse training subset.
+
+    Determinism: per-center distances expand as sqx + sqs − 2·dot
+    (each term a fixed-order fold), snap to int64 micro-units PER
+    CENTER, then the min/argmax run in integers with vec_id
+    tie-break. Each round collects exactly ONE row (the BPE 1-row
+    discipline) and re-broadcasts it as literal doubles — Python never
+    re-computes arithmetic, so no engine/driver drift.
+
+    Scale: k bounded corpus passes, each a narrow map + TakeOrdered(1)
+    — no shuffle beyond the top-1 reduction; the selected set lives on
+    the driver (k·dim doubles). The oracle unrolls the same k steps.
+    """
+    emb = _with_vec(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "vec"
+    )
+    sqx = F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    selected = [
+        {"step": 0, "vec_id": seed["vec_id"], "label": seed["label"],
+         "mind6": 0, "vec": list(seed["vec"])}
+    ]
+    for step in range(1, _KC_K):
+        dcols = []
+        for s in selected:
+            scol = F.array(*[F.lit(float(x)) for x in s["vec"]])
+            sqs = F.aggregate(scol, F.lit(0.0), lambda acc, x: acc + x * x)
+            dot = _dot(F.col("vec"), scol)
+            dcols.append(
+                F.floor((sqx + sqs - 2 * dot) * 1e6 + F.lit(0.5)).cast("bigint")
+            )
+        mind6 = F.least(*dcols) if len(dcols) > 1 else dcols[0]
+        chosen = (
+            emb.where(~F.col("vec_id").isin([s["vec_id"] for s in selected]))
+            .select("vec_id", "label", "vec", mind6.alias("mind6"))
+            .orderBy(F.col("mind6").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            {"step": step, "vec_id": chosen["vec_id"], "label": chosen["label"],
+             "mind6": chosen["mind6"], "vec": list(chosen["vec"])}
+        )
+    return spark.createDataFrame(
+        [(s["step"], s["vec_id"], s["label"], s["mind6"]) for s in selected],
+        "step bigint, vec_id bigint, label bigint, mind6 bigint",
+    )
+
+
+def _kcenter_oracle() -> str:
+    dist = (
+        "CAST(floor((v.sq + s.sq - 2 * list_dot_product(v.vec, s.vec)) * 1e6"
+        " + 0.5) AS BIGINT)"
+    )
+    steps = "".join(
+        f""", m{t} AS MATERIALIZED (
+            SELECT v.vec_id, v.label, CAST(min({dist}) AS BIGINT) AS mind6
+            FROM v CROSS JOIN sel{t - 1} s
+            WHERE v.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+            GROUP BY v.vec_id, v.label
+        ), pick{t} AS (
+            SELECT vec_id, label, mind6 FROM m{t}
+            ORDER BY mind6 DESC, vec_id LIMIT 1
+        ), sel{t} AS MATERIALIZED (
+            SELECT step, vec_id, label, mind6, vec, sq FROM sel{t - 1}
+            UNION ALL
+            SELECT CAST({t} AS BIGINT), p.vec_id, p.label, p.mind6, v.vec, v.sq
+            FROM pick{t} p JOIN v ON v.vec_id = p.vec_id
+        )"""
+        for t in range(1, _KC_K)
+    )
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(embedding AS DOUBLE[]) AS vec,
+                   list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+            FROM embeddings
+        ), sel0 AS (
+            SELECT CAST(0 AS BIGINT) AS step, vec_id, label,
+                   CAST(0 AS BIGINT) AS mind6, vec, sq
+            FROM v WHERE vec_id = (SELECT min(vec_id) FROM v)
+        ){steps}
+        SELECT step, vec_id, label, mind6 FROM sel{_KC_K - 1}
+        ORDER BY step
+    """
+
+
 ORACLES: dict[str, str] = {
+    "kcenter_coreset": _kcenter_oracle(),
     "calibration_ece": _ece_oracle(),
     "rrf_fusion": _rrf_oracle(),
     "retrieval_ndcg": _ndcg_oracle(),

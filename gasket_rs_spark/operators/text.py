@@ -1891,7 +1891,126 @@ _VOCAB_OVERLAP_ORACLE = """
 """
 
 
+_TEXTRANK_MIN_LEN = 4  # keep only content-ish tokens (stopword proxy)
+_TEXTRANK_TOPK = 20
+
+
+def q_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are content tokens
+    (length ≥ 4, the stopword-filter proxy), undirected edges link
+    tokens ADJACENT after filtering, and the damped PageRank of
+    q_graph_pagerank (graph.py:37 — same helper, same 12dp-snap
+    discipline) scores centrality. Top-20 keywords by (score desc,
+    word asc).
+
+    Scale: pair extraction is a NARROW zip of two array slices (no
+    posexplode self-join — adjacency never shuffles); the graph is
+    vocabulary-sized, so the T-iteration loop runs on a bounded frame
+    exactly like the purchase-graph witness. Corpus cost = one scan.
+    """
+    from gasket_rs_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split("text", " "), lambda t: F.length(t) >= _TEXTRANK_MIN_LEN
+        ).alias("ts")
+    ).where(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    e = pairs.where(F.col("w1") != F.col("w2"))
+    edges = (
+        e.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionAll(e.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = pagerank(nodes, edges)
+    return (
+        ranks.select(F.col("node").alias("word"), F.round("pr", 9).alias("score"))
+        .orderBy(F.col("score").desc(), "word")
+        .limit(_TEXTRANK_TOPK)
+    )
+
+
+def _textrank_oracle() -> str:
+    from gasket_rs_spark.operators.graph import _PR_D, _PR_ITERS, _PR_SNAP
+
+    body = [
+        f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '),
+                               t -> len(t) >= {_TEXTRANK_MIN_LEN}) AS ts
+            FROM documents
+        ), pos AS (
+            SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2
+        ), adj AS (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM pos
+            WHERE ts[i] <> ts[i + 1]
+        ), edges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT w1 AS src, w2 AS dst FROM adj
+                UNION ALL
+                SELECT w2 AS src, w1 AS dst FROM adj
+            )
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes
+        ), deg AS (
+            SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src
+        ), rk0 AS (
+            SELECT n.node, round(1.0 / nn.nn, {_PR_SNAP}) AS pr
+            FROM nodes n CROSS JOIN nn
+        )"""
+    ]
+    for i in range(_PR_ITERS):
+        body.append(
+            f""", c{i} AS (
+            SELECT e.dst AS node, sum(r.pr / d.outdeg) AS contrib
+            FROM edges e
+            JOIN deg d ON d.src = e.src
+            JOIN rk{i} r ON r.node = e.src
+            GROUP BY e.dst
+        ), g{i} AS (
+            SELECT coalesce(sum(r.pr), 0) AS dmass
+            FROM rk{i} r LEFT JOIN deg d ON d.src = r.node
+            WHERE d.src IS NULL
+        ), rk{i + 1} AS (
+            SELECT n.node,
+                   round((1 - {_PR_D}) / nn.nn
+                         + {_PR_D} * (coalesce(c.contrib, 0)
+                                      + g{i}.dmass / nn.nn),
+                         {_PR_SNAP}) AS pr
+            FROM nodes n
+            CROSS JOIN nn
+            CROSS JOIN g{i}
+            LEFT JOIN c{i} c ON c.node = n.node
+        )"""
+        )
+    body.append(
+        f"""
+        SELECT node AS word, round(pr, 9) AS score
+        FROM rk{_PR_ITERS}
+        ORDER BY score DESC, word
+        LIMIT {_TEXTRANK_TOPK}"""
+    )
+    return "".join(body)
+
+
 ORACLES: dict[str, str] = {
+    "keyword_textrank": _textrank_oracle(),
     "source_vocab_overlap": _VOCAB_OVERLAP_ORACLE,
     "text_readability": _READABILITY_ORACLE,
     "winnowing_fingerprint": _WINNOW_ORACLE,

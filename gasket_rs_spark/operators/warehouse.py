@@ -715,7 +715,215 @@ def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DV_FILES = 16  # synthetic data files per table
+_DV_DELETED_FILES = 8  # deletion vectors exist only for files 0..7
+_DV_U16_CUT = 6553  # ~10% of rows in covered files are position-deleted
+
+
+def q_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR scan (Delta deletion vectors / Iceberg position
+    deletes): rows live in immutable "files" (md5 bucket of the order
+    key) at a stable position (row_number within the file), deletes
+    are a separate (file, position) side table, and the read path
+    applies them with an ANTI-JOIN instead of rewriting data files —
+    the merge-on-read half of a lakehouse DELETE. Audited per file:
+    rows, deleted, live, and the live quantity sum in cents.
+
+    Determinism: file ids and the deleted-row choice both come from
+    md5 hex (engine-identical); positions order by the (orderkey,
+    linenumber) natural key. Scale: position assignment is one
+    partitioned window per file (files are the partition unit — no
+    global sort); the DV side is ~10% of covered files and joins on
+    (file, pos) — at 100 TB this is the standard DV shuffle, pruned
+    to covered files only."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty_c"),
+    )
+    file_id = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        % _DV_FILES
+    )
+    w = Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+    rows = li.withColumn("file_id", file_id).withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    )
+    u16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit("dv"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dv = rows.where(
+        (F.col("file_id") < _DV_DELETED_FILES) & (u16 < _DV_U16_CUT)
+    ).select("file_id", "pos")
+    live = rows.join(dv, ["file_id", "pos"], "left_anti")
+    per_file = rows.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    live_agg = live.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_live"),
+        F.sum("qty_c").cast("bigint").alias("live_qty_cents"),
+    )
+    return (
+        per_file.join(live_agg, "file_id")
+        .select(
+            "file_id",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_live")).cast("bigint").alias("n_deleted"),
+            "n_live",
+            "live_qty_cents",
+        )
+        .orderBy("file_id")
+    )
+
+
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (delta-join IVM): for a
+    materialized view over R ⋈ S, arriving deltas update it without a
+    full recompute via Δ(R⋈S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS. Orders and
+    lineitem each split old/new on independent deterministic keys; the
+    witness computes the per-status revenue view BOTH ways — full
+    recompute vs base + three delta joins — and emits both so the
+    value hash PROVES they coincide (the companion of
+    q_incremental_agg_maintenance, which maintains an aggregate; this
+    maintains a join).
+
+    All-integer cents; at 100 TB the delta terms join a small ΔR/ΔS
+    against the big base (broadcast when the delta is batch-sized)
+    instead of re-shuffling the full fact pair — that asymmetry is the
+    whole point of IVM."""
+    r = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_orderkey") % 10 >= 8).alias("r_new"),
+    )
+    s = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10 >= 8).alias(
+            "s_new"
+        ),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def _agg(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias(n_name),
+            F.sum("cents").cast("bigint").alias(c_name),
+        )
+
+    joined = r.join(s, r["o_orderkey"] == s["l_orderkey"]).select(
+        "o_orderstatus", "r_new", "s_new", "cents"
+    )
+    full = _agg(joined, "n_full", "cents_full")
+    base = joined.where(~F.col("r_new") & ~F.col("s_new"))
+    d1 = joined.where(F.col("r_new") & ~F.col("s_new"))
+    d2 = joined.where(~F.col("r_new") & F.col("s_new"))
+    d3 = joined.where(F.col("r_new") & F.col("s_new"))
+    inc = _agg(
+        base.unionAll(d1).unionAll(d2).unionAll(d3), "n_inc", "cents_inc"
+    )
+    return (
+        full.join(inc, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_full",
+            "cents_full",
+            "n_inc",
+            "cents_inc",
+            (
+                (F.col("n_full") == F.col("n_inc"))
+                & (F.col("cents_full") == F.col("cents_inc"))
+            ).alias("consistent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "deletion_vector_scan": f"""
+        WITH li AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+                   CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2))
+                        ::BIGINT % {_DV_FILES} AS BIGINT) AS file_id
+            FROM lineitem
+        ), rows_pos AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY file_id
+                           ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS pos
+            FROM li
+        ), dv AS (
+            SELECT file_id, pos FROM rows_pos
+            WHERE file_id < {_DV_DELETED_FILES}
+              AND ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR) || ':dv'), 1, 4))::BIGINT
+                  < {_DV_U16_CUT}
+        ), live AS (
+            SELECT r.* FROM rows_pos r ANTI JOIN dv
+              ON r.file_id = dv.file_id AND r.pos = dv.pos
+        )
+        SELECT f.file_id, f.n_rows,
+               CAST(f.n_rows - l.n_live AS BIGINT) AS n_deleted,
+               l.n_live, l.live_qty_cents
+        FROM (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows
+              FROM rows_pos GROUP BY 1) f
+        JOIN (SELECT file_id, CAST(count(*) AS BIGINT) AS n_live,
+                     CAST(sum(qty_c) AS BIGINT) AS live_qty_cents
+              FROM live GROUP BY 1) l USING (file_id)
+        ORDER BY file_id
+    """,
+    "incremental_join_maintenance": """
+        WITH r AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_orderkey % 10 >= 8 AS r_new
+            FROM orders
+        ), s AS (
+            SELECT l_orderkey,
+                   (l_orderkey * 31 + l_linenumber) % 10 >= 8 AS s_new,
+                   CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                        AS BIGINT) AS cents
+            FROM lineitem
+        ), joined AS (
+            SELECT o_orderstatus, r_new, s_new, cents
+            FROM r JOIN s ON r.o_orderkey = s.l_orderkey
+        ), full_v AS (
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_full,
+                   CAST(sum(cents) AS BIGINT) AS cents_full
+            FROM joined GROUP BY 1
+        ), inc_v AS (
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_inc,
+                   CAST(sum(cents) AS BIGINT) AS cents_inc
+            FROM (
+                SELECT * FROM joined WHERE NOT r_new AND NOT s_new
+                UNION ALL SELECT * FROM joined WHERE r_new AND NOT s_new
+                UNION ALL SELECT * FROM joined WHERE NOT r_new AND s_new
+                UNION ALL SELECT * FROM joined WHERE r_new AND s_new
+            ) GROUP BY 1
+        )
+        SELECT o_orderstatus, n_full, cents_full, n_inc, cents_inc,
+               n_full = n_inc AND cents_full = cents_inc AS consistent
+        FROM full_v JOIN inc_v USING (o_orderstatus)
+        ORDER BY o_orderstatus
+    """,
     "hilbert_layout": _hilbert_oracle(),
     "zonemap_pruning_audit": _zonemap_oracle(),
     "compaction_bin_packing": f"""
