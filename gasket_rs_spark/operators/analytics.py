@@ -1450,7 +1450,290 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_B = 10  # fixed value-distribution buckets
+_PSI_W = 50  # bucket width over events.value
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between a reference and a current
+    event population (the credit-scoring / model-monitoring standard;
+    PSI < 0.1 stable, > 0.25 shifted): values land in 10 fixed-width
+    buckets, populations split deterministically on event_id, and
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one (Laplace) smoothing
+    so empty buckets stay finite. Complements
+    q_distribution_drift_weekly (L1 on shares) with the
+    log-ratio-weighted industry metric.
+
+    Determinism: the ln argument is a ratio of exact int64 products,
+    one ln per bucket snapped to 1e-6; the share difference is two
+    IEEE divisions + one subtract, snapped to 1e-6; each bucket's
+    contribution is the int64 product diff6·ln6 (1e-12 units) and the
+    total is an integer sum. Scale: one corpus pass → fixed 10-row
+    grid (zero-filled — a missing bucket IS drift)."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3 == 0).alias("is_ref"),
+        F.least(
+            F.expr(f"cast(floor(value / {_PSI_W}) as bigint)"),
+            F.lit(_PSI_B - 1).cast("bigint"),
+        ).alias("b"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(_PSI_B - 1).cast("bigint"))
+        ).alias("b")
+    )
+    counts = ev.groupBy("b").agg(
+        F.sum(F.col("is_ref").cast("bigint")).cast("bigint").alias("ref_n"),
+        F.sum((~F.col("is_ref")).cast("bigint")).cast("bigint").alias("cur_n"),
+    )
+    tot = ev.agg(
+        F.sum(F.col("is_ref").cast("bigint")).cast("bigint").alias("nr"),
+        F.sum((~F.col("is_ref")).cast("bigint")).cast("bigint").alias("nc"),
+    )
+    filled = (
+        grid.join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    per = filled.select(
+        "b",
+        "ref_n",
+        "cur_n",
+        F.floor(
+            (
+                (F.col("ref_n") + 1).cast("double")
+                / (F.col("nr") + _PSI_B).cast("double")
+                - (F.col("cur_n") + 1).cast("double")
+                / (F.col("nc") + _PSI_B).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("diff6"),
+        F.floor(
+            F.log(
+                ((F.col("ref_n") + 1) * (F.col("nc") + _PSI_B)).cast("double")
+                / ((F.col("cur_n") + 1) * (F.col("nr") + _PSI_B)).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ln6"),
+    ).withColumn("contrib12", (F.col("diff6") * F.col("ln6")).cast("bigint"))
+    total = per.agg(F.sum("contrib12").cast("bigint").alias("psi12"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("b", "ref_n", "cur_n", "diff6", "ln6", "contrib12", "psi12")
+        .orderBy("b")
+    )
+
+
+_KM_BUCKET_SEC = 4 * 3600  # survival-time bucket width (4 hours)
+_KM_MAX_BUCKET = 47  # durations clamp into the last bucket
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for signup → purchase conversion
+    (the product-limit estimator behind churn/retention survival
+    plots): per user, the duration from first signup to first
+    subsequent purchase (event) or to the end of observation
+    (censored), bucketed into fixed 4-hour intervals; at each event
+    bucket S(t) multiplies by (1 − d/n) over the at-risk set.
+
+    Determinism: each survival factor is ONE ln of an exact int64
+    ratio snapped to 1e-6 (the geometric-mean discipline), the
+    cumulative product is an INTEGER sum of those logs + one exp,
+    snapped; a bucket where d = n pins survival to exactly 0 from
+    there on (no ln(0) on either engine). At-risk counts and the
+    cumulative log both come from ≤48²-row SELF-JOINS over the bounded
+    bucket grid — no global-order window anywhere.
+
+    Scale: one corpus pass to per-user durations (two per-user aggs),
+    then everything runs on the fixed 48-bucket frame."""
+    ev = _events_sec(spark, sf_dir)
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t0"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts_sec") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t1"))
+    )
+    tmax = ev.agg(F.max("ts_sec").alias("tmax"))
+    users = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.col("t1").isNotNull().alias("converted"),
+            F.least(
+                F.expr(f"(coalesce(t1, tmax) - t0) div {_KM_BUCKET_SEC}"),
+                F.lit(_KM_MAX_BUCKET).cast("bigint"),
+            ).alias("bucket"),
+        )
+    )
+    per_b = users.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("u_n"),
+        F.sum(F.col("converted").cast("bigint")).cast("bigint").alias("d"),
+    )
+    x = per_b.select(F.col("bucket").alias("xb"))
+    atrisk = (
+        x.join(F.broadcast(per_b), F.col("bucket") >= F.col("xb"))
+        .groupBy("xb")
+        .agg(F.sum("u_n").cast("bigint").alias("n_at_risk"))
+    )
+    steps = (
+        per_b.where(F.col("d") > 0)
+        .join(atrisk, per_b["bucket"] == atrisk["xb"])
+        .select(
+            "bucket",
+            "d",
+            "n_at_risk",
+            F.when(
+                F.col("d") < F.col("n_at_risk"),
+                F.floor(
+                    F.log(
+                        (F.col("n_at_risk") - F.col("d")).cast("double")
+                        / F.col("n_at_risk").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("ln6"),
+            (F.col("d") == F.col("n_at_risk")).cast("bigint").alias("zero"),
+        )
+    )
+    s2 = steps.select(
+        F.col("bucket").alias("b2"),
+        F.col("ln6").alias("ln6_2"),
+        F.col("zero").alias("zero_2"),
+    )
+    cum = (
+        steps.join(F.broadcast(s2), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "d", "n_at_risk")
+        .agg(
+            F.sum("ln6_2").cast("bigint").alias("cum_ln6"),
+            F.max("zero_2").cast("bigint").alias("hit_zero"),
+        )
+    )
+    return cum.select(
+        "bucket",
+        F.col("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("hit_zero") == 1, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("cum_ln6").cast("double") / 1e6) * 1e6 + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("surv6"),
+    ).orderBy("bucket")
+
+
 ORACLES: dict[str, str] = {
+    "psi_drift": f"""
+        WITH ev AS (
+            SELECT event_id % 3 = 0 AS is_ref,
+                   least(CAST(floor(value / {_PSI_W}) AS BIGINT),
+                         {_PSI_B - 1}) AS b
+            FROM events
+        ), grid AS (
+            SELECT CAST(unnest(generate_series(0, {_PSI_B - 1})) AS BIGINT) AS b
+        ), counts AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ref_n,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cur_n
+            FROM ev GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nc
+            FROM ev
+        ), per AS (
+            SELECT g.b,
+                   COALESCE(c.ref_n, 0) AS ref_n,
+                   COALESCE(c.cur_n, 0) AS cur_n,
+                   CAST(floor((CAST(COALESCE(c.ref_n, 0) + 1 AS DOUBLE)
+                               / CAST(nr + {_PSI_B} AS DOUBLE)
+                               - CAST(COALESCE(c.cur_n, 0) + 1 AS DOUBLE)
+                               / CAST(nc + {_PSI_B} AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS diff6,
+                   CAST(floor(ln(
+                       CAST((COALESCE(c.ref_n, 0) + 1) * (nc + {_PSI_B})
+                            AS DOUBLE)
+                       / CAST((COALESCE(c.cur_n, 0) + 1) * (nr + {_PSI_B})
+                              AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ln6
+            FROM grid g LEFT JOIN counts c ON g.b = c.b CROSS JOIN tot
+        ), per2 AS (
+            SELECT *, CAST(diff6 * ln6 AS BIGINT) AS contrib12 FROM per
+        )
+        SELECT b, ref_n, cur_n, diff6, ln6, contrib12,
+               (SELECT CAST(sum(contrib12) AS BIGINT) FROM per2) AS psi12
+        FROM per2 ORDER BY b
+    """,
+    "kaplan_meier": f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), su AS (
+            SELECT user_id, min(ts_sec) AS t0 FROM e
+            WHERE event_type = 'signup' GROUP BY 1
+        ), pu AS (
+            SELECT e.user_id, min(e.ts_sec) AS t1
+            FROM e JOIN su ON e.user_id = su.user_id
+            WHERE e.event_type = 'purchase' AND e.ts_sec >= su.t0
+            GROUP BY 1
+        ), tm AS (
+            SELECT max(ts_sec) AS tmax FROM e
+        ), users AS (
+            SELECT pu.t1 IS NOT NULL AS converted,
+                   least((COALESCE(pu.t1, tm.tmax) - su.t0)
+                             // {_KM_BUCKET_SEC},
+                         {_KM_MAX_BUCKET}) AS bucket
+            FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN tm
+        ), per_b AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS u_n,
+                   CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d
+            FROM users GROUP BY 1
+        ), atrisk AS (
+            SELECT x.bucket AS xb, CAST(sum(y.u_n) AS BIGINT) AS n_at_risk
+            FROM per_b x JOIN per_b y ON y.bucket >= x.bucket
+            GROUP BY 1
+        ), steps AS (
+            SELECT p.bucket, p.d, a.n_at_risk,
+                   CASE WHEN p.d < a.n_at_risk THEN
+                       CAST(floor(ln(CAST(a.n_at_risk - p.d AS DOUBLE)
+                                     / CAST(a.n_at_risk AS DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT)
+                   END AS ln6,
+                   CASE WHEN p.d = a.n_at_risk THEN 1 ELSE 0 END AS zero
+            FROM per_b p JOIN atrisk a ON p.bucket = a.xb
+            WHERE p.d > 0
+        ), cum AS (
+            SELECT s1.bucket, s1.d, s1.n_at_risk,
+                   CAST(sum(s2.ln6) AS BIGINT) AS cum_ln6,
+                   CAST(max(s2.zero) AS BIGINT) AS hit_zero
+            FROM steps s1 JOIN steps s2 ON s2.bucket <= s1.bucket
+            GROUP BY 1, 2, 3
+        )
+        SELECT bucket, n_at_risk, d AS n_events,
+               CASE WHEN hit_zero = 1 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(exp(CAST(cum_ln6 AS DOUBLE) / 1e6) * 1e6
+                                    + 0.5) AS BIGINT)
+               END AS surv6
+        FROM cum ORDER BY bucket
+    """,
     "ewma_weekly": _ewma_oracle(),
     "markov_stationary": _markov_oracle(),
     "holt_linear_forecast": _holt_oracle(),

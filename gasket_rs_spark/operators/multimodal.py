@@ -738,6 +738,79 @@ def q_multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY segmentation over decoded video: consumes the
+    per-frame-pair motion signal of q_multimodal_video_temporal_diff
+    (same Arrow-batched decode kernel — one plan, no re-decode
+    elsewhere) and declares a CUT wherever a pair's mean abs diff
+    exceeds the CLIP'S OWN mean motion (the data-derived threshold, so
+    no fixed constant degenerates at another scale). Shots = cuts + 1
+    — the clip-level structure signal a video-curation pipeline uses
+    to drop static or strobing clips.
+
+    Integer core: diffs snap to 1e-6 micro-units at the kernel
+    boundary; the threshold compare is the cross-multiplied integer
+    d6·n_pairs > Σd6 (never a float mean). Scale: per-doc aggregates
+    only — the segmentation adds one map-side-combinable groupBy over
+    the decode output."""
+    d = q_multimodal_video_temporal_diff(spark, sf_dir).select(
+        "doc_id",
+        "pair",
+        F.floor(F.col("mean_abs_diff") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("d6"),
+    )
+    stats = d.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("d6").cast("bigint").alias("sum6"),
+        F.max("d6").cast("bigint").alias("max_d6"),
+    )
+    return (
+        d.join(stats, "doc_id")
+        .groupBy("doc_id", "n_pairs", "sum6", "max_d6")
+        .agg(
+            F.sum(
+                (F.col("d6") * F.col("n_pairs") > F.col("sum6")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_cuts")
+        )
+        .select(
+            "doc_id",
+            (F.col("n_pairs") + 1).cast("bigint").alias("n_frames"),
+            "n_cuts",
+            (F.col("n_cuts") + 1).cast("bigint").alias("n_shots"),
+            F.expr("sum6 div n_pairs").cast("bigint").alias("mean_d6"),
+            "max_d6",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_VIDEO_DIFF_SQL = """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
+            FROM documents
+            WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 6
+        ), s AS (
+            SELECT doc_id, p, (p + 3) // 4 AS pf,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c))[1 : p * 3] AS b
+            FROM t
+        ), pairs AS (
+            SELECT doc_id, p, pf, b, u.k,
+                   least(pf, p - (u.k + 1) * pf) AS m
+            FROM s CROSS JOIN (SELECT unnest(range(3)) AS k) u
+            WHERE (u.k + 1) * pf < p
+        )
+        SELECT doc_id, k AS pair, 3 * m AS n_vals,
+               floor(CAST(list_sum(list_transform(range(0, 3 * m),
+                     i -> abs(b[k * pf * 3 + i + 1] - b[(k + 1) * pf * 3 + i + 1])))
+                     AS DOUBLE) / (3 * m) * 1000000 + 0.5) / 1000000 AS mean_abs_diff
+        FROM pairs
+    """
+
+
 ORACLES: dict[str, str] = {
     "multimodal_image_channels": """
         WITH t AS (
@@ -820,27 +893,30 @@ ORACLES: dict[str, str] = {
         GROUP BY ahash
         HAVING count(*) >= 2
     """,
-    "multimodal_video_temporal_diff": """
-        WITH t AS (
-            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
-            FROM documents
-            WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 6
-        ), s AS (
-            SELECT doc_id, p, (p + 3) // 4 AS pf,
-                   list_transform(string_split(text, ''),
-                                  c -> unicode(c))[1 : p * 3] AS b
-            FROM t
-        ), pairs AS (
-            SELECT doc_id, p, pf, b, u.k,
-                   least(pf, p - (u.k + 1) * pf) AS m
-            FROM s CROSS JOIN (SELECT unnest(range(3)) AS k) u
-            WHERE (u.k + 1) * pf < p
+    "multimodal_video_temporal_diff": _VIDEO_DIFF_SQL,
+    "video_shot_segmentation": f"""
+        WITH base AS ({_VIDEO_DIFF_SQL}
+        ), d AS (
+            SELECT doc_id, pair,
+                   CAST(floor(mean_abs_diff * 1e6 + 0.5) AS BIGINT) AS d6
+            FROM base
+        ), stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(d6) AS BIGINT) AS sum6,
+                   CAST(max(d6) AS BIGINT) AS max_d6
+            FROM d GROUP BY 1
         )
-        SELECT doc_id, k AS pair, 3 * m AS n_vals,
-               floor(CAST(list_sum(list_transform(range(0, 3 * m),
-                     i -> abs(b[k * pf * 3 + i + 1] - b[(k + 1) * pf * 3 + i + 1])))
-                     AS DOUBLE) / (3 * m) * 1000000 + 0.5) / 1000000 AS mean_abs_diff
-        FROM pairs
+        SELECT d.doc_id,
+               CAST(s.n_pairs + 1 AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN d.d6 * s.n_pairs > s.sum6 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cuts,
+               CAST(sum(CASE WHEN d.d6 * s.n_pairs > s.sum6 THEN 1 ELSE 0 END)
+                    + 1 AS BIGINT) AS n_shots,
+               CAST(s.sum6 // s.n_pairs AS BIGINT) AS mean_d6,
+               s.max_d6
+        FROM d JOIN stats s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id, s.n_pairs, s.sum6, s.max_d6
+        ORDER BY d.doc_id
     """,
     "multimodal_audio_features": """
         WITH t AS (
