@@ -1534,6 +1534,106 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UCB_QUALITY_CHARS = 300  # a "successful" doc (reward 1) is >= this long
+
+
+def q_ucb1_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit index snapshot (Auer et al. 2002) over sources-as-
+    arms: each document is a pull, reward 1 if it clears the length
+    gate, and the index mean + sqrt(2·ln N / n_i) ranks which source an
+    acquisition loop should sample next — exploitation (mean) plus
+    exploration (rarely-pulled bonus). The allocation logic behind
+    adaptive corpus acquisition.
+
+    Determinism: mean6 is integer; the bonus chains ln → sqrt but each
+    is a SINGLE transcendental on an exact-integer-derived argument,
+    snapped between (the verify-skill single-op rule): ln(N) snaps to
+    ln6 first, then sqrt evaluates on the exact rational 2·ln6/(n·1e6).
+    Scale: one corpus pass, k-row everything after."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") >= _UCB_QUALITY_CHARS).cast("bigint").alias("r")
+    )
+    arms = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("successes"),
+    )
+    tot = arms.agg(F.sum("n").cast("bigint").alias("big_n"))
+    per = arms.crossJoin(F.broadcast(tot)).withColumn(
+        "ln6n",
+        F.floor(F.log(F.col("big_n").cast("double")) * 1e6 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return per.select(
+        "source",
+        "n",
+        "successes",
+        F.expr("successes * 1000000 div n").cast("bigint").alias("mean6"),
+        F.floor(
+            F.sqrt(
+                (2 * F.col("ln6n")).cast("double")
+                / (F.col("n") * 1_000_000).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("bonus6"),
+    ).withColumn(
+        "ucb6", (F.col("mean6") + F.col("bonus6")).cast("bigint")
+    ).orderBy("source")
+
+
+_LAT_PCTS = (50, 95, 99)  # nearest-rank (ceil) percentiles reported
+
+
+def q_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency percentiles per event type — the p50/p95/
+    p99 gap report an SLO dashboard runs over an event stream: gaps
+    come from one lag window per type, percentiles are EXACT
+    nearest-rank (ceil(n·p/100)-th order statistic) selected by
+    row_number with a (gap, event_id) total order — value-deterministic
+    even with duplicate gaps (the conformal_quantile discipline), no
+    interpolation, no floats anywhere.
+
+    Scale: two partitioned sort-windows (lag, then rank) on the same
+    event_type key — AQE reuses the exchange; the rank filter is a
+    semi-join against a 3-row literal percentile list."""
+    ev = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts_sec", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "event_id",
+            (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("gap")
+            )
+        )
+        .cast("bigint")
+        .alias(f"p{p}_sec")
+        for p in _LAT_PCTS
+    ]
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.max("n").cast("bigint").alias("n_gaps"), *picks)
+        .orderBy("event_type")
+    )
+
+
 _KM_BUCKET_SEC = 4 * 3600  # survival-time bucket width (4 hours)
 _KM_MAX_BUCKET = 47  # durations clamp into the last bucket
 
@@ -1640,6 +1740,58 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "ucb1_bandit": f"""
+        WITH docs AS (
+            SELECT source,
+                   CASE WHEN n_chars >= {_UCB_QUALITY_CHARS} THEN 1 ELSE 0 END
+                       AS r
+            FROM documents
+        ), arms AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(r) AS BIGINT) AS successes
+            FROM docs GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS big_n FROM arms
+        ), per AS (
+            SELECT a.*, CAST(floor(ln(CAST(big_n AS DOUBLE)) * 1e6 + 0.5)
+                             AS BIGINT) AS ln6n
+            FROM arms a CROSS JOIN tot
+        )
+        SELECT source, n, successes,
+               CAST(successes * 1000000 // n AS BIGINT) AS mean6,
+               CAST(floor(sqrt(CAST(2 * ln6n AS DOUBLE)
+                               / CAST(n * 1000000 AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS bonus6,
+               CAST(successes * 1000000 // n
+                    + floor(sqrt(CAST(2 * ln6n AS DOUBLE)
+                                 / CAST(n * 1000000 AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS ucb6
+        FROM per ORDER BY source
+    """,
+    "interarrival_percentiles": f"""
+        WITH e AS (
+            SELECT event_type, event_id, epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), gaps AS (
+            SELECT event_type, event_id,
+                   ts_sec - lag(ts_sec) OVER (PARTITION BY event_type
+                                              ORDER BY ts_sec, event_id) AS gap
+            FROM e
+        ), ranked AS (
+            SELECT event_type, gap,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM gaps WHERE gap IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_gaps,
+               {", ".join(
+                   f"CAST(max(CASE WHEN rn = (n * {p} + 99) // 100 THEN gap END)"
+                   f" AS BIGINT) AS p{p}_sec" for p in _LAT_PCTS
+               )}
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """,
     "psi_drift": f"""
         WITH ev AS (
             SELECT event_id % 3 = 0 AS is_ref,

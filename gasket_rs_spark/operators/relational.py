@@ -1555,6 +1555,49 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQ_SQL = """
+    WITH above AS (
+        SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_above_avg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+              * (SELECT CAST(count(*) AS BIGINT) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100 + 0.5)
+                                      AS BIGINT)) AS BIGINT)
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY 1
+    ), idle AS (
+        SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_idle
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    ), segs AS (
+        SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY 1
+    )
+    SELECT s.segment, s.n_customers,
+           CAST(coalesce(a.n_above_avg, 0) AS BIGINT) AS n_above_avg,
+           CAST(coalesce(i.n_idle, 0) AS BIGINT) AS n_idle
+    FROM segs s
+    LEFT JOIN above a ON s.segment = a.segment
+    LEFT JOIN idle i ON s.segment = i.segment
+    ORDER BY s.segment
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED SCALAR SUBQUERY + NOT EXISTS surface witness: orders
+    priced above their own customer's average (the avg compare is the
+    integer cross-multiplication cents·count > Σcents — never a float
+    average, whose sum order differs across engines), and customers
+    with no orders at all, per market segment. One ANSI statement runs
+    VERBATIM on Spark SQL and DuckDB — Catalyst decorrelates both
+    subqueries into aggregate-joins (RewriteCorrelatedScalarSubquery),
+    so the executed plan is two hash joins, not a per-row probe."""
+    _register_sql_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
 def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise / boolean aggregate surface: BIT_AND / BIT_OR / BIT_XOR
     over a derived flag word plus BOOL_AND / BOOL_OR per order priority
@@ -1593,6 +1636,7 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "scalar_subquery": _SCALAR_SUBQ_SQL,
     "agg_bitwise": """
         WITH o AS (
             SELECT o_orderpriority,

@@ -1898,7 +1898,160 @@ def _kcenter_oracle() -> str:
     """
 
 
+_DBSCAN_EPS6 = 1_450_000  # squared-L2 radius on the 1e-6 grid
+_DBSCAN_MINPTS = 3  # neighbors (excluding self) to qualify as core
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) over the embedding
+    table: CORE points have ≥ minPts neighbors within eps (squared L2),
+    clusters are connected components of the core-core eps-graph,
+    BORDER points attach to their lowest-labeled core cluster, the rest
+    is NOISE — the density-based outlier/cluster splitter used to
+    carve an embedding corpus before per-cluster curation.
+
+    Determinism: pairwise distances expand as sq_a + sq_b − 2·dot
+    (fixed-order folds) and snap to int64 micro-units BEFORE the eps
+    compare; components take the min vec_id label (the dedup
+    _components machinery — dedup.py:1352); border assignment is
+    min() over core neighbors. Pure integer end to end.
+
+    Scale: the fixture's embedding table is dim-bounded so the
+    all-pairs eps-join stays broadcastable; at 100 TB the pair
+    generation swaps to the LSH-bucketed candidate path
+    (q_dedup_embedding_lsh / similarity ANN) with identical
+    downstream core/border/noise logic."""
+    from gasket_rs_spark.operators.dedup import _components
+
+    emb = _with_vec(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "vec",
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x).alias(
+            "sq"
+        ),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("vec").alias("va"), F.col("sq").alias("sqa")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("vec").alias("vb"), F.col("sq").alias("sqb")
+    )
+    pairs = (
+        a.join(broadcast(b), F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.floor(
+                (F.col("sqa") + F.col("sqb") - 2 * _dot(F.col("va"), F.col("vb")))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("d6"),
+        )
+        .where(F.col("d6") <= _DBSCAN_EPS6)
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(F.col("ida").alias("u"), F.col("idb").alias("v")).unionAll(
+        pairs.select(F.col("idb").alias("u"), F.col("ida").alias("v"))
+    )
+    degree = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    core = degree.where(F.col("deg") >= _DBSCAN_MINPTS).select(
+        F.col("u").alias("vec_id")
+    ).localCheckpoint(eager=True)
+    core_edges = (
+        pairs.join(core.withColumnRenamed("vec_id", "ida"), "ida")
+        .join(core.withColumnRenamed("vec_id", "idb"), "idb")
+        .select(F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"))
+    )
+    comp = _components(
+        core.withColumnRenamed("vec_id", "doc_id"), core_edges
+    ).select(F.col("doc_id").alias("vec_id"), F.col("component").alias("cluster"))
+    core_out = comp.select(
+        "vec_id", F.lit("core").alias("role"), F.col("cluster").cast("bigint")
+    )
+    border = (
+        sym.join(core.withColumnRenamed("vec_id", "v"), "v")
+        .join(core.withColumnRenamed("vec_id", "u"), "u", "left_anti")
+        .join(comp.withColumnRenamed("vec_id", "v"), "v")
+        .groupBy(F.col("u").alias("vec_id"))
+        .agg(F.min("cluster").cast("bigint").alias("cluster"))
+        .select("vec_id", F.lit("border").alias("role"), "cluster")
+    )
+    assigned = core_out.unionAll(border)
+    noise = (
+        emb.select("vec_id")
+        .join(assigned.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("bigint").alias("cluster"),
+        )
+    )
+    return assigned.unionAll(noise).orderBy("vec_id")
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+            FROM embeddings
+        ), pairs AS MATERIALIZED (
+            SELECT a.vec_id AS ida, b.vec_id AS idb
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE CAST(floor((a.sq + b.sq - 2 * list_dot_product(a.vec, b.vec))
+                             * 1e6 + 0.5) AS BIGINT) <= {_DBSCAN_EPS6}
+        ), sym AS MATERIALIZED (
+            SELECT ida AS u, idb AS v FROM pairs
+            UNION ALL
+            SELECT idb AS u, ida AS v FROM pairs
+        ), core AS MATERIALIZED (
+            SELECT u AS vec_id FROM sym GROUP BY 1
+            HAVING count(*) >= {_DBSCAN_MINPTS}
+        ), core_edges AS MATERIALIZED (
+            SELECT p.ida AS doc_a, p.idb AS doc_b
+            FROM pairs p
+            JOIN core ca ON p.ida = ca.vec_id
+            JOIN core cb ON p.idb = cb.vec_id
+        ), reach AS (
+            WITH RECURSIVE r(id, target) AS (
+                SELECT vec_id, vec_id FROM core
+                UNION
+                SELECT e.doc_a, r.target FROM r
+                JOIN (SELECT doc_a, doc_b FROM core_edges
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM core_edges) e
+                  ON e.doc_b = r.id
+            )
+            SELECT * FROM r
+        ), comp AS MATERIALIZED (
+            SELECT id AS vec_id, CAST(min(target) AS BIGINT) AS cluster
+            FROM reach GROUP BY 1
+        ), border AS (
+            SELECT s.u AS vec_id, 'border' AS role,
+                   CAST(min(c.cluster) AS BIGINT) AS cluster
+            FROM sym s
+            JOIN core cv ON s.v = cv.vec_id
+            JOIN comp c ON s.v = c.vec_id
+            WHERE s.u NOT IN (SELECT vec_id FROM core)
+            GROUP BY 1
+        ), assigned AS (
+            SELECT vec_id, 'core' AS role, cluster FROM comp
+            UNION ALL
+            SELECT vec_id, role, cluster FROM border
+        )
+        SELECT vec_id, role, cluster FROM assigned
+        UNION ALL
+        SELECT v.vec_id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+        FROM v WHERE v.vec_id NOT IN (SELECT vec_id FROM assigned)
+        ORDER BY vec_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    "dbscan_clusters": _dbscan_oracle(),
     "kcenter_coreset": _kcenter_oracle(),
     "calibration_ece": _ece_oracle(),
     "rrf_fusion": _rrf_oracle(),
