@@ -203,6 +203,26 @@ EXTRAS = [
     "roc_curve",
     "l_diversity_audit",
     "holt_linear_forecast",
+    # round-11 session-3 additions (waves 8-12)
+    "cohens_kappa",
+    "mad_outliers",
+    "t_closeness_audit",
+    "mixture_apportionment",
+    "bradley_terry",
+    "isotonic_calibration",
+    "entity_resolution",
+    "agg_bitwise",
+    "keyword_textrank",
+    "deletion_vector_scan",
+    "incremental_join_maintenance",
+    "kcenter_coreset",
+    "psi_drift",
+    "kaplan_meier",
+    "video_shot_segmentation",
+    "dbscan_clusters",
+    "scalar_subquery",
+    "ucb1_bandit",
+    "interarrival_percentiles",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

@@ -1534,6 +1534,140 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XCORR_MAX_LAG = 7  # lead/lag window in days, both directions
+_XCORR_A = "signup"  # leading series candidate
+_XCORR_B = "purchase"  # lagging series candidate
+
+
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-LAG cross-correlation between the daily signup and purchase
+    count series at lags −7..+7 — the "does signups lead purchases, and
+    by how many days?" probe behind every marketing-attribution lag
+    choice. Positive-lag peaks mean series A leads B.
+
+    Determinism (the acf_daily discipline): both series zero-fill over
+    the SAME day grid; centering uses the n²-scaled integer form
+    y_t = n·c_t − S (no rational means), so every cross-product sum
+    num(L) = Σ y^a_t · y^b_{t+L} is exact int64. No normalization —
+    the argmax over lags is what the analyst reads, and it is invariant
+    to the (positive) scale factor.
+
+    Scale: one scan → per-day×type counts; the grid is
+    calendar-bounded, localCheckpointed, and the 15-lag join is a
+    bounded self-join."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("day").agg(
+        F.sum((F.col("event_type") == _XCORR_A).cast("bigint"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum((F.col("event_type") == _XCORR_B).cast("bigint"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    grid = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(counts, "day", "left")
+        .select(
+            "day",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = grid.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ca").cast("bigint").alias("sa"),
+        F.sum("cb").cast("bigint").alias("sb"),
+    )
+    y = grid.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("ca") - F.col("sa")).alias("ya"),
+        (F.col("n") * F.col("cb") - F.col("sb")).alias("yb"),
+    )
+    lags = tot.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)])
+        ).alias("lag")
+    )
+    a = y.select(F.col("day").alias("da"), "ya")
+    b = y.select(F.col("day").alias("db"), "yb")
+    return (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlap"),
+            F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("xcov_num"),
+        )
+        .orderBy("lag")
+    )
+
+
+_CHURN_TOPK = 10  # weekly leaderboard size
+
+
+def q_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week TOP-K LEADERBOARD CHURN: the top-10 users by
+    event count each week, compared to the previous week's top-10 —
+    how many entered, dropped, stayed, and the Jaccard stability of
+    the set. The trending/"new this week" detector every engagement
+    dashboard ships.
+
+    Determinism: the leaderboard is a per-week row_number over
+    (count DESC, user_id) — a total order; set comparisons are integer
+    counts. Scale: one corpus pass → (week, user) counts (map-side
+    combinable), one partitioned rank window, then the week-pair join
+    runs on K-row frames."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "week", F.floor(F.col("ts_sec") / F.lit(604800)).cast("bigint")
+    )
+    wu = ev.groupBy("week", "user_id").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("week").orderBy(F.col("c").desc(), "user_id")
+    top = (
+        wu.select("week", "user_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _CHURN_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    prev = top.select(
+        (F.col("week") + 1).alias("week"), F.col("user_id").alias("prev_user")
+    )
+    stay = (
+        top.join(prev, (top["week"] == prev["week"]) & (top["user_id"] == prev["prev_user"]))
+        .groupBy(top["week"].alias("week"))
+        .agg(F.count("*").cast("bigint").alias("n_stayed"))
+    )
+    sizes = top.groupBy("week").agg(F.count("*").cast("bigint").alias("k_now"))
+    prev_sizes = sizes.select(
+        (F.col("week") + 1).alias("week"), F.col("k_now").alias("k_prev")
+    )
+    return (
+        sizes.join(prev_sizes, "week")
+        .join(stay, "week", "left")
+        .select(
+            "week",
+            "k_now",
+            "k_prev",
+            F.coalesce("n_stayed", F.lit(0)).cast("bigint").alias("n_stayed"),
+            (F.col("k_now") - F.coalesce("n_stayed", F.lit(0)))
+            .cast("bigint")
+            .alias("n_new"),
+            (F.col("k_prev") - F.coalesce("n_stayed", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr(
+                "coalesce(n_stayed, 0) * 1000000 div "
+                "(k_now + k_prev - coalesce(n_stayed, 0))"
+            )
+            .cast("bigint")
+            .alias("jaccard6"),
+        )
+        .orderBy("week")
+    )
+
+
 _UCB_QUALITY_CHARS = 300  # a "successful" doc (reward 1) is >= this long
 
 
@@ -1631,6 +1765,84 @@ def q_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("event_type")
         .agg(F.max("n").cast("bigint").alias("n_gaps"), *picks)
         .orderBy("event_type")
+    )
+
+
+def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE / INFORMATION VALUE of the event-value
+    feature against the purchase target — PSI's credit-scoring sibling
+    for PREDICTIVE power instead of drift: per bucket,
+    WoE = ln(P(bucket|good)/P(bucket|bad)) and
+    IV = Σ (p_good − p_bad)·WoE, with add-one smoothing (IV < 0.02
+    useless, > 0.3 strong — the standard feature-screening gate).
+    Good = purchase events, bad = everything else; same fixed 10-bucket
+    grid as q_psi_drift.
+
+    Determinism: identical to the PSI spelling — exact int64 products
+    inside ONE ln per bucket (snapped), IEEE-division share difference
+    (snapped), integer contribution products, integer total."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("is_good"),
+        F.least(
+            F.expr(f"cast(floor(value / {_PSI_W}) as bigint)"),
+            F.lit(_PSI_B - 1).cast("bigint"),
+        ).alias("b"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(_PSI_B - 1).cast("bigint"))
+        ).alias("b")
+    )
+    counts = ev.groupBy("b").agg(
+        F.sum(F.col("is_good").cast("bigint")).cast("bigint").alias("good_n"),
+        F.sum((~F.col("is_good")).cast("bigint")).cast("bigint").alias("bad_n"),
+    )
+    tot = ev.agg(
+        F.sum(F.col("is_good").cast("bigint")).cast("bigint").alias("ng"),
+        F.sum((~F.col("is_good")).cast("bigint")).cast("bigint").alias("nb"),
+    )
+    per = (
+        grid.join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("good_n", F.lit(0)).cast("bigint").alias("good_n"),
+            F.coalesce("bad_n", F.lit(0)).cast("bigint").alias("bad_n"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            "good_n",
+            "bad_n",
+            F.floor(
+                (
+                    (F.col("good_n") + 1).cast("double")
+                    / (F.col("ng") + _PSI_B).cast("double")
+                    - (F.col("bad_n") + 1).cast("double")
+                    / (F.col("nb") + _PSI_B).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("diff6"),
+            F.floor(
+                F.log(
+                    ((F.col("good_n") + 1) * (F.col("nb") + _PSI_B)).cast("double")
+                    / ((F.col("bad_n") + 1) * (F.col("ng") + _PSI_B)).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("woe6"),
+        )
+        .withColumn("iv_contrib12", (F.col("diff6") * F.col("woe6")).cast("bigint"))
+    )
+    total = per.agg(F.sum("iv_contrib12").cast("bigint").alias("iv12"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("b", "good_n", "bad_n", "diff6", "woe6", "iv_contrib12", "iv12")
+        .orderBy("b")
     )
 
 
@@ -1740,6 +1952,119 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "lead_lag_xcorr": f"""
+        WITH e AS (
+            SELECT event_type, epoch_ms(ts) // 1000 AS ts_sec FROM events
+        ), counts AS (
+            SELECT CAST(floor(ts_sec / 86400) AS BIGINT) AS day,
+                   CAST(sum(CASE WHEN event_type = '{_XCORR_A}' THEN 1 ELSE 0
+                            END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN event_type = '{_XCORR_B}' THEN 1 ELSE 0
+                            END) AS BIGINT) AS cb
+            FROM e GROUP BY 1
+        ), grid AS (
+            SELECT g.day, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+            FROM (SELECT unnest(generate_series((SELECT min(day) FROM counts),
+                                                (SELECT max(day) FROM counts)))
+                      AS day) g
+            LEFT JOIN counts c ON g.day = c.day
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ca) AS BIGINT) AS sa,
+                   CAST(sum(cb) AS BIGINT) AS sb
+            FROM grid
+        ), y AS (
+            SELECT day, n * ca - sa AS ya, n * cb - sb AS yb
+            FROM grid CROSS JOIN tot
+        ), lags AS (
+            SELECT unnest(generate_series(-{_XCORR_MAX_LAG},
+                                          {_XCORR_MAX_LAG})) AS lag
+        )
+        SELECT l.lag,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               CAST(sum(a.ya * b.yb) AS BIGINT) AS xcov_num
+        FROM lags l
+        CROSS JOIN y a
+        JOIN y b ON b.day = a.day + l.lag
+        GROUP BY 1 ORDER BY 1
+    """,
+    "topk_churn": f"""
+        WITH e AS (
+            SELECT user_id, epoch_ms(ts) // 1000 AS ts_sec FROM events
+        ), wu AS (
+            SELECT CAST(floor(ts_sec / 604800) AS BIGINT) AS week, user_id,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2
+        ), top AS (
+            SELECT week, user_id FROM (
+                SELECT week, user_id,
+                       row_number() OVER (PARTITION BY week
+                                          ORDER BY c DESC, user_id) AS rk
+                FROM wu
+            ) WHERE rk <= {_CHURN_TOPK}
+        ), sizes AS (
+            SELECT week, CAST(count(*) AS BIGINT) AS k_now FROM top GROUP BY 1
+        ), stay AS (
+            SELECT t.week, CAST(count(*) AS BIGINT) AS n_stayed
+            FROM top t JOIN top p
+              ON p.week = t.week - 1 AND p.user_id = t.user_id
+            GROUP BY 1
+        )
+        SELECT s.week, s.k_now, p.k_now AS k_prev,
+               CAST(COALESCE(st.n_stayed, 0) AS BIGINT) AS n_stayed,
+               CAST(s.k_now - COALESCE(st.n_stayed, 0) AS BIGINT) AS n_new,
+               CAST(p.k_now - COALESCE(st.n_stayed, 0) AS BIGINT) AS n_dropped,
+               CAST(COALESCE(st.n_stayed, 0) * 1000000
+                    // (s.k_now + p.k_now - COALESCE(st.n_stayed, 0))
+                    AS BIGINT) AS jaccard6
+        FROM sizes s
+        JOIN sizes p ON p.week = s.week - 1
+        LEFT JOIN stay st ON st.week = s.week
+        ORDER BY s.week
+    """,
+    "woe_iv_binning": f"""
+        WITH ev AS (
+            SELECT event_type = 'purchase' AS is_good,
+                   least(CAST(floor(value / {_PSI_W}) AS BIGINT),
+                         {_PSI_B - 1}) AS b
+            FROM events
+        ), grid AS (
+            SELECT CAST(unnest(generate_series(0, {_PSI_B - 1})) AS BIGINT) AS b
+        ), counts AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT)
+                       AS good_n,
+                   CAST(sum(CASE WHEN is_good THEN 0 ELSE 1 END) AS BIGINT)
+                       AS bad_n
+            FROM ev GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ng,
+                   CAST(sum(CASE WHEN is_good THEN 0 ELSE 1 END) AS BIGINT)
+                       AS nb
+            FROM ev
+        ), per AS (
+            SELECT g.b,
+                   COALESCE(c.good_n, 0) AS good_n,
+                   COALESCE(c.bad_n, 0) AS bad_n,
+                   CAST(floor((CAST(COALESCE(c.good_n, 0) + 1 AS DOUBLE)
+                               / CAST(ng + {_PSI_B} AS DOUBLE)
+                               - CAST(COALESCE(c.bad_n, 0) + 1 AS DOUBLE)
+                               / CAST(nb + {_PSI_B} AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS diff6,
+                   CAST(floor(ln(
+                       CAST((COALESCE(c.good_n, 0) + 1) * (nb + {_PSI_B})
+                            AS DOUBLE)
+                       / CAST((COALESCE(c.bad_n, 0) + 1) * (ng + {_PSI_B})
+                              AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS woe6
+            FROM grid g LEFT JOIN counts c ON g.b = c.b CROSS JOIN tot
+        ), per2 AS (
+            SELECT *, CAST(diff6 * woe6 AS BIGINT) AS iv_contrib12 FROM per
+        )
+        SELECT b, good_n, bad_n, diff6, woe6, iv_contrib12,
+               (SELECT CAST(sum(iv_contrib12) AS BIGINT) FROM per2) AS iv12
+        FROM per2 ORDER BY b
+    """,
     "ucb1_bandit": f"""
         WITH docs AS (
             SELECT source,

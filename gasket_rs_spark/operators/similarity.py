@@ -2050,7 +2050,131 @@ def _dbscan_oracle() -> str:
     """
 
 
+_MMD_LABEL_A = 0
+_MMD_LABEL_B = 1
+
+
+def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel MMD² between two label groups of the embedding
+    corpus — MMD²_lin = ‖μ_A − μ_B‖², the two-sample separation test a
+    representation audit runs to ask "are these classes actually
+    distinguishable in embedding space?" (Gretton et al. 2012; the
+    linear kernel makes it the squared mean-gap, computable in one
+    pass).
+
+    Determinism: embedding values snap to int64 micro-units BEFORE any
+    sum (the cross-engine float-sum-order killer), per-dimension sums
+    are integers, the mean gap per dim is the exact integer
+    cross-multiplication S_A·n_B − S_B·n_A over denominator n_A·n_B,
+    and each dim's squared term is two IEEE ops (divide, square)
+    snapped to an integer. Output: one row per dimension + the total
+    on every row.
+
+    Scale: posexplode → (dim, label) integer sums — map-side
+    combinable, dim-bounded everything after."""
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("label").isin(_MMD_LABEL_A, _MMD_LABEL_B)
+    )
+    e6 = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim", "v6"),
+    )
+    sums = e6.groupBy("dim").agg(
+        F.sum(F.when(F.col("label") == _MMD_LABEL_A, F.col("v6")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("label") == _MMD_LABEL_B, F.col("v6")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    ns = emb.agg(
+        F.sum((F.col("label") == _MMD_LABEL_A).cast("bigint"))
+        .cast("bigint")
+        .alias("na"),
+        F.sum((F.col("label") == _MMD_LABEL_B).cast("bigint"))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    per = (
+        sums.crossJoin(F.broadcast(ns))
+        .select(
+            "dim",
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("gap_num"),
+            "na",
+            "nb",
+        )
+        .select(
+            "dim",
+            "gap_num",
+            F.floor(
+                (
+                    F.col("gap_num").cast("double")
+                    / (F.col("na") * F.col("nb")).cast("double")
+                )
+                * (
+                    F.col("gap_num").cast("double")
+                    / (F.col("na") * F.col("nb")).cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("gap_sq12"),
+        )
+    )
+    total = per.agg(F.sum("gap_sq12").cast("bigint").alias("mmd12"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("dim", "gap_num", "gap_sq12", "mmd12")
+        .orderBy("dim")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_mmd_labels": f"""
+        WITH emb AS (
+            SELECT label, embedding FROM embeddings
+            WHERE label IN ({_MMD_LABEL_A}, {_MMD_LABEL_B})
+        ), e6 AS (
+            SELECT label, u.dim - 1 AS dim, u.v6
+            FROM emb, LATERAL (
+                SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                       unnest(list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                     AS BIGINT))) AS v6
+            ) u
+        ), sums AS (
+            SELECT dim,
+                   CAST(sum(CASE WHEN label = {_MMD_LABEL_A} THEN v6 ELSE 0
+                            END) AS BIGINT) AS sa,
+                   CAST(sum(CASE WHEN label = {_MMD_LABEL_B} THEN v6 ELSE 0
+                            END) AS BIGINT) AS sb
+            FROM e6 GROUP BY 1
+        ), ns AS (
+            SELECT CAST(sum(CASE WHEN label = {_MMD_LABEL_A} THEN 1 ELSE 0
+                            END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN label = {_MMD_LABEL_B} THEN 1 ELSE 0
+                            END) AS BIGINT) AS nb
+            FROM emb
+        ), per AS (
+            SELECT dim, sa * nb - sb * na AS gap_num,
+                   CAST(floor((CAST(sa * nb - sb * na AS DOUBLE)
+                               / CAST(na * nb AS DOUBLE))
+                              * (CAST(sa * nb - sb * na AS DOUBLE)
+                                 / CAST(na * nb AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS gap_sq12
+            FROM sums CROSS JOIN ns
+        )
+        SELECT dim, gap_num, gap_sq12,
+               (SELECT CAST(sum(gap_sq12) AS BIGINT) FROM per) AS mmd12
+        FROM per ORDER BY dim
+    """,
     "dbscan_clusters": _dbscan_oracle(),
     "kcenter_coreset": _kcenter_oracle(),
     "calibration_ece": _ece_oracle(),
