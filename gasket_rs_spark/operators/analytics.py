@@ -1534,6 +1534,60 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDE_W = 7  # trailing window width in days
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT ACTIVE USERS per day (the DAU/WAU
+    engagement series) — the sliding COUNT DISTINCT that ordinary
+    window frames cannot express (distinct is not subtractable, so no
+    incremental frame works): each day's window re-counts the exact
+    distinct user set over the last 7 days.
+
+    Exact formulation: corpus → distinct (user, day) pairs (one
+    map-side-combinable distinct), then each pair feeds the ≤7 windows
+    it falls into via a bounded theta-join against the calendar grid —
+    a constant 7× blowup of the ALREADY-DEDUPLICATED pair set, never
+    of raw events. At 100 TB the same plan holds (user-days ≪ events);
+    the approximate path swaps in per-day HLL sketches merged across
+    the window (q_sketch_hll_distinct's machinery). Also emits 1-day
+    distincts, making the WAU/DAU stickiness ratio readable off the
+    row."""
+    ev = _events_sec(spark, sf_dir).select(
+        F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint").alias("day"),
+        "user_id",
+    )
+    ud = ev.distinct().localCheckpoint(eager=True)
+    grid = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    win = (
+        grid.alias("g")
+        .join(
+            ud.alias("u"),
+            (F.col("u.day") <= F.col("g.day"))
+            & (F.col("u.day") > F.col("g.day") - _SLIDE_W),
+        )
+        .groupBy(F.col("g.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        win.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            "wau",
+            F.expr("coalesce(dau, 0) * 1000000 div wau")
+            .cast("bigint")
+            .alias("stickiness6"),
+        )
+        .orderBy("day")
+    )
+
+
 _XCORR_MAX_LAG = 7  # lead/lag window in days, both directions
 _XCORR_A = "signup"  # leading series candidate
 _XCORR_B = "purchase"  # lagging series candidate
@@ -1952,6 +2006,32 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "sliding_distinct_users": f"""
+        WITH ev AS (
+            SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT)
+                       AS day,
+                   user_id
+            FROM events
+        ), ud AS (
+            SELECT DISTINCT day, user_id FROM ev
+        ), grid AS (
+            SELECT unnest(generate_series((SELECT min(day) FROM ud),
+                                          (SELECT max(day) FROM ud))) AS day
+        ), win AS (
+            SELECT g.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM grid g JOIN ud u
+              ON u.day <= g.day AND u.day > g.day - {_SLIDE_W}
+            GROUP BY 1
+        ), dau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY 1
+        )
+        SELECT w.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau, w.wau,
+               CAST(COALESCE(d.dau, 0) * 1000000 // w.wau AS BIGINT)
+                   AS stickiness6
+        FROM win w LEFT JOIN dau d ON w.day = d.day
+        ORDER BY w.day
+    """,
     "lead_lag_xcorr": f"""
         WITH e AS (
             SELECT event_type, epoch_ms(ts) // 1000 AS ts_sec FROM events

@@ -1728,7 +1728,94 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNM_W = 4  # sorted-neighborhood window: compare to the next w names
+
+
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD entity matching (Hernández & Stolfo 1995) —
+    the scale path q_entity_resolution's blocking note promises: sort
+    records by the match key within each partition block (nation),
+    compare each record only to its next w = 4 neighbors in sort
+    order, so the candidate set is O(n·w) instead of the block
+    quadratic. Reported per nation: records, candidate pairs, matches
+    at Levenshtein ≤ 2, and the closest distance.
+
+    Determinism: the neighborhood comes from lead() over the
+    (name, custkey) total order; Levenshtein is integer on both
+    engines. Scale: one partitioned sort-window — the per-block sort
+    IS the shuffle, and w is constant."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    leads = c.select(
+        "c_nationkey",
+        "c_name",
+        *[
+            F.lead("c_name", k).over(w).alias(f"nb{k}")
+            for k in range(1, _SNM_W + 1)
+        ],
+    )
+    pair_cols = F.array(
+        *[F.col(f"nb{k}") for k in range(1, _SNM_W + 1)]
+    )
+    pairs = leads.select(
+        "c_nationkey",
+        "c_name",
+        F.explode(F.filter(pair_cols, lambda x: x.isNotNull())).alias("nb"),
+    ).select(
+        "c_nationkey", F.levenshtein(F.col("c_name"), F.col("nb")).alias("lev")
+    )
+    per_n = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum((F.col("lev") <= _ER_LEV_MAX).cast("bigint"))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.min("lev").cast("bigint").alias("min_lev"),
+        )
+        .join(per_n, "c_nationkey")
+        .select(
+            "c_nationkey", "n_customers", "n_pairs", "n_matches", "min_lev"
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "sorted_neighborhood_pairs": f"""
+        WITH leads AS (
+            SELECT c_nationkey, c_name,
+                   {", ".join(
+                       f"lead(c_name, {k}) OVER (PARTITION BY c_nationkey"
+                       f" ORDER BY c_name, c_custkey) AS nb{k}"
+                       for k in range(1, _SNM_W + 1)
+                   )}
+            FROM customer
+        ), pairs AS (
+            SELECT c_nationkey, levenshtein(c_name, nb) AS lev
+            FROM (
+                SELECT c_nationkey, c_name,
+                       unnest(list_filter([{", ".join(f"nb{k}" for k in range(1, _SNM_W + 1))}],
+                                          x -> x IS NOT NULL)) AS nb
+                FROM leads
+            )
+        ), per_n AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY 1
+        )
+        SELECT p.c_nationkey, n.n_customers,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN lev <= {_ER_LEV_MAX} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matches,
+               CAST(min(lev) AS BIGINT) AS min_lev
+        FROM pairs p JOIN per_n n ON p.c_nationkey = n.c_nationkey
+        GROUP BY 1, 2 ORDER BY 1
+    """,
     "entity_resolution": f"""
         WITH pairs AS (
             SELECT a.c_mktsegment AS segment,

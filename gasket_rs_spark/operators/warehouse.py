@@ -859,7 +859,66 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_file_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON source-format round-trip witness: the documents
+    table is written to CSV (header, default quoting) and JSON-lines,
+    read back through the explicit-schema readers in ``sources/io.py``
+    (schema-on-read is banned at 100 TB — inference costs a scan and
+    can drift per batch), and per-language aggregates from BOTH
+    formats are emitted side by side. The oracle computes the same
+    aggregates straight from parquet, so a value-hash match PROVES the
+    round-trip is lossless — including the text column through CSV
+    quoting and JSON string escaping.
+
+    The content checksum is a sum of md5-prefix integers (engine-
+    mirrorable, order-insensitive). Files land in a fresh tempdir so
+    concurrent runs never collide; Spark's writer/reader pair is the
+    same code path a 100 TB CSV/JSON ingest would use, just more
+    files."""
+    import tempfile
+
+    from gasket_rs_spark.sources.io import read_csv, read_json
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="gasket_roundtrip_")
+    csv_path = f"{tmp}/docs_csv"
+    json_path = f"{tmp}/docs_json"
+    docs.coalesce(4).write.mode("overwrite").option("header", "true").csv(csv_path)
+    docs.coalesce(4).write.mode("overwrite").json(json_path)
+    schema = docs.schema
+    c = read_csv(spark, csv_path, schema)
+    j = read_json(spark, json_path, schema)
+
+    def per_lang(df: DataFrame, tag: str) -> DataFrame:
+        chk = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+        return df.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias(f"n_{tag}"),
+            F.sum("n_chars").cast("bigint").alias(f"chars_{tag}"),
+            F.sum(chk).cast("bigint").alias(f"md5sum_{tag}"),
+        )
+
+    return (
+        per_lang(c, "csv")
+        .join(per_lang(j, "json"), "lang")
+        .orderBy("lang")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "file_source_roundtrip": """
+        WITH agg AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT)
+                        AS BIGINT) AS md5sum
+            FROM documents GROUP BY 1
+        )
+        SELECT lang, n AS n_csv, chars AS chars_csv, md5sum AS md5sum_csv,
+               n AS n_json, chars AS chars_json, md5sum AS md5sum_json
+        FROM agg ORDER BY lang
+    """,
     "deletion_vector_scan": f"""
         WITH li AS (
             SELECT l_orderkey, l_linenumber,
