@@ -1534,6 +1534,50 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEBOUNCE_SEC = 60  # suppress repeats of (user, type) within this gap
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event DEBOUNCE / throttle audit: suppress an event when the
+    SAME (user, event_type) fired within the last 60 s — the
+    double-click / retry-storm cleaner every ingest pipeline runs
+    before counting engagement. Kept = gap to the previous raw event
+    of the same key is NULL or > 60 s (the lag-window formulation;
+    documented choice vs the stateful keep-anchored variant, which
+    lives in streaming dedup). Reported per event type: raw events,
+    kept, suppressed, suppression share.
+
+    Pure integer gaps from one lag window on the (user, type) key —
+    at 100 TB this is a single partitioned sort, the same shuffle the
+    sessionizer already pays."""
+    ev = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_sec", "event_id")
+    flagged = ev.select(
+        "event_type",
+        (
+            F.lag("ts_sec").over(w).isNull()
+            | (F.col("ts_sec") - F.lag("ts_sec").over(w) > _DEBOUNCE_SEC)
+        ).alias("kept"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            "n_raw",
+            "n_kept",
+            (F.col("n_raw") - F.col("n_kept")).cast("bigint").alias("n_suppressed"),
+            F.expr("(n_raw - n_kept) * 1000000 div n_raw")
+            .cast("bigint")
+            .alias("suppressed6"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _SLIDE_W = 7  # trailing window width in days
 
 
@@ -2006,6 +2050,29 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "event_debounce": f"""
+        WITH e AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_ms(ts) // 1000 AS ts_sec
+            FROM events
+        ), flagged AS (
+            SELECT event_type,
+                   (lag(ts_sec) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_sec, event_id) IS NULL
+                    OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id,
+                         event_type ORDER BY ts_sec, event_id)
+                       > {_DEBOUNCE_SEC}) AS kept
+            FROM e
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppressed,
+               CAST((count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END))
+                    * 1000000 // count(*) AS BIGINT) AS suppressed6
+        FROM flagged GROUP BY 1 ORDER BY 1
+    """,
     "sliding_distinct_users": f"""
         WITH ev AS (
             SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT)

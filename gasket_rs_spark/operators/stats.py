@@ -1974,6 +1974,157 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HUBER_T = 4  # IRLS iterations (fixed, unrolled in the oracle)
+_HUBER_K_PM = 1345  # k = 1.345·MAD, in per-mille
+
+
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBER M-ESTIMATOR of location per event type (Huber 1964) via
+    IRLS: start at the median, clip influence at k = 1.345·MAD, and
+    iterate μ ← Σw·x / Σw with w = min(1, k/|x−μ|) for 4 fixed
+    rounds — the robust mean that downweights (not drops) outliers,
+    completing the median/MAD/HL robust-location family.
+
+    Determinism: everything integer — weights live on a 1e-3 grid as
+    w3 = (k6·1000) div |r| (clipped at 1000), so Σw3·x6 stays inside
+    int64 at any SF in the fixture range and the update is one integer
+    division. A zero MAD degenerates safely (w3 = 1000 exactly at the
+    median, 0 elsewhere → μ fixes at the median). Scale: the per-type
+    median/MAD windows are the corpus passes; the 4-round loop re-joins
+    the CACHED residual base against a 5-row μ frame per round."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("v6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v6", "event_id")
+    cnt = Window.partitionBy("event_type")
+    med = (
+        ev.select(
+            "event_type",
+            "v6",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v6").alias("med6"), F.col("n").alias("n"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "v6", "med6", "n",
+        F.abs(F.col("v6") - F.col("med6")).alias("d6"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d6", "event_id")
+    mad = (
+        dev.select(
+            "event_type",
+            "d6",
+            F.row_number().over(wd).alias("rn"),
+            F.count("*").over(cnt).alias("nn"),
+        )
+        .where(F.col("rn") == F.expr("(nn + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("d6").alias("mad6"),
+            F.expr(f"(d6 * {_HUBER_K_PM}) div 1000").cast("bigint").alias("k6"),
+        )
+    )
+    base = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "v6", "med6", "mad6", "k6", "n")
+        .localCheckpoint(eager=True)
+    )
+    cur = base.groupBy("event_type").agg(F.max("med6").alias("mu6"))
+    for _ in range(_HUBER_T):
+        j = base.join(F.broadcast(cur), "event_type").withColumn(
+            "r", F.abs(F.col("v6") - F.col("mu6"))
+        )
+        cur = (
+            j.withColumn(
+                "w3",
+                F.when(F.col("r") <= F.col("k6"), F.lit(1000))
+                .otherwise(F.expr("(k6 * 1000) div r"))
+                .cast("bigint"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.expr("sum(w3 * v6) div sum(w3)").cast("bigint").alias("mu6")
+            )
+        )
+    return (
+        base.groupBy("event_type", "med6", "mad6", "k6", "n")
+        .agg(F.count("*").alias("_drop"))
+        .join(cur.withColumnRenamed("mu6", "huber6"), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint"),
+            F.col("med6").alias("median6"),
+            "mad6",
+            "k6",
+            "huber6",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _huber_oracle() -> str:
+    iters = "".join(
+        f""", mu{t} AS MATERIALIZED (
+            SELECT b.event_type,
+                   CAST(sum(CASE WHEN abs(b.v6 - m.mu6) <= b.k6 THEN 1000
+                            ELSE (b.k6 * 1000) // abs(b.v6 - m.mu6) END * b.v6)
+                        // sum(CASE WHEN abs(b.v6 - m.mu6) <= b.k6 THEN 1000
+                               ELSE (b.k6 * 1000) // abs(b.v6 - m.mu6) END)
+                        AS BIGINT) AS mu6
+            FROM base b JOIN mu{t - 1} m ON b.event_type = m.event_type
+            GROUP BY 1
+        )"""
+        for t in range(1, _HUBER_T + 1)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+            FROM events
+        ), med AS (
+            SELECT event_type, v6 AS med6, n FROM (
+                SELECT event_type, v6,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY v6, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM ev
+            ) WHERE rn = (n + 1) // 2
+        ), dev AS (
+            SELECT ev.event_type, ev.event_id, ev.v6, med.med6, med.n,
+                   abs(ev.v6 - med.med6) AS d6
+            FROM ev JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, d6 AS mad6,
+                   CAST((d6 * {_HUBER_K_PM}) // 1000 AS BIGINT) AS k6
+            FROM (
+                SELECT event_type, d6,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY d6, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS nn
+                FROM dev
+            ) WHERE rn = (nn + 1) // 2
+        ), base AS MATERIALIZED (
+            SELECT ev.event_type, ev.v6, med.med6, mad.mad6, mad.k6, med.n
+            FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+        ), mu0 AS (
+            SELECT event_type, CAST(max(med6) AS BIGINT) AS mu6
+            FROM base GROUP BY 1
+        ){iters}
+        SELECT b.event_type, CAST(max(b.n) AS BIGINT) AS n,
+               CAST(max(b.med6) AS BIGINT) AS median6,
+               CAST(max(b.mad6) AS BIGINT) AS mad6,
+               CAST(max(b.k6) AS BIGINT) AS k6,
+               CAST(max(m.mu6) AS BIGINT) AS huber6
+        FROM base b JOIN mu{_HUBER_T} m ON b.event_type = m.event_type
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 _HL_SAMPLE = 128  # md5-ranked sample per event type (pairs are O(n²))
 
 
@@ -2281,7 +2432,138 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRIER_BINS = 10  # forecast bins; forecast = bin midpoint (exact decomp)
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the Murphy (1973) decomposition — reliability
+    − resolution + uncertainty — for the "value predicts purchase"
+    forecast: values bin into 10 deciles of the 0..500 range and the
+    FORECAST IS THE BIN MIDPOINT, which makes the decomposition exact
+    (zero within-bin forecast variance), an identity the pytest pin
+    checks in exact rational arithmetic.
+
+    Determinism: per-bin gap numerators are exact int64
+    (Sf − pos·1e6 over denominator n_k); each component term is the
+    fixed IEEE sequence divide→square→multiply, snapped to the 1e-12
+    grid; the raw Brier sum is a pure int64 sum of µ² squares. One
+    corpus pass; 10-row everything after."""
+    ev = load(spark, sf_dir, "events").select(
+        F.least(
+            F.expr("cast(floor(value / 50) as bigint)"),
+            F.lit(_BRIER_BINS - 1).cast("bigint"),
+        ).alias("b"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    ).withColumn("f6", (F.col("b") * 100_000 + 50_000).cast("bigint"))
+    per = ev.groupBy("b", "f6").agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("pos_k"),
+        F.sum((F.col("f6") - F.col("y") * 1_000_000) * (F.col("f6") - F.col("y") * 1_000_000))
+        .cast("bigint")
+        .alias("brier_sum12_k"),
+    )
+    tot = per.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("pos_k").cast("bigint").alias("pos"),
+        F.sum("brier_sum12_k").cast("bigint").alias("brier_sum12"),
+    )
+    d = per.crossJoin(F.broadcast(tot))
+    snap12 = lambda c: F.floor(c + F.lit(0.5)).cast("bigint")  # noqa: E731
+    rel_term = (
+        (F.col("f6") * F.col("n_k") - F.col("pos_k") * 1_000_000).cast("double")
+        / F.col("n_k").cast("double")
+    )
+    res_term = (
+        (F.col("pos_k") * F.col("n") - F.col("pos") * F.col("n_k")).cast("double")
+        / (F.col("n_k") * F.col("n")).cast("double")
+        * F.lit(1_000_000.0)
+    )
+    comps = d.select(
+        "b",
+        "n_k",
+        "pos_k",
+        snap12(rel_term * rel_term * F.col("n_k").cast("double")).alias("rel12_k"),
+        snap12(res_term * res_term * F.col("n_k").cast("double")).alias("res12_k"),
+    )
+    totals = (
+        comps.agg(
+            F.sum("rel12_k").cast("bigint").alias("rel_sum12"),
+            F.sum("res12_k").cast("bigint").alias("res_sum12"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("brier_sum12 div n").cast("bigint").alias("brier12"),
+            F.expr("rel_sum12 div n").cast("bigint").alias("reliability12"),
+            F.expr("res_sum12 div n").cast("bigint").alias("resolution12"),
+            snap12(
+                F.col("pos").cast("double")
+                * (F.col("n") - F.col("pos")).cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+                * F.lit(1e12)
+            ).alias("uncertainty12"),
+        )
+    )
+    return (
+        comps.crossJoin(F.broadcast(totals))
+        .select(
+            "b", "n_k", "pos_k", "rel12_k", "res12_k",
+            "brier12", "reliability12", "resolution12", "uncertainty12",
+        )
+        .orderBy("b")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "huber_location": _huber_oracle(),
+    "brier_decomposition": f"""
+        WITH ev AS (
+            SELECT least(CAST(floor(value / 50) AS BIGINT),
+                         {_BRIER_BINS - 1}) AS b,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ), ev2 AS (
+            SELECT b, y, b * 100000 + 50000 AS f6 FROM ev
+        ), per AS (
+            SELECT b, f6, CAST(count(*) AS BIGINT) AS n_k,
+                   CAST(sum(y) AS BIGINT) AS pos_k,
+                   CAST(sum((f6 - y * 1000000) * (f6 - y * 1000000)) AS BIGINT)
+                       AS brier_sum12_k
+            FROM ev2 GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                   CAST(sum(pos_k) AS BIGINT) AS pos,
+                   CAST(sum(brier_sum12_k) AS BIGINT) AS brier_sum12
+            FROM per
+        ), comps AS (
+            SELECT b, n_k, pos_k,
+                   CAST(floor((CAST(f6 * n_k - pos_k * 1000000 AS DOUBLE)
+                               / CAST(n_k AS DOUBLE))
+                              * (CAST(f6 * n_k - pos_k * 1000000 AS DOUBLE)
+                                 / CAST(n_k AS DOUBLE))
+                              * CAST(n_k AS DOUBLE) + 0.5) AS BIGINT)
+                       AS rel12_k,
+                   CAST(floor((CAST(pos_k * n - pos * n_k AS DOUBLE)
+                               / CAST(n_k * n AS DOUBLE) * 1000000.0)
+                              * (CAST(pos_k * n - pos * n_k AS DOUBLE)
+                                 / CAST(n_k * n AS DOUBLE) * 1000000.0)
+                              * CAST(n_k AS DOUBLE) + 0.5) AS BIGINT)
+                       AS res12_k
+            FROM per CROSS JOIN tot
+        ), sums AS (
+            SELECT CAST(sum(rel12_k) AS BIGINT) AS rel_sum12,
+                   CAST(sum(res12_k) AS BIGINT) AS res_sum12
+            FROM comps
+        )
+        SELECT c.b, c.n_k, c.pos_k, c.rel12_k, c.res12_k,
+               CAST(t.brier_sum12 // t.n AS BIGINT) AS brier12,
+               CAST(s.rel_sum12 // t.n AS BIGINT) AS reliability12,
+               CAST(s.res_sum12 // t.n AS BIGINT) AS resolution12,
+               CAST(floor(CAST(t.pos AS DOUBLE) * CAST(t.n - t.pos AS DOUBLE)
+                          / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+                          * 1e12 + 0.5) AS BIGINT) AS uncertainty12
+        FROM comps c CROSS JOIN tot t CROSS JOIN sums s
+        ORDER BY c.b
+    """,
     "hodges_lehmann": f"""
         WITH ev AS (
             SELECT event_type, event_id,

@@ -37,9 +37,10 @@ def test_hodges_lehmann_matches_pure_python(spark, sf_dir):
         for r in q_hodges_lehmann(spark, sf_dir).collect()
     }
     assert got == want
-    # HL lies within the sample range (location estimator sanity)
+    # HL (doubled) lies within twice the sample range
     for et, (_, _, hl2) in want.items():
-        vs = sorted(math.floor(v * 1e6 + 0.5) for _, _, v in per[et][:_HL_SAMPLE])
+        vs = sorted(math.floor(v * 1e6 + 0.5) for _, _, v in sorted(per[et])[:_HL_SAMPLE])
+        assert 2 * vs[0] <= hl2 <= 2 * vs[-1]
 
 
 def test_sliding_distinct_users_matches_pure_python(spark, sf_dir):
