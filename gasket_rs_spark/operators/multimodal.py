@@ -636,6 +636,66 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by DIFFERENCE hash (dHash): where aHash
+    compares each block to the global mean, dHash compares ADJACENT
+    block means — bit b set iff mean(block b) > mean(block b+1) — the
+    gradient signature that is robust to global brightness shifts
+    (the standard aHash failure mode). 7 bits over the 8-block
+    decomposition; collision groups are candidate duplicates.
+
+    The comparison is the pure-integer cross-multiplication
+    S_b·W_{b+1} > S_{b+1}·W_b (block sums × widths — no division at
+    all), so the hash is engine-exact by construction. Same
+    Arrow-batched decode pass and hash-groupBy shuffle shape as
+    q_image_ahash_dedup; the same 64-bit + banded-Hamming production
+    widening applies."""
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        (F.col("modality") == "image")
+        & (F.length("payload") >= 3 * _RESIZE_BLOCKS)
+    ).select("doc_id", "payload")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                media = decode_payload(
+                    build_media_payload(bytes(payload), "image"), "image"
+                )
+                p = media.width
+                M = media.values.reshape(p, 3).astype(np.int64)
+                bounds = [b * p // _RESIZE_BLOCKS for b in range(_RESIZE_BLOCKS + 1)]
+                sums = [
+                    int(M[bounds[b]:bounds[b + 1]].sum())
+                    for b in range(_RESIZE_BLOCKS)
+                ]
+                widths = [
+                    bounds[b + 1] - bounds[b] for b in range(_RESIZE_BLOCKS)
+                ]
+                h = 0
+                for b in range(_RESIZE_BLOCKS - 1):
+                    if sums[b] * widths[b + 1] > sums[b + 1] * widths[b]:
+                        h |= 1 << b
+                rows.append((doc_id, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    hashed = docs.mapInPandas(hashes, DHASH_SCHEMA)
+    return (
+        hashed.groupBy("dhash")
+        .agg(F.count("*").alias("n_images"), F.min("doc_id").alias("rep_doc"))
+        .where(F.col("n_images") >= 2)
+        .orderBy("dhash")
+    )
+
+
 TEMPORAL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -861,6 +921,41 @@ ORACLES: dict[str, str] = {
                      i -> (i - 1) // 3 >= lo AND (i - 1) // 3 < hi AND (i - 1) % 3 = 2)))
                      AS DOUBLE) / (hi - lo) * 1000000 + 0.5) / 1000000 AS mean_b
         FROM blocks
+    """,
+    "image_dhash_dedup": """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 3 AS p
+            FROM documents
+            WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 24
+        ), s AS (
+            SELECT doc_id, p,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c))[1 : p * 3] AS b
+            FROM t
+        ), blocks AS (
+            SELECT doc_id, p, u.blk,
+                   CAST(list_sum(list_select(b,
+                        list_filter(range(1, p * 3 + 1),
+                            i -> (i - 1) // 3 >= (p * u.blk) // 8
+                                 AND (i - 1) // 3 < (p * (u.blk + 1)) // 8)))
+                        AS BIGINT) AS s_b,
+                   (p * (u.blk + 1)) // 8 - (p * u.blk) // 8 AS w_b
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS blk) u
+        ), bits AS (
+            SELECT a.doc_id,
+                   CASE WHEN a.s_b * b2.w_b > b2.s_b * a.w_b
+                        THEN 1::BIGINT << a.blk ELSE 0 END AS bit
+            FROM blocks a JOIN blocks b2
+              ON a.doc_id = b2.doc_id AND b2.blk = a.blk + 1
+        ), hashed AS (
+            SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT dhash, count(*) AS n_images, min(doc_id) AS rep_doc
+        FROM hashed
+        GROUP BY dhash
+        HAVING count(*) >= 2
+        ORDER BY dhash
     """,
     "image_ahash_dedup": """
         WITH t AS (

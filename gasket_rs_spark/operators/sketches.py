@@ -725,7 +725,97 @@ def _join_size_oracle_sql() -> str:
     """
 
 
+_KMV_K = 16  # k-minimum-values sketch size
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    source (Bar-Yossef et al. 2002) — the third sketch family beside
+    HLL and theta, and the only one whose witness can be EXACT: the
+    sketch is the k smallest md5 points of the distinct-text set, a
+    deterministic function of the data (no seeds), so both engines
+    build the identical sketch and estimate D̂ = (k−1)·2⁴⁸ / u_(k).
+    Emitted beside the true distinct count with the relative error, so
+    the hash also pins estimator quality on this corpus.
+
+    Integer end to end: hash points are 48-bit ints from md5 hex, the
+    estimate is one integer division, and sources with fewer than k
+    distincts fall back to the exact count (the standard KMV rule).
+    Scale: distinct (source, hash) pairs → one partitioned bottom-k
+    window; the sketch is k values per group — mergeable by taking the
+    k smallest of a union, same as every bottom-k system."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("u48"),
+    )
+    pts = docs.distinct()
+    w = Window.partitionBy("source").orderBy("u48")
+    kth = (
+        pts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KMV_K)
+        .select("source", F.col("u48").alias("kth_u48"))
+    )
+    true = pts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_distinct")
+    )
+    return (
+        true.join(kth, "source", "left")
+        .select(
+            "source",
+            "n_distinct",
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            F.coalesce("kth_u48", F.lit(0)).cast("bigint").alias("kth_u48"),
+            F.when(
+                F.col("kth_u48").isNull(), F.col("n_distinct")
+            )
+            .otherwise(
+                F.expr(f"({_KMV_K} - 1) * 281474976710656 div kth_u48")
+            )
+            .cast("bigint")
+            .alias("est"),
+        )
+        .withColumn(
+            "err6",
+            F.expr("abs(est - n_distinct) * 1000000 div n_distinct").cast(
+                "bigint"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "kmv_distinct_sketch": f"""
+        WITH pts AS (
+            SELECT DISTINCT source,
+                   ('0x' || substr(md5(text), 1, 12))::BIGINT AS u48
+            FROM documents
+        ), kth AS (
+            SELECT source, u48 AS kth_u48 FROM (
+                SELECT source, u48,
+                       row_number() OVER (PARTITION BY source ORDER BY u48)
+                           AS rn
+                FROM pts
+            ) WHERE rn = {_KMV_K}
+        ), trues AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+            FROM pts GROUP BY 1
+        ), est AS (
+            SELECT t.source, t.n_distinct,
+                   CAST({_KMV_K} AS BIGINT) AS k,
+                   CAST(COALESCE(k2.kth_u48, 0) AS BIGINT) AS kth_u48,
+                   CAST(CASE WHEN k2.kth_u48 IS NULL THEN t.n_distinct
+                        ELSE ({_KMV_K} - 1) * 281474976710656 // k2.kth_u48
+                        END AS BIGINT) AS est
+            FROM trues t LEFT JOIN kth k2 ON t.source = k2.source
+        )
+        SELECT source, n_distinct, k, kth_u48, est,
+               CAST(abs(est - n_distinct) * 1000000 // n_distinct AS BIGINT)
+                   AS err6
+        FROM est ORDER BY source
+    """,
     "sketch_count_sketch": _cs_oracle(),
     "join_size_estimate": _join_size_oracle_sql(),
     "quantile_normalize_sketch": """

@@ -859,6 +859,67 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) JOIN against the SCD2 dimension: every
+    click event looks up the dimension version that was valid AT ITS
+    TIMESTAMP (valid_from ≤ t < valid_to, open-ended current rows) —
+    the lookup that makes a versioned dimension useful, and the
+    feature-store "no peeking" join that prevents label leakage in
+    training pipelines. Dimension build mirrors q_scd2_dimension
+    (warehouse.py:92) with the tracked attribute kept integer.
+
+    Clicks before a user's first version report version 0 (a left
+    join; the miss count is part of the audit). Aggregated per
+    version: clicks, users, attribute sum — all int64. Scale: a range
+    join shuffled on user_id; each user's version chain is short, so
+    the per-key interval probe is cheap and AQE handles the key skew."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_millis("ts") / F.lit(1000)).cast("bigint").alias("ts_sec"),
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint").alias("attr4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts_sec").alias("valid_from"),
+            F.lead("ts_sec").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            "attr4",
+        )
+        .localCheckpoint(eager=True)
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts_sec")
+        .alias("c")
+    )
+    d = dim.alias("d")
+    joined = clicks.join(
+        d,
+        (F.col("c.user_id") == F.col("d.user_id"))
+        & (F.col("c.ts_sec") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("c.ts_sec") < F.col("d.valid_to"))),
+        "left",
+    ).select(
+        F.col("c.user_id").alias("uid"),
+        F.coalesce(F.col("d.version"), F.lit(0)).cast("bigint").alias("version"),
+        F.coalesce(F.col("d.attr4"), F.lit(0)).cast("bigint").alias("attr4"),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clicks"),
+            F.countDistinct("uid").cast("bigint").alias("n_users"),
+            F.sum("attr4").cast("bigint").alias("attr_sum4"),
+        )
+        .orderBy("version")
+    )
+
+
 def q_file_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON source-format round-trip witness: the documents
     table is written to CSV (header, default quoting) and JSON-lines,
@@ -907,6 +968,38 @@ def q_file_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "temporal_join_scd2": """
+        WITH ev AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_ms(ts) // 1000 AS ts_sec,
+                   CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS attr4
+            FROM events
+        ), dim AS (
+            SELECT user_id, ts_sec AS valid_from,
+                   lead(ts_sec) OVER (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id) AS valid_to,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts_sec, event_id) AS BIGINT) AS version,
+                   attr4
+            FROM ev WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, event_id, ts_sec FROM ev
+            WHERE event_type = 'click'
+        ), joined AS (
+            SELECT c.user_id AS uid,
+                   CAST(COALESCE(d.version, 0) AS BIGINT) AS version,
+                   CAST(COALESCE(d.attr4, 0) AS BIGINT) AS attr4
+            FROM clicks c LEFT JOIN dim d
+              ON c.user_id = d.user_id
+             AND c.ts_sec >= d.valid_from
+             AND (d.valid_to IS NULL OR c.ts_sec < d.valid_to)
+        )
+        SELECT version,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(count(DISTINCT uid) AS BIGINT) AS n_users,
+               CAST(sum(attr4) AS BIGINT) AS attr_sum4
+        FROM joined GROUP BY 1 ORDER BY 1
+    """,
     "file_source_roundtrip": """
         WITH agg AS (
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
