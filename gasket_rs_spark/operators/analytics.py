@@ -1534,6 +1534,147 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio / Fano factor) of
+    the daily count series per event type — the overdispersion gate
+    before trusting a Poisson assumption anywhere (VMR ≈ 1 Poisson,
+    > 1 bursty/clumped, < 1 regular). Pure integer: with n days, total
+    S and Σc², the population VMR is (n·Σc² − S²)/(n·S), emitted as
+    one int64 ratio on the 1e-6 grid — no float ever. Zero-filled day
+    grid (a missing day is a zero count, and zeros are dispersion
+    signal). One corpus pass; 5×-days-row everything after."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    days = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+        )
+    )
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("c").cast("bigint").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.expr("(n_days * ss - total * total) * 1000000 div (n_days * total)")
+            .cast("bigint")
+            .alias("vmr6"),
+        )
+        .withColumn("overdispersed", F.col("vmr6") > 1_000_000)
+        .orderBy("event_type")
+    )
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week SEASONALITY STRENGTH of the daily event-count
+    series (Hyndman's F_s = max(0, 1 − Var(remainder)/Var(detrended)),
+    here with the seasonal-means model): how much of the daily
+    variance the weekly profile explains — the test run before
+    choosing weekly windows or week-over-week comparisons anywhere
+    else in this module.
+
+    Determinism: per-dow residual sums of squares are exact int64 via
+    the cross-multiplied form Σ(c·n_d − S_d)², snapped to 1e-6 of the
+    variance scale PER DOW (one IEEE division each) so the 7-term
+    total is an INTEGER sum (never a float sum of 7 doubles — order
+    varies across engines); same for the global SS; one final division
+    makes strength6. Output: the 7 dow rows (n, mean) with the
+    corpus-level strength on every row."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    grid = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(counts, "day", "left")
+        .select(
+            (F.col("day") % 7).cast("bigint").alias("dow"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_dow = grid.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_d"),
+        F.sum("c").cast("bigint").alias("s_d"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss_d"),
+    )
+    # Σ_t∈d (c·n_d − S_d)² = n_d²Σc² − 2n_dS_d·S_d + n_d·S_d² = n_d(n_dΣc² − S_d²)
+    resid = per_dow.select(
+        "dow",
+        "n_d",
+        "s_d",
+        F.floor(
+            (F.col("n_d") * F.col("ss_d") - F.col("s_d") * F.col("s_d")).cast(
+                "double"
+            )
+            / F.col("n_d").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ssr12_d"),
+    )
+    tot = grid.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    ).select(
+        "n",
+        "s",
+        F.floor(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / F.col("n").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("sst12"),
+    )
+    strength = (
+        resid.agg(F.sum("ssr12_d").cast("bigint").alias("ssr12"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.greatest(
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.col("ssr12").cast("double") / F.col("sst12").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("strength6")
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(strength))
+        .select(
+            "dow",
+            "n_d",
+            F.expr("s_d * 1000000 div n_d").cast("bigint").alias("dow_mean6"),
+            "strength6",
+        )
+        .orderBy("dow")
+    )
+
+
 _DEBOUNCE_SEC = 60  # suppress repeats of (user, type) within this gap
 
 
@@ -2050,6 +2191,74 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "dispersion_index": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day
+            FROM events
+        ), counts AS (
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2
+        ), grid AS (
+            SELECT t.event_type, g.day, COALESCE(c.c, 0) AS c
+            FROM (SELECT DISTINCT event_type FROM e) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                            (SELECT min(day) FROM e),
+                            (SELECT max(day) FROM e))) AS day) g
+            LEFT JOIN counts c ON t.event_type = c.event_type AND g.day = c.day
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST((count(*) * sum(c * c) - sum(c) * sum(c)) * 1000000
+                    // (count(*) * sum(c)) AS BIGINT) AS vmr6,
+               (count(*) * sum(c * c) - sum(c) * sum(c)) * 1000000
+                   // (count(*) * sum(c)) > 1000000 AS overdispersed
+        FROM grid GROUP BY 1 ORDER BY 1
+    """,
+    "seasonal_strength": """
+        WITH e AS (
+            SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day
+            FROM events
+        ), counts AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1
+        ), grid AS (
+            SELECT CAST(g.day % 7 AS BIGINT) AS dow, COALESCE(c.c, 0) AS c
+            FROM (SELECT unnest(generate_series((SELECT min(day) FROM e),
+                                                (SELECT max(day) FROM e)))
+                      AS day) g
+            LEFT JOIN counts c ON g.day = c.day
+        ), per_dow AS (
+            SELECT dow, CAST(count(*) AS BIGINT) AS n_d,
+                   CAST(sum(c) AS BIGINT) AS s_d,
+                   CAST(sum(c * c) AS BIGINT) AS ss_d
+            FROM grid GROUP BY 1
+        ), resid AS (
+            SELECT dow, n_d, s_d,
+                   CAST(floor(CAST(n_d * ss_d - s_d * s_d AS DOUBLE)
+                              / CAST(n_d AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                       AS ssr12_d
+            FROM per_dow
+        ), tot AS (
+            SELECT CAST(floor(CAST(count(*) * sum(c * c) - sum(c) * sum(c)
+                                   AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS sst12
+            FROM grid
+        ), strength AS (
+            SELECT greatest(
+                CAST(floor((1.0 - CAST(sum(ssr12_d) AS DOUBLE)
+                                  / CAST(sst12 AS DOUBLE)) * 1e6 + 0.5)
+                     AS BIGINT), 0) AS strength6
+            FROM resid CROSS JOIN tot
+            GROUP BY sst12
+        )
+        SELECT dow, n_d,
+               CAST(s_d * 1000000 // n_d AS BIGINT) AS dow_mean6,
+               strength6
+        FROM resid CROSS JOIN strength
+        ORDER BY dow
+    """,
     "event_debounce": f"""
         WITH e AS (
             SELECT user_id, event_type, event_id,

@@ -1891,6 +1891,95 @@ _VOCAB_OVERLAP_ORACLE = """
 """
 
 
+_NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out test split
+
+
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language identifier, trained and
+    evaluated in one plan: train on doc_id % 5 ≠ 0 (per-language token
+    counts with add-one smoothing + log priors), classify the held-out
+    docs by argmax Σ log P(token|lang) + log P(lang), and emit the
+    CONFUSION MATRIX — the classic supervised baseline beside the
+    heuristic q_text_lang_id, with a leakage-safe deterministic split.
+
+    Determinism: every log likelihood is ONE ln of an exact-int ratio
+    (c+1)/(T_l+V), snapped to 1e-6 and evaluated only on the BOUNDED
+    (lang, token) train table (plus one unseen-token constant per
+    lang); document scores are integer sums of those snapped logs, and
+    the argmax breaks ties by language name. Scale: scoring is a
+    broadcast join of the token-likelihood table against exploded test
+    tokens — one corpus pass, no shuffle bigger than (docs × langs)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    train = docs.where(F.col("doc_id") % _NB_TEST_MOD != 0)
+    test = docs.where(F.col("doc_id") % _NB_TEST_MOD == 0)
+    tr_tok = train.select("lang", F.explode("toks").alias("tok"))
+    counts = tr_tok.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    totals = tr_tok.groupBy("lang").agg(F.count("*").cast("bigint").alias("t_l"))
+    vocab = tr_tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    dtot = train.agg(F.count("*").cast("bigint").alias("d_all"))
+    ln6 = lambda c: F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    lang_consts = (
+        train.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("d_l"))
+        .join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            ln6(F.col("d_l").cast("double") / F.col("d_all").cast("double")).alias(
+                "prior6"
+            ),
+            ln6(
+                F.lit(1.0) / (F.col("t_l") + F.col("v")).cast("double")
+            ).alias("unseen6"),
+            "t_l",
+            "v",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ll = (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            "tok",
+            ln6(
+                (F.col("c") + 1).cast("double")
+                / (F.col("t_l") + F.col("v")).cast("double")
+            ).alias("ll6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    te = test.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode("toks").alias("tok")
+    )
+    scored = (
+        te.crossJoin(F.broadcast(lang_consts.select("cand_lang", "unseen6")))
+        .join(F.broadcast(ll), ["cand_lang", "tok"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.coalesce("ll6", F.col("unseen6")).alias("w6"),
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("w6").cast("bigint").alias("tok_score6"))
+        .join(F.broadcast(lang_consts.select("cand_lang", "prior6")), "cand_lang")
+        .withColumn("score6", F.col("tok_score6") + F.col("prior6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score6").desc(), "cand_lang")
+    pred = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("true_lang"), F.col("cand_lang").alias("pred_lang"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 _TEXTRANK_MIN_LEN = 4  # keep only content-ish tokens (stopword proxy)
 _TEXTRANK_TOPK = 20
 
@@ -2009,7 +2098,162 @@ def _textrank_oracle() -> str:
     return "".join(body)
 
 
+_RAKE_TOPK = 15
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): short tokens act
+    as phrase delimiters (the stopword proxy shared with TextRank),
+    maximal runs of content tokens form candidate phrases, each word
+    scores deg/freq over the phrase corpus, and a phrase scores the
+    sum of its word scores — the co-occurrence-degree counterpart to
+    q_keyword_textrank's graph centrality, and it surfaces PHRASES,
+    not single words. Top-15 by (score, phrase).
+
+    Determinism: word scores are the integer ratio (deg·1e6) div freq;
+    phrase scores are integer sums; phrase strings assemble via
+    sort_array over (pos, word) structs (never a bare collect_list —
+    its order is nondeterministic). Scale: gaps-islands on token
+    positions (one doc-partitioned window), then hash aggs keyed on
+    the bounded phrase vocabulary."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    content = docs.where(F.length("tok") >= _TEXTRANK_MIN_LEN)
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    phr_tok = content.withColumn(
+        "island", F.col("pos") - F.row_number().over(wisl)
+    ).localCheckpoint(eager=True)
+    phr_len = phr_tok.groupBy("doc_id", "island").agg(
+        F.count("*").cast("bigint").alias("plen")
+    )
+    occ = phr_tok.join(phr_len, ["doc_id", "island"])
+    word_stats = occ.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    ws = word_stats.select(
+        "tok", F.expr("deg * 1000000 div freq").cast("bigint").alias("ws6")
+    )
+    phrases = (
+        phr_tok.join(F.broadcast(ws), "tok")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.sum("ws6").cast("bigint").alias("score6"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase", "n_words", "score6")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("score6").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "naive_bayes_langid": f"""
+        WITH docs AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), tr_tok AS (
+            SELECT lang, unnest(toks) AS tok FROM docs
+            WHERE doc_id % {_NB_TEST_MOD} <> 0
+        ), counts AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tr_tok GROUP BY 1, 2
+        ), totals AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS t_l
+            FROM tr_tok GROUP BY 1
+        ), vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr_tok
+        ), dtot AS (
+            SELECT CAST(count(*) AS BIGINT) AS d_all FROM docs
+            WHERE doc_id % {_NB_TEST_MOD} <> 0
+        ), lang_consts AS (
+            SELECT t.lang AS cand_lang,
+                   CAST(floor(ln(CAST(d.d_l AS DOUBLE)
+                                 / CAST(dtot.d_all AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS prior6,
+                   CAST(floor(ln(1.0 / CAST(t.t_l + vocab.v AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS unseen6
+            FROM totals t
+            JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS d_l FROM docs
+                  WHERE doc_id % {_NB_TEST_MOD} <> 0 GROUP BY 1) d
+              ON t.lang = d.lang
+            CROSS JOIN vocab CROSS JOIN dtot
+        ), ll AS (
+            SELECT c.lang AS cand_lang, c.tok,
+                   CAST(floor(ln(CAST(c.c + 1 AS DOUBLE)
+                                 / CAST(t.t_l + vocab.v AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS ll6
+            FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab
+        ), te AS (
+            SELECT doc_id, lang AS true_lang, unnest(toks) AS tok FROM docs
+            WHERE doc_id % {_NB_TEST_MOD} = 0
+        ), scored AS (
+            SELECT te.doc_id, te.true_lang, lc.cand_lang,
+                   CAST(sum(COALESCE(ll.ll6, lc.unseen6)) AS BIGINT)
+                       + CAST(max(lc.prior6) AS BIGINT) AS score6
+            FROM te
+            CROSS JOIN lang_consts lc
+            LEFT JOIN ll ON ll.cand_lang = lc.cand_lang AND ll.tok = te.tok
+            GROUP BY 1, 2, 3
+        ), pred AS (
+            SELECT true_lang, cand_lang AS pred_lang FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score6 DESC, cand_lang) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rake_keyphrases": f"""
+        WITH toks AS (
+            SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents)
+        ), content AS (
+            SELECT doc_id, pos, ts[pos] AS tok,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS island
+            FROM toks WHERE len(ts[pos]) >= {_TEXTRANK_MIN_LEN}
+        ), phr_len AS (
+            SELECT doc_id, island, CAST(count(*) AS BIGINT) AS plen
+            FROM content GROUP BY 1, 2
+        ), word_stats AS (
+            SELECT c.tok, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(p.plen) AS BIGINT) AS deg
+            FROM content c JOIN phr_len p USING (doc_id, island)
+            GROUP BY 1
+        ), ws AS (
+            SELECT tok, CAST(deg * 1000000 // freq AS BIGINT) AS ws6
+            FROM word_stats
+        ), phrases AS (
+            SELECT c.doc_id, c.island,
+                   string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+                   CAST(sum(w.ws6) AS BIGINT) AS score6,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM content c JOIN ws w ON c.tok = w.tok
+            GROUP BY 1, 2
+        )
+        SELECT phrase, n_words, score6,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM phrases
+        GROUP BY 1, 2, 3
+        ORDER BY score6 DESC, phrase
+        LIMIT {_RAKE_TOPK}
+    """,
     "keyword_textrank": _textrank_oracle(),
     "source_vocab_overlap": _VOCAB_OVERLAP_ORACLE,
     "text_readability": _READABILITY_ORACLE,
