@@ -1916,19 +1916,24 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _components machinery — dedup.py:1352); border assignment is
     min() over core neighbors. Pure integer end to end.
 
-    Scale: the fixture's embedding table is dim-bounded so the
-    all-pairs eps-join stays broadcastable; at 100 TB the pair
-    generation swaps to the LSH-bucketed candidate path
-    (q_dedup_embedding_lsh / similarity ANN) with identical
-    downstream core/border/noise logic."""
+    Scale: the witness runs on the deterministic vec_id % 3 slice so
+    the exact all-pairs eps-join (quadratic BY DEFINITION of exact
+    DBSCAN) stays bench-cheap; at 100 TB the pair generation swaps to
+    the LSH-bucketed candidate path (q_dedup_embedding_lsh /
+    similarity ANN) with identical downstream core/border/noise
+    logic."""
     from gasket_rs_spark.operators.dedup import _components
 
-    emb = _with_vec(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "vec",
-        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x).alias(
-            "sq"
-        ),
+    emb = (
+        _with_vec(load(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id") % 3 == 0)
+        .select(
+            "vec_id",
+            "vec",
+            F.aggregate(
+                F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
+            ).alias("sq"),
+        )
     )
     a = emb.select(
         F.col("vec_id").alias("ida"), F.col("vec").alias("va"), F.col("sq").alias("sqa")
@@ -1997,7 +2002,7 @@ def _dbscan_oracle() -> str:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
                    list_sum(list_transform(embedding,
                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
-            FROM embeddings
+            FROM embeddings WHERE vec_id % 3 = 0
         ), pairs AS MATERIALIZED (
             SELECT a.vec_id AS ida, b.vec_id AS idb
             FROM v a JOIN v b ON a.vec_id < b.vec_id
