@@ -223,6 +223,25 @@ EXTRAS = [
     "scalar_subquery",
     "ucb1_bandit",
     "interarrival_percentiles",
+    # round-11 session-3 additions (waves 13-17)
+    "lead_lag_xcorr",
+    "topk_churn",
+    "woe_iv_binning",
+    "embedding_mmd_labels",
+    "hodges_lehmann",
+    "sliding_distinct_users",
+    "sorted_neighborhood_pairs",
+    "file_source_roundtrip",
+    "event_debounce",
+    "huber_location",
+    "brier_decomposition",
+    "kmv_distinct_sketch",
+    "temporal_join_scd2",
+    "image_dhash_dedup",
+    "naive_bayes_langid",
+    "rake_keyphrases",
+    "dispersion_index",
+    "seasonal_strength",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
