@@ -2141,7 +2141,140 @@ def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIL_MOD = 4  # deterministic sample: vec_id % 4 == 0 (pairs are O(n²))
+
+
+def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILHOUETTE coefficient per label cluster (Rousseeuw 1987) over a
+    deterministic embedding sample — the standard "are these clusters
+    real?" readout: per point, a = mean intra-cluster distance,
+    b = min over other clusters of the mean distance, and
+    s = (b − a)/max(a, b); reported as the per-cluster mean silhouette
+    (near 0 here — the fixture labels are not geometric clusters, and
+    the hash PINS that honest readout).
+
+    Determinism: pairwise distances snap to int64 micro-units (the
+    DBSCAN spelling); each mean is ONE IEEE division of exact ints;
+    a/b comparisons and (b−a)/max(a,b) are fixed-order float ops on
+    those identically-derived values, snapped to 1e-6; the final
+    per-cluster mean is an integer division. Scale: quadratic by
+    definition — bounded by the vec_id % 4 sample; the production path
+    samples per cluster exactly like this."""
+    emb = (
+        _with_vec(load(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id") % _SIL_MOD == 0)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            "vec",
+            F.aggregate(
+                F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
+            ).alias("sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("vec").alias("va"),
+        F.col("sq").alias("sqa"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("vec").alias("vb"),
+        F.col("sq").alias("sqb"),
+    )
+    pairs = a.join(broadcast(b), F.col("ida") != F.col("idb")).select(
+        "ida",
+        "la",
+        "lb",
+        F.floor(
+            (F.col("sqa") + F.col("sqb") - 2 * _dot(F.col("va"), F.col("vb")))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d6"),
+    )
+    per_cluster = pairs.groupBy("ida", "la", "lb").agg(
+        F.sum("d6").cast("bigint").alias("sum6"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    mean_d = per_cluster.select(
+        "ida",
+        "la",
+        "lb",
+        (F.col("sum6").cast("double") / F.col("cnt").cast("double")).alias("m"),
+    )
+    a_side = mean_d.where(F.col("la") == F.col("lb")).select(
+        "ida", "la", F.col("m").alias("a_m")
+    )
+    b_side = (
+        mean_d.where(F.col("la") != F.col("lb"))
+        .groupBy("ida", "la")
+        .agg(F.min("m").alias("b_m"))
+    )
+    s = a_side.join(b_side, ["ida", "la"]).select(
+        "ida",
+        "la",
+        F.floor(
+            (F.col("b_m") - F.col("a_m"))
+            / F.greatest(F.col("a_m"), F.col("b_m"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("s6"),
+    )
+    return (
+        s.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.expr("sum(s6) div count(*)").cast("bigint").alias("mean_s6"),
+            F.min("s6").cast("bigint").alias("min_s6"),
+            F.max("s6").cast("bigint").alias("max_s6"),
+        )
+        .orderBy("label")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "silhouette_score": f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(embedding AS DOUBLE[]) AS vec,
+                   list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+            FROM embeddings WHERE vec_id % {_SIL_MOD} = 0
+        ), pairs AS MATERIALIZED (
+            SELECT a.vec_id AS ida, a.label AS la, b.label AS lb,
+                   CAST(floor((a.sq + b.sq
+                               - 2 * list_dot_product(a.vec, b.vec))
+                              * 1e6 + 0.5) AS BIGINT) AS d6
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ), mean_d AS (
+            SELECT ida, la, lb,
+                   CAST(sum(d6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM pairs GROUP BY 1, 2, 3
+        ), a_side AS (
+            SELECT ida, la, m AS a_m FROM mean_d WHERE la = lb
+        ), b_side AS (
+            SELECT ida, la, min(m) AS b_m FROM mean_d
+            WHERE la <> lb GROUP BY 1, 2
+        ), s AS (
+            SELECT a.ida, a.la,
+                   CAST(floor((b.b_m - a.a_m) / greatest(a.a_m, b.b_m)
+                              * 1e6 + 0.5) AS BIGINT) AS s6
+            FROM a_side a JOIN b_side b ON a.ida = b.ida AND a.la = b.la
+        )
+        SELECT la AS label,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(s6) // count(*) AS BIGINT) AS mean_s6,
+               CAST(min(s6) AS BIGINT) AS min_s6,
+               CAST(max(s6) AS BIGINT) AS max_s6
+        FROM s GROUP BY 1 ORDER BY 1
+    """,
     "embedding_mmd_labels": f"""
         WITH emb AS (
             SELECT label, embedding FROM embeddings

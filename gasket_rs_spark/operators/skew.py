@@ -281,7 +281,125 @@ _SHARD_BALANCE_ORACLE = f"""
 """
 
 
+_RING_NODES = 8  # physical nodes before the resize (node 8 joins)
+_RING_VNODES = 16  # virtual nodes per physical node
+
+
+def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT HASHING ring with virtual nodes (Karger et al. 1997
+    — the other classic minimal-disruption placement beside
+    q_rendezvous_hashing): each physical node owns 16 md5-placed
+    vnodes on a 48-bit ring, a key routes to the first vnode clockwise
+    from its own hash (wrapping), and the witness resizes 8 → 9 nodes
+    and audits the contract: every movement class with node8 ≠ node9
+    must land ON the new node, and the moved share is ≈ 1/9 (vnodes
+    tighten its variance — the reason they exist).
+
+    Determinism: ring positions and key hashes are 48-bit md5-prefix
+    ints; "first clockwise" is min(position ≥ key) with wrap-to-min —
+    realized as two bounded aggregates over the BROADCAST vnode table
+    (128/144 rows), never a window over keys. Scale: a real router
+    binary-searches the ring per key with zero shuffle; this plan is
+    one broadcast join + per-key min — the oracle-comparable
+    equivalent."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("kh"),
+    )
+
+    def ring(n_nodes: int, tag: str) -> DataFrame:
+        vn = spark.range(n_nodes * _RING_VNODES).select(
+            (F.col("id") % n_nodes).cast("bigint").alias("node"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            (F.col("id") % n_nodes).cast("string"),
+                            F.expr(f"id div {n_nodes}").cast("string"),
+                            F.lit("ring"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("pos"),
+        )
+        wrap = vn.orderBy("pos", "node").limit(1).select(
+            F.col("node").alias(f"wrap_{tag}")
+        )
+        hit = (
+            docs.join(F.broadcast(vn), F.col("pos") >= F.col("kh"))
+            .groupBy("doc_id")
+            .agg(
+                F.min(F.struct(F.col("pos"), F.col("node"))).alias("s")
+            )
+            .select("doc_id", F.col("s.node").alias(f"hit_{tag}"))
+        )
+        return (
+            docs.join(hit, "doc_id", "left")
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "doc_id",
+                F.coalesce(f"hit_{tag}", f"wrap_{tag}").alias(f"node_{tag}"),
+            )
+        )
+
+    r8 = ring(_RING_NODES, "a")
+    r9 = ring(_RING_NODES + 1, "b")
+    return (
+        r8.join(r9, "doc_id")
+        .groupBy(F.col("node_a").alias("node8"), F.col("node_b").alias("node9"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("node8", "node9")
+    )
+
+
+def _ring_oracle() -> str:
+    def ring_sql(n_nodes: int, tag: str) -> str:
+        return f"""
+        vn_{tag} AS (
+            SELECT CAST(i % {n_nodes} AS BIGINT) AS node,
+                   ('0x' || substr(md5(CAST(i % {n_nodes} AS VARCHAR) || ':'
+                        || CAST(i // {n_nodes} AS VARCHAR) || ':ring'),
+                        1, 12))::BIGINT AS pos
+            FROM (SELECT unnest(generate_series(0,
+                      {n_nodes * _RING_VNODES - 1})) AS i)
+        ), wrap_{tag} AS (
+            SELECT node FROM vn_{tag} ORDER BY pos, node LIMIT 1
+        ), hit_{tag} AS (
+            SELECT k.doc_id, min_by(v.node, v.pos) AS node
+            FROM keys k JOIN vn_{tag} v ON v.pos >= k.kh
+            GROUP BY 1
+        ), route_{tag} AS (
+            SELECT k.doc_id,
+                   COALESCE(h.node, (SELECT node FROM wrap_{tag}))
+                       AS node_{tag}
+            FROM keys k LEFT JOIN hit_{tag} h ON k.doc_id = h.doc_id
+        )"""
+
+    return f"""
+        WITH keys AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       ::BIGINT AS kh
+            FROM documents
+        ), {ring_sql(_RING_NODES, "a")}, {ring_sql(_RING_NODES + 1, "b")}
+        SELECT a.node_a AS node8, b.node_b AS node9,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM route_a a JOIN route_b b ON a.doc_id = b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 ORACLES: dict[str, str] = {
+    "consistent_hash_ring": _ring_oracle(),
     "shard_balance_audit": _SHARD_BALANCE_ORACLE,
     "rendezvous_hashing": _HRW_ORACLE,
     "skew_salted_join": """

@@ -1974,6 +1974,56 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z975_6 = 1_959_964  # two-sided 5% critical value on the 1e-6 grid
+
+
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION pooled z-TEST for the A/B readout every
+    experiment dashboard ships: purchase rate in the deterministic
+    event_id % 3 == 0 arm vs the rest (an A/A-shaped split, so the
+    expected verdict is "not significant" — and the hash pins that
+    honest answer). z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂)) with the
+    pooled p̂.
+
+    Determinism: the rate difference is the exact int64 cross-product
+    x₁n₂ − x₂n₁; the denominator is ONE sqrt of the exact rational
+    X(N−X)·n₁n₂/N (mult → div → sqrt, fixed IEEE order), one final
+    division, snapped to 1e-6. The significance flag compares against
+    the Python-inlined literal 1.959964 (no engine evaluates the
+    normal quantile). One corpus pass → one row."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3 == 0).alias("arm_a"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    agg = ev.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm_a"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(~F.col("arm_a"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    z = (
+        (F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")).cast("double")
+        / F.sqrt(
+            ((F.col("x1") + F.col("x2")) * (F.col("n1") + F.col("n2") - F.col("x1") - F.col("x2"))).cast(
+                "double"
+            )
+            * (F.col("n1") * F.col("n2")).cast("double")
+            / (F.col("n1") + F.col("n2")).cast("double")
+        )
+    )
+    return agg.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.floor(z * 1e6 + F.lit(0.5)).cast("bigint").alias("z6"),
+    ).withColumn("significant", F.abs(F.col("z6")) > _Z975_6)
+
+
 _HUBER_T = 4  # IRLS iterations (fixed, unrolled in the oracle)
 _HUBER_K_PM = 1345  # k = 1.345·MAD, in per-mille
 
@@ -2514,6 +2564,38 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "two_proportion_ztest": f"""
+        WITH ev AS (
+            SELECT event_id % 3 = 0 AS arm_a,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ), agg AS (
+            SELECT CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(sum(CASE WHEN arm_a THEN y ELSE 0 END) AS BIGINT)
+                       AS x1,
+                   CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n2,
+                   CAST(sum(CASE WHEN arm_a THEN 0 ELSE y END) AS BIGINT)
+                       AS x2
+            FROM ev
+        )
+        SELECT n1, x1, n2, x2,
+               CAST(floor(CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+                          / sqrt(CAST((x1 + x2) * (n1 + n2 - x1 - x2)
+                                      AS DOUBLE)
+                                 * CAST(n1 * n2 AS DOUBLE)
+                                 / CAST(n1 + n2 AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS z6,
+               abs(CAST(floor(CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+                          / sqrt(CAST((x1 + x2) * (n1 + n2 - x1 - x2)
+                                      AS DOUBLE)
+                                 * CAST(n1 * n2 AS DOUBLE)
+                                 / CAST(n1 + n2 AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT)) > {_Z975_6}
+                   AS significant
+        FROM agg
+    """,
     "huber_location": _huber_oracle(),
     "brier_decomposition": f"""
         WITH ev AS (
