@@ -50,8 +50,12 @@ def test_silhouette_matches_pure_python(spark, sf_dir):
     agg = defaultdict(list)
     for li, s6 in per_point:
         agg[li].append(s6)
+    def tdiv(a, b):  # trunc-toward-zero, matching Spark div / DuckDB //
+        return -((-a) // b) if a < 0 else a // b
+
     want = {
-        li: (len(v), sum(v) // len(v), min(v), max(v)) for li, v in agg.items()
+        li: (len(v), tdiv(sum(v), len(v)), min(v), max(v))
+        for li, v in agg.items()
     }
     got = {
         r["label"]: (r["n_points"], r["mean_s6"], r["min_s6"], r["max_s6"])
