@@ -1534,6 +1534,72 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT change-point test (Pettitt 1979) on the daily event-count
+    series — the rank-based (distribution-free) sibling of
+    q_cusum_changepoint: U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i), and the
+    change point is argmax |U_t|. Robust to outliers where CUSUM's
+    mean-shift statistic is not.
+
+    Pure integer: sgn contributions are ±1/0 counted over the bounded
+    day×day pair grid (the series is calendar-bounded, so the O(n²)
+    pair join is metadata-sized at any corpus SF); the argmax breaks
+    ties by day. One corpus pass to daily counts, everything after on
+    the day grid."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    grid = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(counts, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = grid.select(F.col("day").alias("di"), F.col("c").alias("ci"))
+    b = grid.select(F.col("day").alias("dj"), F.col("c").alias("cj"))
+    pairs = a.join(F.broadcast(b), F.col("dj") > F.col("di")).select(
+        "di",
+        "dj",
+        F.signum((F.col("cj") - F.col("ci")).cast("double"))
+        .cast("bigint")
+        .alias("sgn"),
+    )
+    # U_t = Σ over pairs with i ≤ t < j: pair (i,j) contributes to every
+    # t in [i, j) — count via the bounded theta-join against the grid
+    u = (
+        grid.select(F.col("day").alias("t"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("di") <= F.col("t")) & (F.col("dj") > F.col("t")),
+        )
+        .groupBy("t")
+        .agg(F.sum("sgn").cast("bigint").alias("u_t"))
+    )
+    best = (
+        u.agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("u_t")).alias("absu"),
+                    (-F.col("t")).alias("negt"),
+                    F.col("t").alias("t"),
+                    F.col("u_t").alias("u_t"),
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.t").alias("change_day"),
+            F.col("s.u_t").alias("u_at_change"),
+            F.col("s.absu").alias("abs_u"),
+        )
+    )
+    n = grid.agg(F.count("*").cast("bigint").alias("n_days"))
+    return best.crossJoin(F.broadcast(n)).select(
+        "n_days", "change_day", "u_at_change", "abs_u"
+    )
+
+
 def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (variance-to-mean ratio / Fano factor) of
     the daily count series per event type — the overdispersion gate
@@ -2191,6 +2257,37 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "pettitt_changepoint": """
+        WITH e AS (
+            SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day
+            FROM events
+        ), counts AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1
+        ), grid AS MATERIALIZED (
+            SELECT g.day, COALESCE(c.c, 0) AS c
+            FROM (SELECT unnest(generate_series((SELECT min(day) FROM e),
+                                                (SELECT max(day) FROM e)))
+                      AS day) g
+            LEFT JOIN counts c ON g.day = c.day
+        ), pairs AS MATERIALIZED (
+            SELECT a.day AS di, b.day AS dj,
+                   CAST(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END AS BIGINT)
+                       AS sgn
+            FROM grid a JOIN grid b ON b.day > a.day
+        ), u AS (
+            SELECT g.day AS t, CAST(sum(p.sgn) AS BIGINT) AS u_t
+            FROM grid g JOIN pairs p ON p.di <= g.day AND p.dj > g.day
+            GROUP BY 1
+        ), best AS (
+            SELECT t AS change_day, u_t AS u_at_change,
+                   CAST(abs(u_t) AS BIGINT) AS abs_u
+            FROM u ORDER BY abs(u_t) DESC, t LIMIT 1
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM grid) AS n_days,
+               change_day, u_at_change, abs_u
+        FROM best
+    """,
     "dispersion_index": """
         WITH e AS (
             SELECT event_type,

@@ -1974,6 +1974,160 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test (1952) — does the event-value distribution
+    differ across the 5 event types? The >2-group extension of
+    q_mann_whitney_u, rank-based and distribution-free, with the tie
+    correction (values are bucketed to the integer grid, so ties are
+    massive and the correction matters).
+
+    Window-free rank construction: values land on the bounded integer
+    bucket grid (domain-bounded, not corpus-bounded), doubled average
+    ranks come from the bucket histogram via the cross-multiplied form
+    r2 = 2·cnt_less + cnt_eq + 1 (a bucket self-join — no global-order
+    window anywhere, per the house guard), and per-group rank sums are
+    integer. The per-group R²/n terms snap to integers before the
+    5-term total (float-sum order immunity), and H with tie correction
+    is one fixed-order double expression, snapped to 1e-6.
+
+    Scale: one corpus pass → (bucket × group) counts; everything after
+    lives on the value-domain grid."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value")).cast("bigint").alias("b"),
+    )
+    bg = ev.groupBy("b", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    hist = bg.groupBy("b").agg(F.sum("c").cast("bigint").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    h2 = hist.select(F.col("b").alias("b2"), F.col("cnt").alias("cnt2"))
+    less = (
+        hist.join(F.broadcast(h2), F.col("b2") < F.col("b"), "left")
+        .groupBy("b", "cnt")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).cast("bigint").alias("cnt_less"))
+    )
+    ranks = less.select(
+        "b",
+        (2 * F.col("cnt_less") + F.col("cnt") + 1).cast("bigint").alias("r2"),
+    )
+    groups = (
+        bg.join(F.broadcast(ranks), "b")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_i"),
+            F.sum(F.col("c") * F.col("r2")).cast("bigint").alias("r2_sum"),
+        )
+    )
+    terms = groups.select(
+        "event_type",
+        "n_i",
+        "r2_sum",
+        F.floor(
+            F.col("r2_sum").cast("double")
+            * F.col("r2_sum").cast("double")
+            / F.col("n_i").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("t_i"),
+    ).localCheckpoint(eager=True)
+    tot = ev.agg(F.count("*").cast("bigint").alias("n"))
+    ties = hist.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_num")
+    )
+    h = (
+        terms.agg(F.sum("t_i").cast("bigint").alias("sum_t"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.floor(
+                (
+                    F.lit(3.0)
+                    * F.col("sum_t").cast("double")
+                    / (F.col("n") * (F.col("n") + 1)).cast("double")
+                    - 3 * (F.col("n") + 1).cast("double")
+                )
+                / (
+                    F.lit(1.0)
+                    - F.col("tie_num").cast("double")
+                    / (
+                        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+                    ).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("h_adj6")
+        )
+    )
+    return (
+        terms.select("event_type", "n_i", "r2_sum")
+        .crossJoin(F.broadcast(h))
+        .orderBy("event_type")
+    )
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE of customer revenue concentration per market
+    segment — the cumulative-share curve behind every Gini/inequality
+    readout ("the top decile of customers carries X% of revenue"):
+    customers sort by revenue within their segment, and each decile
+    boundary reports the cumulative revenue share.
+
+    Integer core: revenues in cents, cumulative sums over a
+    segment-PARTITIONED window (customers per segment scale, but the
+    partition key keeps the sort distributed — never a global-order
+    window), decile rows picked by rank = ceil(n·k/10), shares as
+    (cum·1e6) div total. Scale: one agg + one partitioned window."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+        .join(F.broadcast(c), "o_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "o_custkey")
+    cntw = Window.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        "c_mktsegment",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cntw).alias("n"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(cntw).alias("total"),
+    )
+    # decile boundary rows: rn == ceil(n*k/10) for k = 1..10
+    picks = (
+        ranked.crossJoin(
+            F.broadcast(
+                ranked.sparkSession.range(1, 11).select(
+                    F.col("id").cast("bigint").alias("decile")
+                )
+            )
+        )
+        .where(F.col("rn") == F.expr("(n * decile + 9) div 10"))
+        .select(
+            "c_mktsegment",
+            "decile",
+            F.col("rn").cast("bigint").alias("rank_at"),
+            F.expr("cum * 1000000 div total").cast("bigint").alias("cum_share6"),
+        )
+    )
+    return picks.orderBy("c_mktsegment", "decile")
+
+
 _Z975_6 = 1_959_964  # two-sided 5% critical value on the 1e-6 grid
 
 
@@ -2564,6 +2718,80 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "kruskal_wallis": """
+        WITH ev AS (
+            SELECT event_type, CAST(floor(value) AS BIGINT) AS b FROM events
+        ), bg AS (
+            SELECT b, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM ev GROUP BY 1, 2
+        ), hist AS MATERIALIZED (
+            SELECT b, CAST(sum(c) AS BIGINT) AS cnt FROM bg GROUP BY 1
+        ), less AS (
+            SELECT h.b, h.cnt,
+                   CAST(COALESCE(sum(h2.cnt), 0) AS BIGINT) AS cnt_less
+            FROM hist h LEFT JOIN hist h2 ON h2.b < h.b
+            GROUP BY 1, 2
+        ), ranks AS (
+            SELECT b, CAST(2 * cnt_less + cnt + 1 AS BIGINT) AS r2 FROM less
+        ), groups AS (
+            SELECT bg.event_type, CAST(sum(bg.c) AS BIGINT) AS n_i,
+                   CAST(sum(bg.c * r.r2) AS BIGINT) AS r2_sum
+            FROM bg JOIN ranks r ON bg.b = r.b
+            GROUP BY 1
+        ), terms AS MATERIALIZED (
+            SELECT event_type, n_i, r2_sum,
+                   CAST(floor(CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE)
+                              / CAST(n_i AS DOUBLE) + 0.5) AS BIGINT) AS t_i
+            FROM groups
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM ev
+        ), ties AS (
+            SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_num
+            FROM hist
+        ), h AS (
+            SELECT CAST(floor(
+                (3.0 * CAST(sum_t AS DOUBLE)
+                     / CAST(n * (n + 1) AS DOUBLE)
+                 - 3 * CAST(n + 1 AS DOUBLE))
+                / (1.0 - CAST(tie_num AS DOUBLE)
+                         / CAST(n * n * n - n AS DOUBLE))
+                * 1e6 + 0.5) AS BIGINT) AS h_adj6
+            FROM (SELECT CAST(sum(t_i) AS BIGINT) AS sum_t FROM terms)
+            CROSS JOIN tot CROSS JOIN ties
+        )
+        SELECT event_type, n_i, r2_sum, h_adj6
+        FROM terms CROSS JOIN h
+        ORDER BY event_type
+    """,
+    "lorenz_curve": """
+        WITH rev AS (
+            SELECT o.o_custkey, c.c_mktsegment,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT c_mktsegment, rev,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY rev, o_custkey) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n,
+                   CAST(sum(rev) OVER (PARTITION BY c_mktsegment
+                        ORDER BY rev, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                   CAST(sum(rev) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+                       AS total
+            FROM rev
+        )
+        SELECT r.c_mktsegment, d.decile,
+               CAST(r.rn AS BIGINT) AS rank_at,
+               CAST(r.cum * 1000000 // r.total AS BIGINT) AS cum_share6
+        FROM ranked r
+        CROSS JOIN (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+                        AS decile) d
+        WHERE r.rn = (r.n * d.decile + 9) // 10
+        ORDER BY r.c_mktsegment, d.decile
+    """,
     "two_proportion_ztest": f"""
         WITH ev AS (
             SELECT event_id % 3 = 0 AS arm_a,
