@@ -242,6 +242,12 @@ EXTRAS = [
     "rake_keyphrases",
     "dispersion_index",
     "seasonal_strength",
+    "silhouette_score",
+    "consistent_hash_ring",
+    "two_proportion_ztest",
+    "pettitt_changepoint",
+    "kruskal_wallis",
+    "lorenz_curve",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
