@@ -1534,6 +1534,134 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLISH_T = 2  # full row+column sweeps
+
+
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY MEDIAN POLISH of the day-of-week × week count matrix
+    (Tukey 1977) — the robust two-way decomposition
+    count ≈ row effect (weekday profile) + column effect (weekly
+    level) + residual, fit by alternately sweeping out row and column
+    LOWER medians for 2 fixed sweeps. The residuals are the
+    outlier-resistant anomaly signal a seasonal mean model (see
+    q_seasonal_strength) smears.
+
+    Determinism: counts are integers and a lower median of integers is
+    an integer, so EVERY intermediate (effects, residuals) stays
+    int64 — no snapping anywhere; medians extract via
+    sort_array(collect_list)[ (n+1) div 2 ] over the bounded
+    7-or-weeks-sized groups (the bootstrap_ci bounded-rank pattern).
+    Variant note: effects are not re-centered through an overall term
+    (the classic presentation's optional step), identically on both
+    engines. Scale: one corpus pass → the calendar-bounded matrix."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    cells = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(counts, "day", "left")
+        .select(
+            (F.col("day") % 7).cast("bigint").alias("dow"),
+            F.expr("day div 7").cast("bigint").alias("week"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+        .withColumn("resid", F.col("c"))
+        .withColumn("roweff", F.lit(0).cast("bigint"))
+        .withColumn("coleff", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+
+    def med_of(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.element_at(
+                F.sort_array(F.collect_list("resid")),
+                F.expr("cast((count(*) + 1) div 2 as int)"),
+            )
+            .cast("bigint")
+            .alias(out)
+        )
+
+    cur = cells
+    for _ in range(_POLISH_T):
+        rm = med_of(cur, "dow", "m_r")
+        cur = (
+            cur.join(F.broadcast(rm), "dow")
+            .withColumn("resid", F.col("resid") - F.col("m_r"))
+            .withColumn("roweff", F.col("roweff") + F.col("m_r"))
+            .drop("m_r")
+            .localCheckpoint(eager=True)
+        )
+        cm = med_of(cur, "week", "m_c")
+        cur = (
+            cur.join(F.broadcast(cm), "week")
+            .withColumn("resid", F.col("resid") - F.col("m_c"))
+            .withColumn("coleff", F.col("coleff") + F.col("m_c"))
+            .drop("m_c")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select("dow", "week", "c", "roweff", "coleff", "resid").orderBy(
+        "dow", "week"
+    )
+
+
+def _median_polish_oracle() -> str:
+    stages = []
+    prev = "s0"
+    for t in range(1, _POLISH_T + 1):
+        stages.append(
+            f""", rm{t} AS MATERIALIZED (
+            SELECT dow,
+                   CAST(list_sort(list(resid))[(count(*) + 1) // 2]
+                        AS BIGINT) AS m_r
+            FROM {prev} GROUP BY 1
+        ), sr{t} AS MATERIALIZED (
+            SELECT s.dow, s.week, s.c,
+                   s.resid - r.m_r AS resid,
+                   s.roweff + r.m_r AS roweff,
+                   s.coleff
+            FROM {prev} s JOIN rm{t} r ON s.dow = r.dow
+        ), cm{t} AS MATERIALIZED (
+            SELECT week,
+                   CAST(list_sort(list(resid))[(count(*) + 1) // 2]
+                        AS BIGINT) AS m_c
+            FROM sr{t} GROUP BY 1
+        ), sc{t} AS MATERIALIZED (
+            SELECT s.dow, s.week, s.c,
+                   s.resid - cm.m_c AS resid,
+                   s.roweff,
+                   s.coleff + cm.m_c AS coleff
+            FROM sr{t} s JOIN cm{t} cm ON s.week = cm.week
+        )"""
+        )
+        prev = f"sc{t}"
+    return f"""
+        WITH e AS (
+            SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day
+            FROM events
+        ), counts AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1
+        ), s0 AS MATERIALIZED (
+            SELECT CAST(g.day % 7 AS BIGINT) AS dow,
+                   CAST(g.day // 7 AS BIGINT) AS week,
+                   COALESCE(c.c, 0) AS c,
+                   COALESCE(c.c, 0) AS resid,
+                   CAST(0 AS BIGINT) AS roweff,
+                   CAST(0 AS BIGINT) AS coleff
+            FROM (SELECT unnest(generate_series((SELECT min(day) FROM e),
+                                                (SELECT max(day) FROM e)))
+                      AS day) g
+            LEFT JOIN counts c ON g.day = c.day
+        ){"".join(stages)}
+        SELECT dow, week, c,
+               CAST(roweff AS BIGINT) AS roweff,
+               CAST(coleff AS BIGINT) AS coleff,
+               CAST(resid AS BIGINT) AS resid
+        FROM {prev} ORDER BY dow, week
+    """
+
+
 def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PETTITT change-point test (Pettitt 1979) on the daily event-count
     series — the rank-based (distribution-free) sibling of
@@ -2257,6 +2385,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "median_polish": _median_polish_oracle(),
     "pettitt_changepoint": """
         WITH e AS (
             SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day

@@ -2098,6 +2098,109 @@ def _textrank_oracle() -> str:
     return "".join(body)
 
 
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON DIVERSITY of the token distribution per source — the
+    transcendental-free twin of token entropy: λ = Σ n_i(n_i−1) /
+    (N(N−1)) is the collision probability of two draws without
+    replacement (higher = more concentrated vocabulary), and 1/λ is
+    the "effective vocabulary size" a mixture designer compares across
+    sources. PURE int64 up to the two final divisions (one IEEE each,
+    snapped) — no log, no sqrt, nothing to drift.
+
+    Scale: one corpus pass → (source, token) counts (map-side
+    combinable), then vocabulary-bounded aggregates."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("coll"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.floor(
+                F.col("coll").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("simpson6"),
+        )
+        .withColumn(
+            "effective_vocab6",
+            F.floor(
+                F.lit(1e12)
+                / F.col("simpson6").cast("double")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-NORMAL fit of the document-length distribution per language
+    (method of moments in log space) — the standard model for text
+    length, and the fitted median/μ/σ feed length-bucket design and
+    truncation policies. μ̂ = mean(ln n_chars), σ̂² = population
+    variance of ln n_chars, fitted median = e^μ̂.
+
+    Determinism: ln(n_chars) snaps to the 1e-6 integer grid PER ROW
+    (one transcendental each, exact-int argument), so Σln6 and Σln6²
+    are int64 sums; μ is one integer division. σ² uses the fixed-order
+    double spelling s2/n − (s1/n)² — the n-scaled integer numerator
+    n·Σx² − (Σx)² overflows int64 here (s1 ≈ 6e10 at sf0.1), and the
+    int64→double cast rounds identically on both engines, so the
+    snapped result is still hash-stable. The fitted median is one exp
+    of the snapped μ."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.floor(F.log(F.col("n_chars").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ln6"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ln6").cast("bigint").alias("s1"),
+            F.sum(F.col("ln6") * F.col("ln6")).cast("bigint").alias("s2"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("s1 div n_docs").cast("bigint").alias("mu6"),
+            F.floor(
+                (
+                    F.col("s2").cast("double") / F.col("n_docs").cast("double")
+                    - (F.col("s1").cast("double") / F.col("n_docs").cast("double"))
+                    * (F.col("s1").cast("double") / F.col("n_docs").cast("double"))
+                )
+                / 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("var6"),
+            F.floor(
+                F.exp(F.expr("s1 div n_docs").cast("double") / 1e6) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fitted_median_c"),
+        )
+        .orderBy("lang")
+    )
+
+
 _RAKE_TOPK = 15
 
 
@@ -2161,6 +2264,53 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "simpson_diversity": """
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY 1, 2
+        ), agg AS (
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(n * (n - 1)) AS BIGINT) AS coll
+            FROM counts GROUP BY 1
+        )
+        SELECT source, n_tokens, vocab,
+               CAST(floor(CAST(coll AS DOUBLE)
+                          / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS simpson6,
+               CAST(floor(1e12 / CAST(CAST(floor(CAST(coll AS DOUBLE)
+                          / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS DOUBLE) + 0.5)
+                    AS BIGINT) AS effective_vocab6
+        FROM agg ORDER BY source
+    """,
+    "lognormal_fit": """
+        WITH docs AS (
+            SELECT lang,
+                   CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS ln6
+            FROM documents
+        ), agg AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ln6) AS BIGINT) AS s1,
+                   CAST(sum(ln6 * ln6) AS BIGINT) AS s2
+            FROM docs GROUP BY 1
+        )
+        SELECT lang, n_docs,
+               CAST(s1 // n_docs AS BIGINT) AS mu6,
+               CAST(floor((CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                          / 1e6 + 0.5)
+                    AS BIGINT) AS var6,
+               CAST(floor(exp(CAST(s1 // n_docs AS DOUBLE) / 1e6) * 100 + 0.5)
+                    AS BIGINT) AS fitted_median_c
+        FROM agg ORDER BY lang
+    """,
     "naive_bayes_langid": f"""
         WITH docs AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks
