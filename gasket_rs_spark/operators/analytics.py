@@ -1534,6 +1534,76 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test on the daily event-count series — the
+    rank-based monotone-trend detector (Mann 1945, Kendall 1975) that
+    pairs with q_theil_sen_trend's slope estimate: S = Σ_{i<j}
+    sgn(x_j − x_i) counts concordant-minus-discordant day pairs, the
+    tie-corrected variance is Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]
+    / 18, and z applies the ±1 continuity correction.
+
+    Determinism: S and both variance numerators are pure int64 over
+    the bounded day grid (the Pettitt pair machinery); z is one
+    divide-by-sqrt of exact ints, snapped. The trend verdict compares
+    |z| against the Python-inlined 1.959964 literal."""
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
+    )
+    counts = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    grid = (
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .join(counts, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = grid.select(F.col("day").alias("di"), F.col("c").alias("ci"))
+    b = grid.select(F.col("day").alias("dj"), F.col("c").alias("cj"))
+    s_stat = (
+        a.join(F.broadcast(b), F.col("dj") > F.col("di"))
+        .agg(
+            F.sum(
+                F.signum((F.col("cj") - F.col("ci")).cast("double")).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    n_f = grid.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        grid.groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_num")
+        )
+    )
+    z6_expr = F.floor(
+        (
+            F.col("s").cast("double")
+            - F.signum(F.col("s").cast("double"))
+        )
+        / F.sqrt(
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_num")
+            ).cast("double")
+            / F.lit(18.0)
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        s_stat.crossJoin(F.broadcast(n_f))
+        .crossJoin(F.broadcast(ties))
+        .select("n", "s", "tie_num", z6_expr.alias("z6"))
+        .withColumn("trend", F.abs(F.col("z6")) > 1_959_964)
+    )
+
+
 _POLISH_T = 2  # full row+column sweeps
 
 
@@ -2385,6 +2455,44 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "mann_kendall_trend": """
+        WITH e AS (
+            SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day
+            FROM events
+        ), counts AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1
+        ), grid AS MATERIALIZED (
+            SELECT g.day, COALESCE(c.c, 0) AS c
+            FROM (SELECT unnest(generate_series((SELECT min(day) FROM e),
+                                                (SELECT max(day) FROM e)))
+                      AS day) g
+            LEFT JOIN counts c ON g.day = c.day
+        ), s_stat AS (
+            SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                       AS s
+            FROM grid a JOIN grid b ON b.day > a.day
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM grid
+        ), ties AS (
+            SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+            FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM grid GROUP BY c)
+        )
+        SELECT n, s, tie_num,
+               CAST(floor((CAST(s AS DOUBLE)
+                           - CASE WHEN s > 0 THEN 1.0
+                                  WHEN s < 0 THEN -1.0 ELSE 0.0 END)
+                          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_num
+                                      AS DOUBLE) / 18.0)
+                          * 1e6 + 0.5) AS BIGINT) AS z6,
+               abs(CAST(floor((CAST(s AS DOUBLE)
+                           - CASE WHEN s > 0 THEN 1.0
+                                  WHEN s < 0 THEN -1.0 ELSE 0.0 END)
+                          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_num
+                                      AS DOUBLE) / 18.0)
+                          * 1e6 + 0.5) AS BIGINT)) > 1959964 AS trend
+        FROM s_stat CROSS JOIN nn CROSS JOIN ties
+    """,
     "median_polish": _median_polish_oracle(),
     "pettitt_changepoint": """
         WITH e AS (

@@ -2147,6 +2147,56 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 vocabulary-richness estimator + GOOD-TURING unseen mass
+    per source — "how many word types does this source REALLY have,
+    and how much probability belongs to words we haven't seen yet":
+    Chao1 = V + f₁²/(2·f₂) from the singleton/doubleton counts
+    (Chao 1984), and the Good-Turing unseen-mass estimate P₀ = f₁/N —
+    the pair of diagnostics behind corpus-coverage and
+    smoothing-budget decisions (complements q_corpus_heaps_curve's
+    growth fit and the KMV sketch's distinct estimate).
+
+    Pure int64 frequency-of-frequency counts; each estimator is one
+    IEEE division, snapped. f₂ = 0 degenerates to the standard
+    bias-corrected form denominator guard (max(2·f₂, 1)), identically
+    on both engines."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum((F.col("n") == 1).cast("bigint")).cast("bigint").alias("f1"),
+            F.sum((F.col("n") == 2).cast("bigint")).cast("bigint").alias("f2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "f1",
+            "f2",
+            (
+                F.col("vocab") * 1_000_000
+                + F.floor(
+                    (F.col("f1") * F.col("f1") * 1_000_000).cast("double")
+                    / F.greatest(2 * F.col("f2"), F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("chao1_6"),
+            F.expr("f1 * 1000000 div n_tokens").cast("bigint").alias("gt_unseen6"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOG-NORMAL fit of the document-length distribution per language
     (method of moments in log space) — the standard model for text
@@ -2264,6 +2314,31 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "chao1_richness": """
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY 1, 2
+        ), agg AS (
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f1,
+                   CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f2
+            FROM counts GROUP BY 1
+        )
+        SELECT source, n_tokens, vocab, f1, f2,
+               CAST(vocab * 1000000
+                    + CAST(floor(CAST(f1 * f1 * 1000000 AS DOUBLE)
+                                 / CAST(greatest(2 * f2, 1) AS DOUBLE) + 0.5)
+                           AS BIGINT) AS BIGINT) AS chao1_6,
+               CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen6
+        FROM agg ORDER BY source
+    """,
     "simpson_diversity": """
         WITH toks AS (
             SELECT source, unnest(string_split(text, ' ')) AS tok
