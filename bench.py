@@ -248,6 +248,11 @@ EXTRAS = [
     "pettitt_changepoint",
     "kruskal_wallis",
     "lorenz_curve",
+    "simpson_diversity",
+    "lognormal_fit",
+    "median_polish",
+    "chao1_richness",
+    "mann_kendall_trend",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]
