@@ -253,6 +253,8 @@ EXTRAS = [
     "median_polish",
     "chao1_richness",
     "mann_kendall_trend",
+    "apriori_triples",
+    "peak_concurrency",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

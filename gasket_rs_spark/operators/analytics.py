@@ -1534,6 +1534,139 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APRIORI_ITEMS = 12  # part-class item space (l_partkey % 12)
+_APRIORI_MINSUP_DIV = 50  # minsup = n_baskets div 50 (2% support)
+_APRIORI_TOPK = 15
+
+
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APRIORI frequent-itemset mining to size 3 (Agrawal & Srikant
+    1994) over order baskets of part classes — the candidate-pruning
+    discipline that makes distributed market-basket mining feasible:
+    L1 prunes infrequent items FROM THE BASKETS before any pair is
+    counted, L2 pairs generate size-3 candidates only by joining pairs
+    that share their first item, and every candidate's third sub-pair
+    must also be frequent (the downward-closure prune) BEFORE the
+    support count. Top-15 triples by support.
+
+    Pure integer supports with deterministic (support desc, a, b, c)
+    ranking; minsup is the data-derived 2% of baskets. Scale: every
+    self-join runs on L1-pruned baskets keyed by order id, and the
+    candidate space is bounded by L2² — the entire point of Apriori at
+    100 TB (extends q_assoc_rules' pair confidence to size-3 sets)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % _APRIORI_ITEMS).cast("bigint").alias("item")
+    )
+    bi = li.distinct().localCheckpoint(eager=True)
+    nb = bi.select("l_orderkey").distinct().count()
+    minsup = max(nb // _APRIORI_MINSUP_DIV, 2)
+    f1 = (
+        bi.groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("s"))
+        .where(F.col("s") >= minsup)
+        .select("item")
+    )
+    bi1 = bi.join(F.broadcast(f1), "item", "left_semi").localCheckpoint(eager=True)
+    a = bi1.select("l_orderkey", F.col("item").alias("ia"))
+    b = bi1.select("l_orderkey", F.col("item").alias("ib"))
+    bp = a.join(b, "l_orderkey").where(F.col("ia") < F.col("ib"))
+    l2 = (
+        bp.groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("s"))
+        .where(F.col("s") >= minsup)
+        .select("ia", "ib")
+        .localCheckpoint(eager=True)
+    )
+    bpf = bp.join(F.broadcast(l2), ["ia", "ib"], "left_semi")
+    cand = (
+        bpf.select("l_orderkey", "ia", "ib")
+        .join(
+            bpf.select("l_orderkey", F.col("ia").alias("ia2"), F.col("ib").alias("ic")),
+            "l_orderkey",
+        )
+        .where((F.col("ia") == F.col("ia2")) & (F.col("ic") > F.col("ib")))
+        .select("l_orderkey", "ia", "ib", "ic")
+        .join(
+            F.broadcast(
+                l2.select(F.col("ia").alias("ib"), F.col("ib").alias("ic"))
+            ),
+            ["ib", "ic"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("ia", "ib", "ic")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .where(F.col("support") >= minsup)
+        .select(
+            "ia",
+            "ib",
+            "ic",
+            "support",
+            F.expr(f"support * 1000000 div {nb}").cast("bigint").alias("share6"),
+        )
+        .orderBy(F.col("support").desc(), "ia", "ib", "ic")
+        .limit(_APRIORI_TOPK)
+    )
+
+
+_SPAN_SEC_CONC = 300  # each event opens a 5-minute activity span
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY per event type — the max number of
+    simultaneously-open 5-minute activity spans, via the classic
+    +1/−1 boundary sweep: each span contributes a +1 point at its
+    start and a −1 at its (half-open) end, the running sum over
+    time-ordered points is the live concurrency, and the witness
+    reports its maximum and the earliest time it is reached — the
+    capacity-planning number behind every "peak concurrent sessions"
+    dashboard.
+
+    Determinism: ends sort before starts at the same instant
+    (half-open semantics — delta ascending), event_id breaks remaining
+    ties; the prefix-sum MULTISET is invariant to equal-key reordering
+    so the max is stable; argmax realizes as max(struct(cum, −t)).
+    One partitioned window per type — the sessionizer's shuffle."""
+    ev = _events_sec(spark, sf_dir).select(
+        "event_type", "event_id", F.col("ts_sec").cast("bigint").alias("t0")
+    )
+    pts = ev.select(
+        "event_type", "event_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            "event_id",
+            (F.col("t0") + _SPAN_SEC_CONC).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pts.withColumn("live", F.sum("delta").over(w).cast("bigint"))
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("live").alias("live"), (-F.col("t")).alias("negt")
+                )
+            ).alias("s"),
+            F.count("*").cast("bigint").alias("n_points"),
+        )
+        .select(
+            "event_type",
+            F.expr("n_points div 2").cast("bigint").alias("n_spans"),
+            F.col("s.live").cast("bigint").alias("peak_live"),
+            (-F.col("s.negt")).cast("bigint").alias("peak_at_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANN-KENDALL trend test on the daily event-count series — the
     rank-based monotone-trend detector (Mann 1945, Kendall 1975) that
@@ -2455,6 +2588,78 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "apriori_triples": f"""
+        WITH bi AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey,
+                   CAST(l_partkey % {_APRIORI_ITEMS} AS BIGINT) AS item
+            FROM lineitem
+        ), nb AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM bi
+        ), ms AS (
+            SELECT greatest(n // {_APRIORI_MINSUP_DIV}, 2) AS minsup FROM nb
+        ), f1 AS (
+            SELECT item FROM bi GROUP BY item
+            HAVING count(*) >= (SELECT minsup FROM ms)
+        ), bi1 AS MATERIALIZED (
+            SELECT bi.l_orderkey, bi.item FROM bi JOIN f1 USING (item)
+        ), bp AS MATERIALIZED (
+            SELECT a.l_orderkey, a.item AS ia, b.item AS ib
+            FROM bi1 a JOIN bi1 b
+              ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        ), l2 AS MATERIALIZED (
+            SELECT ia, ib FROM bp GROUP BY 1, 2
+            HAVING count(*) >= (SELECT minsup FROM ms)
+        ), bpf AS MATERIALIZED (
+            SELECT bp.* FROM bp JOIN l2 USING (ia, ib)
+        ), cand AS (
+            SELECT x.l_orderkey, x.ia, x.ib, y.ib AS ic
+            FROM bpf x JOIN bpf y
+              ON x.l_orderkey = y.l_orderkey AND x.ia = y.ia
+                 AND y.ib > x.ib
+        ), cand2 AS (
+            SELECT c.l_orderkey, c.ia, c.ib, c.ic
+            FROM cand c JOIN l2 ON c.ib = l2.ia AND c.ic = l2.ib
+        )
+        SELECT ia, ib, ic, CAST(count(*) AS BIGINT) AS support,
+               CAST(count(*) * 1000000 // (SELECT n FROM nb) AS BIGINT)
+                   AS share6
+        FROM cand2 GROUP BY 1, 2, 3
+        HAVING count(*) >= (SELECT minsup FROM ms)
+        ORDER BY support DESC, ia, ib, ic
+        LIMIT {_APRIORI_TOPK}
+    """,
+    "peak_concurrency": f"""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(epoch_ms(ts) // 1000 AS BIGINT) AS t0
+            FROM events
+        ), pts AS (
+            SELECT event_type, event_id, t0 AS t, 1 AS delta FROM ev
+            UNION ALL
+            SELECT event_type, event_id, t0 + {_SPAN_SEC_CONC} AS t, -1
+            FROM ev
+        ), cum AS (
+            SELECT event_type, t,
+                   CAST(sum(delta) OVER (PARTITION BY event_type
+                        ORDER BY t, delta, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS live
+            FROM pts
+        ), best AS (
+            SELECT event_type, live AS peak_live, t AS peak_at_sec FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                              ORDER BY live DESC, t) AS rn
+                FROM cum
+            ) WHERE rn = 1
+        )
+        SELECT b.event_type,
+               CAST(c.n_points // 2 AS BIGINT) AS n_spans,
+               b.peak_live, b.peak_at_sec
+        FROM best b
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+              FROM pts GROUP BY 1) c ON b.event_type = c.event_type
+        ORDER BY b.event_type
+    """,
     "mann_kendall_trend": """
         WITH e AS (
             SELECT CAST(floor((epoch_ms(ts) // 1000) / 86400) AS BIGINT) AS day
