@@ -2105,7 +2105,12 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement (higher = more concentrated vocabulary), and 1/λ is
     the "effective vocabulary size" a mixture designer compares across
     sources. PURE int64 up to the two final divisions (one IEEE each,
-    snapped) — no log, no sqrt, nothing to drift.
+    snapped) — no log, no sqrt, nothing to drift. Both denominators
+    carry greatest(..., 1) guards (the chao1_richness discipline):
+    n_tokens ≤ 1 would give 0/0 → NaN, and an all-distinct source
+    (simpson6 = 0) would give 1e12/0 → Inf, where Spark's bigint cast
+    saturates but DuckDB's CAST errors — data-dependent divergence the
+    guards close identically on both engines (ADVICE r11).
 
     Scale: one corpus pass → (source, token) counts (map-side
     combinable), then vocabulary-bounded aggregates."""
@@ -2128,7 +2133,9 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab",
             F.floor(
                 F.col("coll").cast("double")
-                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+                / F.greatest(
+                    F.col("n_tokens") * (F.col("n_tokens") - 1), F.lit(1)
+                ).cast("double")
                 * 1e6
                 + F.lit(0.5)
             )
@@ -2139,7 +2146,7 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_vocab6",
             F.floor(
                 F.lit(1e12)
-                / F.col("simpson6").cast("double")
+                / F.greatest(F.col("simpson6"), F.lit(1)).cast("double")
                 + F.lit(0.5)
             ).cast("bigint"),
         )
@@ -2151,16 +2158,17 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAO1 vocabulary-richness estimator + GOOD-TURING unseen mass
     per source — "how many word types does this source REALLY have,
     and how much probability belongs to words we haven't seen yet":
-    Chao1 = V + f₁²/(2·f₂) from the singleton/doubleton counts
-    (Chao 1984), and the Good-Turing unseen-mass estimate P₀ = f₁/N —
-    the pair of diagnostics behind corpus-coverage and
-    smoothing-budget decisions (complements q_corpus_heaps_curve's
-    growth fit and the KMV sketch's distinct estimate).
+    bias-corrected Chao1 = V + f₁·(f₁−1)/(2·(f₂+1)) from the
+    singleton/doubleton counts (Chao 1984; the Chao1-bc form in
+    Colwell's EstimateS docs — defined for f₂ = 0 with no ad-hoc
+    guard, unlike the classical f₁²/(2f₂)), and the Good-Turing
+    unseen-mass estimate P₀ = f₁/N — the pair of diagnostics behind
+    corpus-coverage and smoothing-budget decisions (complements
+    q_corpus_heaps_curve's growth fit and the KMV sketch's distinct
+    estimate).
 
     Pure int64 frequency-of-frequency counts; each estimator is one
-    IEEE division, snapped. f₂ = 0 degenerates to the standard
-    bias-corrected form denominator guard (max(2·f₂, 1)), identically
-    on both engines."""
+    IEEE division, snapped, identical on both engines."""
     toks = load(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -2184,8 +2192,8 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("vocab") * 1_000_000
                 + F.floor(
-                    (F.col("f1") * F.col("f1") * 1_000_000).cast("double")
-                    / F.greatest(2 * F.col("f2"), F.lit(1)).cast("double")
+                    (F.col("f1") * (F.col("f1") - 1) * 1_000_000).cast("double")
+                    / (2 * (F.col("f2") + 1)).cast("double")
                     + F.lit(0.5)
                 ).cast("bigint")
             )
@@ -2333,8 +2341,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT source, n_tokens, vocab, f1, f2,
                CAST(vocab * 1000000
-                    + CAST(floor(CAST(f1 * f1 * 1000000 AS DOUBLE)
-                                 / CAST(greatest(2 * f2, 1) AS DOUBLE) + 0.5)
+                    + CAST(floor(CAST(f1 * (f1 - 1) * 1000000 AS DOUBLE)
+                                 / CAST(2 * (f2 + 1) AS DOUBLE) + 0.5)
                            AS BIGINT) AS BIGINT) AS chao1_6,
                CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen6
         FROM agg ORDER BY source
@@ -2355,11 +2363,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT source, n_tokens, vocab,
                CAST(floor(CAST(coll AS DOUBLE)
-                          / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                          / CAST(greatest(n_tokens * (n_tokens - 1), 1)
+                                 AS DOUBLE)
                           * 1e6 + 0.5) AS BIGINT) AS simpson6,
-               CAST(floor(1e12 / CAST(CAST(floor(CAST(coll AS DOUBLE)
-                          / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
-                          * 1e6 + 0.5) AS BIGINT) AS DOUBLE) + 0.5)
+               CAST(floor(1e12 / CAST(greatest(
+                          CAST(floor(CAST(coll AS DOUBLE)
+                          / CAST(greatest(n_tokens * (n_tokens - 1), 1)
+                                 AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT), 1) AS DOUBLE) + 0.5)
                     AS BIGINT) AS effective_vocab6
         FROM agg ORDER BY source
     """,

@@ -20,8 +20,10 @@ def test_simpson_matches_pure_python(spark, sf_dir):
     for s, cnts in per.items():
         n = sum(cnts.values())
         coll = sum(c * (c - 1) for c in cnts.values())
-        s6 = math.floor(coll / (n * (n - 1)) * 1e6 + 0.5)
-        want[s] = (n, len(cnts), s6, math.floor(1e12 / s6 + 0.5))
+        # denominator guards mirror the operator (ADVICE r11): n <= 1
+        # and all-distinct sources must not divide by zero
+        s6 = math.floor(coll / max(n * (n - 1), 1) * 1e6 + 0.5)
+        want[s] = (n, len(cnts), s6, math.floor(1e12 / max(s6, 1) + 0.5))
     got = {
         r["source"]: (r["n_tokens"], r["vocab"], r["simpson6"], r["effective_vocab6"])
         for r in q_simpson_diversity(spark, sf_dir).collect()

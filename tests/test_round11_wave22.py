@@ -22,8 +22,9 @@ def test_chao1_matches_pure_python(spark, sf_dir):
         v = len(cnts)
         f1 = sum(1 for c in cnts.values() if c == 1)
         f2 = sum(1 for c in cnts.values() if c == 2)
+        # bias-corrected Chao1 (ADVICE r11): V + f1*(f1-1)/(2*(f2+1))
         chao = v * 1_000_000 + math.floor(
-            (f1 * f1 * 1_000_000) / max(2 * f2, 1) + 0.5
+            (f1 * (f1 - 1) * 1_000_000) / (2 * (f2 + 1)) + 0.5
         )
         want[s] = (n, v, f1, f2, chao, f1 * 1_000_000 // n)
     got = {
