@@ -295,6 +295,12 @@ HEADLINE_V1 = [
 ]
 
 
+# Retime every extra at least this often (rounds) even if its module is
+# unchanged — the extras analogue of the registry AGE_CAP: bounded-age
+# insurance against environment drift that content hashing cannot see.
+EXTRAS_RETIME_AGE = 4
+
+
 def _loadavg() -> list[float]:
     """1/5/15-min load averages — the container-external-contention proxy
     the r8/r9 bench forensics used (a shared box inflates every timing
@@ -307,9 +313,136 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _load_gate() -> dict:
+    """Pre-flight co-tenancy gate (VERDICT r11 #2): round 11's committed
+    bench series was silently polluted by a 1.3-1.5x host co-tenant slow-
+    down (documented A/B, SCALE.md). Refuse to start timing while the
+    1-min load average exceeds the threshold — sleep/retry up to a budget,
+    then proceed LOUDLY (the driver needs a JSON line either way) with the
+    override recorded in BENCH_DETAIL so a loaded-box run can never again
+    become the committed number silently. SPARK_GRAFT_SKIP_LOAD_GATE=1
+    bypasses (local iteration)."""
+    threshold, budget_sec, poll_sec = 0.5, 900.0, 20.0
+    if os.environ.get("SPARK_GRAFT_SKIP_LOAD_GATE"):
+        return {"status": "skipped_by_env", "threshold": threshold,
+                "load_avg": _loadavg(), "waited_sec": 0}
+    waited = 0.0
+    la = _loadavg()
+    while la and la[0] > threshold and waited < budget_sec:
+        print(
+            f"load gate: 1-min load {la[0]:.2f} > {threshold} — "
+            f"box is co-tenanted; sleeping {poll_sec:.0f}s "
+            f"({waited:.0f}/{budget_sec:.0f}s waited)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(poll_sec)
+        waited += poll_sec
+        la = _loadavg()
+    if la and la[0] > threshold:
+        print(
+            f"load gate: OVERRIDDEN after {waited:.0f}s — load still "
+            f"{la[0]:.2f}; timings below are suspect (co-tenant box)",
+            file=sys.stderr, flush=True,
+        )
+        return {"status": "overridden_after_timeout", "threshold": threshold,
+                "load_avg": la, "waited_sec": round(waited, 1)}
+    return {"status": "passed", "threshold": threshold,
+            "load_avg": la, "waited_sec": round(waited, 1)}
+
+
+def _extras_plan(queries) -> tuple[list[str], dict, dict, dict]:
+    """Incremental extras timing (VERDICT r11 #6): with 180+ extras at
+    235-272 s/pass x 2 passes, retiming everything every round grows
+    without bound. Each extra carries ``extras_meta[name] =
+    {last_timed_round, module_sha}`` in BENCH_DETAIL; an extra is
+    RETIMED only when (a) it has no carried timing, (b) the sha256 of
+    its implementing module file changed since it was last timed, or
+    (c) its timing is older than EXTRAS_RETIME_AGE rounds. Everything
+    else carries forward verbatim, tagged with its age, so the detail
+    file stays complete while the per-round timing cost tracks the
+    round's actual code churn. Seeding (first run after r11): extras
+    present in the previous detail without meta are treated as timed at
+    the last driver round, with module changes detected against that
+    round's git snapshot commit. SPARK_GRAFT_FULL_EXTRAS=1 forces a
+    full sweep."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from gen_registry_order import (
+        _module_changed_since,
+        _round_snapshot_commits,
+        available_rounds,
+    )
+
+    rounds = available_rounds()
+    current_round = (max(rounds) + 1) if rounds else 1
+
+    def module_rel(name: str) -> str:
+        mod = sys.modules[queries[name].__module__]
+        return os.path.relpath(mod.__file__, repo)
+
+    def module_sha(name: str) -> str:
+        with open(os.path.join(repo, module_rel(name)), "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    prev: dict = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev_extras = prev.get("extras", {})
+    prev_min = prev.get("extras_min", {})
+    prev_meta = prev.get("extras_meta")
+    if prev_meta is None and prev_extras:
+        # seed: the previous detail predates the meta field — its extras
+        # were timed during the last driver round; "changed since" falls
+        # back to git diff vs that round's snapshot commit
+        seed_round = max(rounds) if rounds else 0
+        snap = _round_snapshot_commits().get(seed_round)
+        prev_meta = {}
+        for n in prev_extras:
+            if n not in queries:
+                continue
+            if snap is not None and not _module_changed_since(module_rel(n), snap):
+                prev_meta[n] = {
+                    "last_timed_round": seed_round,
+                    "module_sha": module_sha(n),
+                }
+            # else: no meta entry -> retimed below
+
+    force_full = bool(os.environ.get("SPARK_GRAFT_FULL_EXTRAS"))
+    to_time: list[str] = []
+    carried: dict[str, float] = {}
+    carried_min: dict[str, float] = {}
+    meta: dict[str, dict] = {}
+    for n in EXTRAS:
+        m = (prev_meta or {}).get(n)
+        sha = module_sha(n)
+        stale = (
+            force_full
+            or m is None
+            or n not in prev_extras
+            or m.get("module_sha") != sha
+            or current_round - m.get("last_timed_round", -99) >= EXTRAS_RETIME_AGE
+        )
+        if stale:
+            to_time.append(n)
+            meta[n] = {"last_timed_round": current_round, "module_sha": sha}
+        else:
+            carried[n] = prev_extras[n]
+            carried_min[n] = prev_min.get(n, prev_extras[n])
+            meta[n] = m
+    return to_time, carried, carried_min, meta
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_gate = _load_gate()
     load_avg_start = _loadavg()
 
     from gasket_rs_spark.registry import all_queries
@@ -353,19 +486,25 @@ def main() -> None:
 
     extras: dict[str, float] = {}
     extras_min: dict[str, float] = {}
+    extras_meta: dict[str, dict] = {}
+    extras_retimed: list[str] = []
     if not witness_mode:
-        extras_samples: dict[str, list[float]] = {n: [] for n in EXTRAS}
+        to_time, extras, extras_min, extras_meta = _extras_plan(queries)
+        extras_retimed = to_time
+        extras_samples: dict[str, list[float]] = {n: [] for n in to_time}
         for _ in range(2):
             clear_caches(spark)
-            for name in EXTRAS:
+            for name in to_time:
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 extras_samples[name].append(time.perf_counter() - t0)
         # first pass = the r8/r9-comparable cold value; min = robust floor
-        extras = {n: round(ts[0], 3) for n, ts in extras_samples.items()}
-        extras_min = {n: round(min(ts), 3) for n, ts in extras_samples.items()}
+        extras.update({n: round(ts[0], 3) for n, ts in extras_samples.items()})
+        extras_min.update(
+            {n: round(min(ts), 3) for n, ts in extras_samples.items()}
+        )
 
     if witness_mode:
         out = {
@@ -422,15 +561,29 @@ def main() -> None:
             # Timings of the round-8+ scale additions (cost visibility
             # only; not in any headline). "extras" = first cold pass
             # (r8/r9-comparable); "extras_min" = min-of-2 (VERDICT r9 #7).
+            # Since round 12 extras are timed INCREMENTALLY (VERDICT r11
+            # #6): only new / changed-module / over-age entries are re-run
+            # (see extras_retimed); the rest carry forward from the prior
+            # detail, so extras_total_sec mixes timing ages — per-entry age
+            # is in extras_meta.last_timed_round, and no cross-round claim
+            # should be made on a carried value.
             "extras": extras,
             "extras_total_sec": round(sum(extras.values()), 3),
             "extras_min": extras_min,
             "extras_min_total_sec": round(sum(extras_min.values()), 3),
+            "extras_meta": extras_meta,
+            "extras_retimed": extras_retimed,
+            "extras_retimed_count": len(extras_retimed),
+            "extras_carried_count": len(EXTRAS) - len(extras_retimed),
             # Load proxy bracketing the run (VERDICT r8 #7): start is the
             # pre-existing box load; end includes this bench's own local[N]
             # threads, so START is the contention signal to read.
             "load_avg_start": load_avg_start,
             "load_avg_end": _loadavg(),
+            # Pre-flight co-tenancy gate outcome (VERDICT r11 #2): any
+            # value other than status=passed marks this run's timings as
+            # suspect for cross-round comparison.
+            "load_gate": load_gate,
         }
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -17,8 +17,14 @@ Checks (all complete in seconds — no SparkSession):
      registry invariants (no top-level array columns in oracled
      witnesses, every oracle key has a witness, docstring discipline).
   5. LOCALVERIFY_r{N}.json freshness — the committed 3-SF sweep artifact
-     for the closing round must exist and report zero failures (the
-     round-9/10 gap: the sweep was claimed but never committed).
+     for the closing round must exist, report zero failures, cover the
+     full current catalog, AND have no operator-source diff since its
+     recorded commit (ADVICE r11: a bare exists+green check let a stale
+     sweep pass — the exact r9/r10 failure mode this script closes).
+  6. Evidence-debt gate (VERDICT r11 #5) — prints the driver-evidence
+     age histogram and fails if the never-driver-checked witness count
+     grew vs the prior round's close (witness production outran the
+     50-query driver window 2.7:1 in round 11 with no gate noticing).
 
 Usage: python scripts/round_close.py [round]
   round defaults to max(CORRECTNESS_r*) + 1 (the round being closed).
@@ -32,6 +38,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FAST_TESTS = [
@@ -49,6 +56,12 @@ def run(label: str, cmd: list[str]) -> bool:
 
 
 def check_localverify(rnd: int) -> bool:
+    """The committed sweep must be GREEN *and fresh* (ADVICE r11): a
+    stale artifact — swept before later operator edits, or over a
+    smaller catalog — passes a bare exists-and-zero-failures check while
+    proving nothing about the code being snapshotted. Freshness = the
+    artifact's recorded commit has no operator-source diff vs the
+    current tree, and its query count matches the current catalog."""
     path = os.path.join(REPO, f"LOCALVERIFY_r{rnd}.json")
     if not os.path.exists(path):
         print(f"--- localverify: FAIL — {path} missing "
@@ -62,8 +75,114 @@ def check_localverify(rnd: int) -> bool:
         print(f"--- localverify: FAIL — {len(failures)} failing queries: "
               f"{failures[:5]}")
         return False
-    print(f"--- localverify: OK ({n} queries, 0 failures)")
+    # catalog-count freshness: the sweep must cover every current witness
+    from gasket_rs_spark.registry import collect_raw
+    catalog = len(collect_raw()[0])
+    if n != catalog:
+        print(f"--- localverify: FAIL — artifact covers {n} queries but "
+              f"the catalog has {catalog} (stale sweep; re-run "
+              f"scripts/local_verify_sweep.py {rnd})")
+        return False
+    # commit freshness: no operator-source change since the swept commit
+    # (diff vs working tree, so uncommitted edits also count as stale)
+    commit = art.get("commit", "")
+    # registry_order.py is excluded: it is regenerated at every close
+    # (often after the sweep) and encodes emission order, not semantics —
+    # a diff there cannot change any query result the sweep verified.
+    diff = subprocess.run(
+        ["git", "-C", REPO, "diff", "--name-only", commit, "--",
+         "gasket_rs_spark", ":(exclude)gasket_rs_spark/registry_order.py"],
+        capture_output=True, text=True,
+    )
+    untracked = subprocess.run(
+        ["git", "-C", REPO, "ls-files", "--others", "--exclude-standard",
+         "gasket_rs_spark"],
+        capture_output=True, text=True,
+    )
+    if diff.returncode != 0:
+        print(f"--- localverify: FAIL — recorded commit {commit[:12]} not "
+              f"in history (artifact unreadable or tampered)")
+        return False
+    changed = sorted(
+        set(diff.stdout.split()) | set(untracked.stdout.split())
+    )
+    if changed:
+        print(f"--- localverify: FAIL — operator source changed since the "
+              f"swept commit {commit[:12]}: {changed[:5]} (re-run the sweep)")
+        return False
+    print(f"--- localverify: OK ({n} queries = catalog, 0 failures, "
+          f"no operator diff since {commit[:12]})")
     return True
+
+
+def check_evidence_debt(rnd: int) -> bool:
+    """Driver-evidence freshness accounting (VERDICT r11 #5): round 11
+    grew the never-driver-checked backlog 0 -> 89 without any gate
+    noticing, because witness production and the 50-query driver window
+    were never reconciled. Print the evidence-age histogram and FAIL the
+    close if the never-checked count grew vs the prior round's close.
+
+    Like-for-like baseline: never-checked at close of round N is
+    measured over the catalog as of that close against artifacts
+    r1..r{N-1} (the driver checks AFTER the close, so round N's window
+    can't be counted yet). The prior close's catalog is read from
+    registry_order.py at the prior round's snapshot commit."""
+    import glob
+    import re
+    from collections import Counter
+
+    from gen_registry_order import _round_snapshot_commits
+    from gasket_rs_spark.registry_order import ORDER
+
+    def checked_through(max_round: int) -> set[str]:
+        seen: set[str] = set()
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+            r = int(re.search(r"r(\d+)\.json$", p).group(1))
+            if r <= max_round:
+                with open(p) as f:
+                    seen |= set(json.load(f))
+        return seen
+
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)\.json$", p).group(1))
+        if r < rnd:
+            with open(p) as f:
+                for name in json.load(f):
+                    last[name] = max(last.get(name, -1), r)
+
+    ages = Counter(
+        (rnd - last[n]) if n in last else "never" for n in ORDER
+    )
+    hist = " ".join(
+        f"{k}:{ages[k]}" for k in sorted(ages, key=lambda x: (x == "never", x))
+    )
+    print(f"--- evidence-debt: age histogram vs r{rnd} "
+          f"(rounds since driver check): {hist}")
+    current_never = sum(1 for n in ORDER if n not in last)
+
+    snap = _round_snapshot_commits().get(rnd - 1)
+    if snap is None:
+        print(f"--- evidence-debt: OK (never-checked={current_never}; no "
+              f"r{rnd - 1} snapshot to baseline against — informational)")
+        return True
+    show = subprocess.run(
+        ["git", "-C", REPO, "show", f"{snap}:gasket_rs_spark/registry_order.py"],
+        capture_output=True, text=True,
+    )
+    if show.returncode != 0:
+        print(f"--- evidence-debt: OK (never-checked={current_never}; prior "
+              f"catalog unreadable at {snap[:12]} — informational)")
+        return True
+    prior_order = re.findall(r"^    '(\w+)',", show.stdout, re.M)
+    prior_checked = checked_through(rnd - 2)
+    prior_never = sum(1 for n in prior_order if n not in prior_checked)
+    grew = current_never > prior_never
+    print(f"--- evidence-debt: {'FAIL' if grew else 'OK'} — never-checked "
+          f"{prior_never} (r{rnd - 1} close) -> {current_never} (r{rnd} close)"
+          + (" — backlog GREW; stop adding witnesses until the driver "
+             "window catches up" if grew else ""))
+    return not grew
 
 
 def main() -> int:
@@ -74,6 +193,7 @@ def main() -> int:
     ok &= run("rotation", [sys.executable, "scripts/check_rotation.py"])
     ok &= run("fast-tests", [sys.executable, "-m", "pytest", "-q", *FAST_TESTS])
     ok &= check_localverify(rnd)
+    ok &= check_evidence_debt(rnd)
     print(f"\nround_close r{rnd}: {'GREEN — safe to snapshot' if ok else 'RED — do not snapshot'}")
     return 0 if ok else 1
 
