@@ -691,3 +691,44 @@ def test_stream_stream_left_outer_join_semantics(spark, sf_dir):
     assert got_pairs == batch_pairs  # inner semantics exact
     assert got_nulls and got_nulls.isdisjoint(matched)  # (b) + genuinely unmatched
     assert not any(pid in got_nulls for pid, _ in got_pairs)  # (c)
+
+
+def test_left_outer_join_sim_matches_streaming(spark, sf_dir):
+    """The batch-sim oracle twin (VERDICT r11 #3) must bit-match the REAL
+    left-outer watermarked stream-stream join's emission under the repo's
+    replay conditions (one data batch per side, then the no-data batch
+    evicts state): same matched pairs, same null-extended purchases, same
+    withheld past-watermark tail."""
+    from gasket_rs_spark.streaming.stream import (
+        events_file_stream,
+        interval_join_streams_left_outer,
+        run_to_memory_sink,
+    )
+    from gasket_rs_spark.streaming.windows import q_stream_left_outer_join_sim
+
+    clicks = events_file_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams_left_outer(clicks, purchases)
+    run_to_memory_sink(joined, "ss_loj_sim_pin", output_mode="append", timeout_sec=180)
+    streamed = sorted(
+        (r["purchase_id"], r["click_id"], r["p_user"])
+        for r in spark.table("ss_loj_sim_pin").collect()
+    )
+    sim = sorted(
+        (r["purchase_id"], r["click_id"], r["p_user"])
+        for r in q_stream_left_outer_join_sim(spark, sf_dir).collect()
+    )
+    assert sim == streamed
+    # and the sim withholds a nonempty past-watermark tail on this fixture
+    # (otherwise it would just be the plain batch left join)
+    from gasket_rs_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    n_unmatched = (
+        ev.where(F.col("event_type") == "purchase").count()
+        - len({pid for pid, cid, _ in sim if cid is not None})
+    )
+    n_nulls = sum(1 for _, cid, _ in sim if cid is None)
+    assert 0 < n_nulls < n_unmatched
