@@ -255,6 +255,8 @@ EXTRAS = [
     "mann_kendall_trend",
     "apriori_triples",
     "peak_concurrency",
+    # round-12 additions
+    "rag_retrieval_pipeline",
     # stream_* pipeline witnesses stay out of the bench (house rule since
     # r8: their cost is streaming-machinery setup, not data-path work)
 ]

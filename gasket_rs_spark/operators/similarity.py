@@ -2239,7 +2239,293 @@ def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAG_QMOD = 100  # query set: every 100th doc (the similarity convention)
+_RAG_TERMS = 8  # rarest distinct terms per query for the sparse probe
+_RAG_POOL = 20  # per-ranker candidate pool fed to RRF
+_RAG_TOPK = 10  # fused pool size re-ranked by MaxSim
+_RAG_K1 = 1.2  # BM25 k1/b — match text.q_text_bm25_topk
+_RAG_B = 0.75
+
+
+def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END RAG retrieval pipeline as ONE lazy plan (VERDICT r11
+    #4) — the retrieval mirror of q_llm_corpus_pipeline, composing the
+    oracle-checked building blocks from their home modules: BM25 sparse
+    retrieval (text.q_text_bm25_topk's scoring) and dense brute cosine
+    (q_similarity_topk's shape) each produce a top-20 pool per query,
+    the pools are fused by reciprocal-rank fusion (q_rrf_fusion's
+    integer RRF), and the fused top-10 is re-ranked by MaxSim
+    late-interaction (q_maxsim_late_interaction's int64 kernel) — the
+    standard hybrid-retrieval serving stack (sparse+dense → RRF →
+    late-interaction re-rank) in every modern RAG deployment.
+
+    Queries are every 100th document, each probing the corpus with its
+    _RAG_TERMS rarest distinct terms (df ascending, token tiebreak — the
+    informative ones; this also bounds the postings join). Documents and
+    embeddings share the id space (TESTDATA.md), so sparse doc_id and
+    dense vec_id fuse directly.
+
+    Determinism: every ranker score snaps to int64 micro-units BEFORE
+    ranking (BM25 per-term contributions snap then integer-sum, the
+    DoReMi discipline, so float reduction order can't flip a rank);
+    RRF terms are the pure-integer ``1e9 div (K + rank)``; MaxSim is the
+    integer max/sum kernel. Every window is partitioned by query_id with
+    doc_id tiebreaks — nothing in the output is a float.
+
+    Scale shape: each corpus side is scanned ONCE — the slim per-side
+    bases (tf postings; vec+norms) are shared across their consumers via
+    lazy localCheckpoint (the multi-consumer storage rule), so the plan
+    re-reads neither parquet (pinned:
+    tests/test_plans.py::test_rag_retrieval_pipeline_plan_shape). The
+    query side (1%) broadcasts everywhere; per-query state is bounded by
+    the pools. At 100 TB the brute dense scorer swaps for the ANN
+    candidate generators (similarity_ann_*) feeding the same fusion +
+    re-rank tail — ColBERT's own two-stage serving design."""
+    from pyspark.sql import Window
+
+    # ---- sparse side: BM25 over documents (one parquet scan, shared) --
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("df").asc(), "tok")
+    qterms = (
+        tf.where(F.col("doc_id") % _RAG_QMOD == 0)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .join(df_t, "tok")
+        .withColumn("tr", F.row_number().over(wq))
+        .where(F.col("tr") <= _RAG_TERMS)
+        .select("query_id", "tok", "df")
+    )
+    contrib = (
+        tf.join(broadcast(qterms), "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(doclen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (_RAG_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _RAG_K1
+                    * (1 - _RAG_B + _RAG_B * F.col("dl") / F.col("avg_dl"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("c6"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("s6").desc(), "doc_id")
+    sparse_pool = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("c6").cast("bigint").alias("s6"))
+        .withColumn("rb", F.row_number().over(ws))
+        .where(F.col("rb") <= _RAG_POOL)
+        .select("query_id", "doc_id", "rb")
+    )
+    # ---- dense side: brute cosine over embeddings (one scan, shared) --
+    sub_norms = F.expr(
+        f"transform(sequence(0, {_MS_SUBS - 1}), i -> "
+        f" sqrt(aggregate(slice(vec, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),"
+        f"  (a, x) -> a + x * x)))"
+    )
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("vec"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .withColumn("nrm8", sub_norms)
+        .localCheckpoint(eager=False)
+    )
+    qv = v.where(F.col("vec_id") % _RAG_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("nrm8").alias("qn"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "doc_id")
+    dense_pool = (
+        v.join(broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                _dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("c6"),
+        )
+        .withColumn("ra", F.row_number().over(wd))
+        .where(F.col("ra") <= _RAG_POOL)
+        .select("query_id", "doc_id", "ra")
+    )
+    # ---- RRF fusion of the two pools (integer arithmetic) -------------
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf9").desc(), "doc_id")
+    pool = (
+        dense_pool.join(sparse_pool, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({_RRF_K} + ra)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({_RRF_K} + rb)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf9"),
+        )
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= _RAG_TOPK)
+    )
+    # ---- MaxSim late-interaction re-rank of the fused pool ------------
+    maxsim6 = F.expr(
+        f"aggregate(transform(sequence(0, {_MS_SUBS - 1}), i -> "
+        f" array_max(transform(sequence(0, {_MS_SUBS - 1}), j -> "
+        f"  CAST(floor("
+        f"   aggregate(zip_with(slice(qv, i * 8 + 1, 8),"
+        f"                      slice(vec, j * 8 + 1, 8),"
+        f"                      (x, y) -> x * y),"
+        f"             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        f"   / (element_at(qn, i + 1) * element_at(nrm8, j + 1))"
+        f"   * 1e6 + 0.5) AS BIGINT)))),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim6").desc(), "doc_id"
+    )
+    return (
+        pool.join(
+            v.select(F.col("vec_id").alias("doc_id"), "vec", "nrm8"), "doc_id"
+        )
+        .join(broadcast(qv.select("query_id", "qv", "qn")), "query_id")
+        .select("query_id", "doc_id", "fused_rank", "rrf9", maxsim6.alias("maxsim6"))
+        .withColumn("rerank", F.row_number().over(wr))
+        .select("query_id", "rerank", "doc_id", "fused_rank", "rrf9", "maxsim6")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "rag_retrieval_pipeline": f"""
+        WITH tf AS MATERIALIZED (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2
+        ), doclen AS MATERIALIZED (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+            FROM doclen
+        ), df_t AS MATERIALIZED (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), qterms AS (
+            SELECT query_id, tok, df FROM (
+                SELECT t.doc_id AS query_id, t.tok, d.df,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY d.df ASC, t.tok) AS tr
+                FROM tf t JOIN df_t d USING (tok)
+                WHERE t.doc_id % {_RAG_QMOD} = 0
+            ) WHERE tr <= {_RAG_TERMS}
+        ), contrib AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(floor(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                              * t.tf * ({_RAG_K1} + 1)
+                              / (t.tf + {_RAG_K1}
+                                 * (1 - {_RAG_B} + {_RAG_B} * l.dl / s.avg_dl))
+                              * 1e6 + 0.5) AS BIGINT) AS c6
+            FROM tf t JOIN qterms q USING (tok)
+                      JOIN doclen l ON l.doc_id = t.doc_id
+                      CROSS JOIN stats s
+            WHERE t.doc_id <> q.query_id
+        ), sparse_pool AS (
+            SELECT query_id, doc_id, rb FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s6 DESC, doc_id) AS rb
+                FROM (SELECT query_id, doc_id,
+                             CAST(sum(c6) AS BIGINT) AS s6
+                      FROM contrib GROUP BY 1, 2)
+            ) WHERE rb <= {_RAG_POOL}
+        ), v AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                   list_transform(range(0, {_MS_SUBS}), i ->
+                       sqrt(list_sum(list_transform(
+                           list_transform(embedding[i * 8 + 1 : i * 8 + 8],
+                                          x -> CAST(x AS DOUBLE)),
+                           x -> x * x)))) AS nrm8
+            FROM embeddings
+        ), dense_pool AS (
+            SELECT query_id, doc_id, ra FROM (
+                SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           CAST(floor(list_dot_product(q.vec, d.vec)
+                                      / (q.nrm * d.nrm) * 1e6 + 0.5)
+                                AS BIGINT) DESC, d.vec_id) AS ra
+                FROM v q JOIN v d ON q.vec_id % {_RAG_QMOD} = 0
+                                 AND d.vec_id <> q.vec_id
+            ) WHERE ra <= {_RAG_POOL}
+        ), pool AS (
+            SELECT query_id, doc_id, rrf9, fused_rank FROM (
+                SELECT query_id, doc_id, rrf9,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rrf9 DESC, doc_id)
+                           AS fused_rank
+                FROM (
+                    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                           COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                           CAST(COALESCE(1000000000 // ({_RRF_K} + a.ra), 0)
+                                + COALESCE(1000000000 // ({_RRF_K} + b.rb), 0)
+                                AS BIGINT) AS rrf9
+                    FROM dense_pool a FULL OUTER JOIN sparse_pool b
+                      ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+                )
+            ) WHERE fused_rank <= {_RAG_TOPK}
+        ), reranked AS (
+            SELECT p.query_id, p.doc_id, p.fused_rank, p.rrf9,
+                   CAST(list_sum(list_transform(range(0, {_MS_SUBS}), i ->
+                       list_max(list_transform(range(0, {_MS_SUBS}), j ->
+                           CAST(floor(
+                               list_dot_product(q.vec[i * 8 + 1 : i * 8 + 8],
+                                                d.vec[j * 8 + 1 : j * 8 + 8])
+                               / (q.nrm8[i + 1] * d.nrm8[j + 1])
+                               * 1e6 + 0.5) AS BIGINT)))))
+                        AS BIGINT) AS maxsim6
+            FROM pool p JOIN v d ON d.vec_id = p.doc_id
+                        JOIN v q ON q.vec_id = p.query_id
+        )
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim6 DESC, doc_id) AS rerank,
+               doc_id, fused_rank, rrf9, maxsim6
+        FROM reranked
+    """,
     "silhouette_score": f"""
         WITH v AS MATERIALIZED (
             SELECT vec_id, CAST(label AS BIGINT) AS label,

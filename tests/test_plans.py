@@ -751,3 +751,20 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     # q20: decorrelated IN-subquery is a left-semi join in the plan
     q20 = q_tpch_q20_part_promotion(spark, sf_dir)
     assert "LeftSemi" in q20._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_rag_retrieval_pipeline_plan_shape(spark, sf_dir):
+    """The RAG composite's single-scan discipline (VERDICT r11 #4): each
+    corpus side (documents postings, embedding vectors) is read from its
+    parquet exactly ONCE — at the shared base's checkpoint
+    materialization — so the final plan contains NO parquet scan at all
+    (every consumer reads the checkpointed RDD), the query side joins by
+    broadcast, and nothing plans a cartesian."""
+    from gasket_rs_spark.operators.similarity import q_rag_retrieval_pipeline
+
+    df = q_rag_retrieval_pipeline(spark, sf_dir)
+    assert count_operator(df, "Scan parquet") == 0
+    plan = explain_formatted_for_test(df)
+    assert plan.count("Scan ExistingRDD") >= 2  # both checkpointed bases
+    assert_broadcasts(df, at_least=2)  # qterms probe + query vectors
+    assert_no_cartesian(df)
