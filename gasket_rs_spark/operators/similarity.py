@@ -2259,11 +2259,16 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard hybrid-retrieval serving stack (sparse+dense → RRF →
     late-interaction re-rank) in every modern RAG deployment.
 
-    Queries are every 100th document, each probing the corpus with its
-    _RAG_TERMS rarest distinct terms (df ascending, token tiebreak — the
-    informative ones; this also bounds the postings join). Documents and
-    embeddings share the id space (TESTDATA.md), so sparse doc_id and
-    dense vec_id fuse directly.
+    The retrievable index is the EMBEDDED corpus: documents are
+    semi-joined to embedding ids up front (at sf0.1 the documents table
+    outgrows the embeddings table, and a late-interaction stack can only
+    serve docs it has vectors for — restricting the index beats the
+    accidental alternative of fusing unembedded docs and silently
+    dropping them at the re-rank join). Queries are every 100th embedded
+    document, each probing with its _RAG_TERMS rarest distinct terms
+    (df ascending, token tiebreak — the informative ones; this also
+    bounds the postings join); BM25 statistics (N, avgdl, df) are
+    likewise index-relative, as a real index's would be.
 
     Determinism: every ranker score snaps to int64 micro-units BEFORE
     ranking (BM25 per-term contributions snap then integer-sum, the
@@ -2283,9 +2288,27 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank tail — ColBERT's own two-stage serving design."""
     from pyspark.sql import Window
 
-    # ---- sparse side: BM25 over documents (one parquet scan, shared) --
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    # ---- dense base first: its ids define the retrievable index -------
+    sub_norms = F.expr(
+        f"transform(sequence(0, {_MS_SUBS - 1}), i -> "
+        f" sqrt(aggregate(slice(vec, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),"
+        f"  (a, x) -> a + x * x)))"
+    )
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("vec"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .withColumn("nrm8", sub_norms)
+        .localCheckpoint(eager=False)
+    )
+    # ---- sparse side: BM25 over the EMBEDDED documents (one scan) -----
+    toks = (
+        load(spark, sf_dir, "documents")
+        .join(v.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
     tf = (
         toks.groupBy("doc_id", "tok")
@@ -2342,22 +2365,7 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rb") <= _RAG_POOL)
         .select("query_id", "doc_id", "rb")
     )
-    # ---- dense side: brute cosine over embeddings (one scan, shared) --
-    sub_norms = F.expr(
-        f"transform(sequence(0, {_MS_SUBS - 1}), i -> "
-        f" sqrt(aggregate(slice(vec, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),"
-        f"  (a, x) -> a + x * x)))"
-    )
-    v = (
-        load(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            _as_double(F.col("embedding")).alias("vec"),
-            _norm(F.col("embedding")).alias("nrm"),
-        )
-        .withColumn("nrm8", sub_norms)
-        .localCheckpoint(eager=False)
-    )
+    # ---- dense side: brute cosine over the shared embedding base ------
     qv = v.where(F.col("vec_id") % _RAG_QMOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qv"),
@@ -2434,7 +2442,8 @@ ORACLES: dict[str, str] = {
         WITH tf AS MATERIALIZED (
             SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                  FROM documents)
+                  FROM documents
+                  WHERE doc_id IN (SELECT vec_id FROM embeddings))
             GROUP BY 1, 2
         ), doclen AS MATERIALIZED (
             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1

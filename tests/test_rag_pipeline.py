@@ -31,10 +31,18 @@ def _fold_dot(a, b):
 
 
 def _pure_python_rag(sf_dir):
+    # the retrievable index = embedded documents only (at larger SFs the
+    # documents table outgrows the embeddings table)
+    embedded = set(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])[
+            "vec_id"
+        ].to_pylist()
+    )
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     tf = {}
     for did, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
-        tf[did] = Counter(txt.split(" "))
+        if did in embedded:
+            tf[did] = Counter(txt.split(" "))
     n_docs = float(len(tf))
     dl = {d: sum(c.values()) for d, c in tf.items()}
     avg_dl = sum(dl.values()) / n_docs
