@@ -1677,7 +1677,9 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: S and both variance numerators are pure int64 over
     the bounded day grid (the Pettitt pair machinery); z is one
-    divide-by-sqrt of exact ints, snapped. The trend verdict compares
+    divide-by-sqrt of exact ints, snapped, with greatest(..., 1) on the
+    variance (an all-tied series zeroes it, and S is 0 there too — the
+    guarded z is 0, never a divergent NaN cast). The trend verdict compares
     |z| against the Python-inlined 1.959964 literal."""
     ev = _events_sec(spark, sf_dir).withColumn(
         "day", F.floor(F.col("ts_sec") / F.lit(86400)).cast("bigint")
@@ -1720,9 +1722,10 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.signum(F.col("s").cast("double"))
         )
         / F.sqrt(
-            (
+            F.greatest(
                 F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
-                - F.col("tie_num")
+                - F.col("tie_num"),
+                F.lit(1),
             ).cast("double")
             / F.lit(18.0)
         )
@@ -2687,13 +2690,15 @@ ORACLES: dict[str, str] = {
                CAST(floor((CAST(s AS DOUBLE)
                            - CASE WHEN s > 0 THEN 1.0
                                   WHEN s < 0 THEN -1.0 ELSE 0.0 END)
-                          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_num
+                          / sqrt(CAST(greatest(n * (n - 1) * (2 * n + 5)
+                                               - tie_num, 1)
                                       AS DOUBLE) / 18.0)
                           * 1e6 + 0.5) AS BIGINT) AS z6,
                abs(CAST(floor((CAST(s AS DOUBLE)
                            - CASE WHEN s > 0 THEN 1.0
                                   WHEN s < 0 THEN -1.0 ELSE 0.0 END)
-                          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_num
+                          / sqrt(CAST(greatest(n * (n - 1) * (2 * n + 5)
+                                               - tie_num, 1)
                                       AS DOUBLE) / 18.0)
                           * 1e6 + 0.5) AS BIGINT)) > 1959964 AS trend
         FROM s_stat CROSS JOIN nn CROSS JOIN ties

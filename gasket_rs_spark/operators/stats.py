@@ -1230,7 +1230,10 @@ def q_spearman_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: both signals, the doubled average ranks, and Σd² are
     exact int64; ρ = 1 − 1.5·Σd²/(n³−n) (the 6Σd²/4 tie-doubling fold)
-    is ONE identically-spelled double expression snapped at 6dp.
+    is ONE identically-spelled double expression snapped at 6dp, with
+    greatest(..., 1.0) on the n³−n term (computed in DOUBLE — int64
+    n³ overflows at ~2.6M rows/group): a one-document group reads the
+    trivially-perfect ρ = 1 instead of a divergent NaN cast.
 
     Scale shape (100 TB): signals are row-local in one scan; ranks are
     two per-language windows (the distributed-sort-per-stratum cost
@@ -1270,8 +1273,9 @@ def q_spearman_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sd2",
         F.expr(
             "CAST(floor((1.0 - 1.5 * CAST(sd2 AS DOUBLE)"
-            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-            " - CAST(n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"
+            " / greatest(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 1.0))"
+            " * 1e6 + 0.5) AS BIGINT)"
         ).alias("rho6"),
     ).orderBy("lang")
 
@@ -1299,8 +1303,9 @@ _SPEARMAN_ORACLE = """
     )
     SELECT lang, n, sd2,
            CAST(floor((1.0 - 1.5 * CAST(sd2 AS DOUBLE)
-                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                - CAST(n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS rho6
+                / greatest(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 1.0))
+                * 1e6 + 0.5) AS BIGINT) AS rho6
     FROM agg ORDER BY lang
 """
 
@@ -1732,7 +1737,9 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical); τ-b = (C−D)/√((n0−tx)(n0−ty)) takes ONE sqrt of
     an exact-int64 product (the Neyman convention) and is emitted as
     floor(τ·10⁶ + 0.5) micro-units — an integer column, so the ±0.0
-    trap can't exist."""
+    trap can't exist. The pair product carries greatest(..., 1) on both
+    engines: a group tied on either variable everywhere would otherwise
+    hit 0/0 → NaN → a divergent BIGINT cast (the ADVICE-r11 class)."""
     docs = load(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
@@ -1779,7 +1786,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disc",
         F.expr(
             "CAST(floor(CAST(conc - disc AS DOUBLE)"
-            " / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))"
+            " / sqrt(CAST(greatest((n0 - tx) * (n0 - ty), 1) AS DOUBLE))"
             " * 1e6 + 0.5) AS BIGINT)"
         ).alias("tau6"),
     ).orderBy("lang")
@@ -1795,7 +1802,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: χ² is snapped at 6dp exactly as in the χ² witness, so
     both engines divide identical doubles by an exact integer and take
     ONE sqrt of the identical quotient — bit-identical — then v6 snaps
-    to integer micro-units (no ±0.0: V ≥ 0).
+    to integer micro-units (no ±0.0: V ≥ 0). least(r−1, c−1) carries
+    greatest(..., 1) on both engines: a single-category dimension would
+    otherwise hit 0/0 → NaN → a divergent BIGINT cast (χ² is 0 there,
+    so the guarded result is the sensible V = 0).
 
     Scale: same shape as the χ² witness — one (lang,source) count agg,
     dimension-sized grid, broadcast marginals."""
@@ -1829,7 +1839,8 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("r") - 1, F.col("c") - 1).cast("bigint").alias("min_dim"),
             F.expr(
                 "CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)"
-                " * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"
+                " * CAST(greatest(least(r - 1, c - 1), 1) AS DOUBLE)))"
+                " * 1e6 + 0.5) AS BIGINT)"
             ).alias("v6"),
         )
     )
@@ -2144,7 +2155,10 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     X(N−X)·n₁n₂/N (mult → div → sqrt, fixed IEEE order), one final
     division, snapped to 1e-6. The significance flag compares against
     the Python-inlined literal 1.959964 (no engine evaluates the
-    normal quantile). One corpus pass → one row."""
+    normal quantile). Each variance factor carries greatest(..., 1) on
+    both engines: an all-success / all-failure split zeroes the pooled
+    variance while the numerator is also 0, so the guarded z is 0, not
+    a divergent NaN cast. One corpus pass → one row."""
     ev = load(spark, sf_dir, "events").select(
         (F.col("event_id") % 3 == 0).alias("arm_a"),
         (F.col("event_type") == "purchase").cast("bigint").alias("y"),
@@ -2162,11 +2176,13 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (
         (F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")).cast("double")
         / F.sqrt(
-            ((F.col("x1") + F.col("x2")) * (F.col("n1") + F.col("n2") - F.col("x1") - F.col("x2"))).cast(
-                "double"
-            )
-            * (F.col("n1") * F.col("n2")).cast("double")
-            / (F.col("n1") + F.col("n2")).cast("double")
+            F.greatest(
+                (F.col("x1") + F.col("x2"))
+                * (F.col("n1") + F.col("n2") - F.col("x1") - F.col("x2")),
+                F.lit(1),
+            ).cast("double")
+            * F.greatest(F.col("n1") * F.col("n2"), F.lit(1)).cast("double")
+            / F.greatest(F.col("n1") + F.col("n2"), F.lit(1)).cast("double")
         )
     )
     return agg.select(
@@ -2810,16 +2826,18 @@ ORACLES: dict[str, str] = {
         )
         SELECT n1, x1, n2, x2,
                CAST(floor(CAST(x1 * n2 - x2 * n1 AS DOUBLE)
-                          / sqrt(CAST((x1 + x2) * (n1 + n2 - x1 - x2)
+                          / sqrt(CAST(greatest((x1 + x2)
+                                               * (n1 + n2 - x1 - x2), 1)
                                       AS DOUBLE)
-                                 * CAST(n1 * n2 AS DOUBLE)
-                                 / CAST(n1 + n2 AS DOUBLE))
+                                 * CAST(greatest(n1 * n2, 1) AS DOUBLE)
+                                 / CAST(greatest(n1 + n2, 1) AS DOUBLE))
                           * 1e6 + 0.5) AS BIGINT) AS z6,
                abs(CAST(floor(CAST(x1 * n2 - x2 * n1 AS DOUBLE)
-                          / sqrt(CAST((x1 + x2) * (n1 + n2 - x1 - x2)
+                          / sqrt(CAST(greatest((x1 + x2)
+                                               * (n1 + n2 - x1 - x2), 1)
                                       AS DOUBLE)
-                                 * CAST(n1 * n2 AS DOUBLE)
-                                 / CAST(n1 + n2 AS DOUBLE))
+                                 * CAST(greatest(n1 * n2, 1) AS DOUBLE)
+                                 / CAST(greatest(n1 + n2, 1) AS DOUBLE))
                           * 1e6 + 0.5) AS BIGINT)) > {_Z975_6}
                    AS significant
         FROM agg
@@ -3132,7 +3150,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT lang, n0, conc, disc,
                CAST(floor(CAST(conc - disc AS DOUBLE)
-                    / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))
+                    / sqrt(CAST(greatest((n0 - tx) * (n0 - ty), 1) AS DOUBLE))
                     * 1e6 + 0.5) AS BIGINT) AS tau6
         FROM agg ORDER BY lang
     """,
@@ -3160,8 +3178,8 @@ ORACLES: dict[str, str] = {
         SELECT chi2, n,
                CAST(least(r - 1, c - 1) AS BIGINT) AS min_dim,
                CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)
-                    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5)
-                    AS BIGINT) AS v6
+                    * CAST(greatest(least(r - 1, c - 1), 1) AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT) AS v6
         FROM stat CROSS JOIN rc
     """,
     "bootstrap_ci": _bootstrap_oracle_sql(),

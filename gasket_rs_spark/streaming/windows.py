@@ -195,9 +195,10 @@ def q_stream_left_outer_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-of-sides multi-watermark policy) and evicts left-side state,
     null-extending exactly the unmatched purchases with ts < wm. An
     unmatched purchase newer than wm could still match a future click,
-    so it stays in state and is withheld when the stream ends — measured
-    on sf0.001: 195 of 197 unmatched purchases emit, the 2 past-wm tail
-    rows do not (scripts pattern: /tmp experiment, round 12).
+    so it stays in state and is withheld when the stream ends — on the
+    sf0.001 fixture 195 of 197 unmatched purchases emit and the 2
+    past-wm tail rows do not, on both the real stream and this sim (the
+    equality pin compares the full row sets).
 
     Scale: equi-join on user_id (shuffle on an 8-byte key) with the
     interval as a residual range predicate; the watermark scalar is one

@@ -212,7 +212,9 @@ def test_spearman_matches_scipy_style_reference(spark, sf_dir):
         r2 = avg_ranks_doubled([p[1] for p in pairs])
         n = len(pairs)
         sd2 = sum((a - b) ** 2 for a, b in zip(r1, r2))
-        rho6 = int(math.floor((1.0 - 1.5 * sd2 / (n**3 - n)) * 1e6 + 0.5))
+        # max(..., 1.0) mirrors the operator's n=1 guard (round 12)
+        rho6 = int(math.floor((1.0 - 1.5 * sd2 / max(float(n) * n * n - n, 1.0))
+                              * 1e6 + 0.5))
         got = rows[lang]
         assert (got.n, got.sd2, got.rho6) == (n, sd2, rho6), lang
         assert -1_000_000 <= got.rho6 <= 1_000_000
@@ -279,7 +281,9 @@ def test_kendall_tau_matches_brute_force(spark, sf_dir):
                     disc += 1
                 tx += xa == xb
                 ty += ya == yb
-        tau6 = math.floor((conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+        # max(..., 1) mirrors the operator's all-ties guard (round 12)
+        tau6 = math.floor((conc - disc)
+                          / math.sqrt(max((n0 - tx) * (n0 - ty), 1))
                           * 1e6 + 0.5)
         expect[lang] = (n0, conc, disc, tau6)
     got = {r["lang"]: (r["n0"], r["conc"], r["disc"], r["tau6"])

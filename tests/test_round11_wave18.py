@@ -125,8 +125,10 @@ def test_two_proportion_ztest_matches_pure_python(spark, sf_dir):
         else:
             n2 += 1
             x2 += y
+    # max(..., 1) guards mirror the operator's degenerate-split guard (r12)
     z = (x1 * n2 - x2 * n1) / math.sqrt(
-        ((x1 + x2) * (n1 + n2 - x1 - x2)) * (n1 * n2) / (n1 + n2)
+        max((x1 + x2) * (n1 + n2 - x1 - x2), 1)
+        * max(n1 * n2, 1) / max(n1 + n2, 1)
     )
     z6 = math.floor(z * 1e6 + 0.5)
     r = q_two_proportion_ztest(spark, sf_dir).collect()[0]

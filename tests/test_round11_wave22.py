@@ -61,7 +61,8 @@ def test_mann_kendall_matches_pure_python(spark, sf_dir):
     tie_num = sum(
         t_ * (t_ - 1) * (2 * t_ + 5) for t_ in Counter(cs).values()
     )
-    var18 = (n * (n - 1) * (2 * n + 5) - tie_num) / 18.0
+    # max(..., 1) mirrors the operator's zero-variance guard (round 12)
+    var18 = max(n * (n - 1) * (2 * n + 5) - tie_num, 1) / 18.0
     z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var18)
     z6 = math.floor(z * 1e6 + 0.5)
     r = q_mann_kendall_trend(spark, sf_dir).collect()[0]
