@@ -2214,7 +2214,10 @@ def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: ln(n_chars) snaps to the 1e-6 integer grid PER ROW
     (one transcendental each, exact-int argument), so Σln6 and Σln6²
-    are int64 sums; μ is one integer division. σ² uses the fixed-order
+    are int64 sums (ln takes greatest(n_chars, 1) on both engines — an
+    empty document would otherwise produce NULL on one engine and an
+    error on the other, the ADVICE-r11 divergence class); μ is one
+    integer division. σ² uses the fixed-order
     double spelling s2/n − (s1/n)² — the n-scaled integer numerator
     n·Σx² − (Σx)² overflows int64 here (s1 ≈ 6e10 at sf0.1), and the
     int64→double cast rounds identically on both engines, so the
@@ -2222,7 +2225,10 @@ def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the snapped μ."""
     docs = load(spark, sf_dir, "documents").select(
         "lang",
-        F.floor(F.log(F.col("n_chars").cast("double")) * 1e6 + F.lit(0.5))
+        F.floor(
+            F.log(F.greatest(F.col("n_chars"), F.lit(1)).cast("double")) * 1e6
+            + F.lit(0.5)
+        )
         .cast("bigint")
         .alias("ln6"),
     )
@@ -2377,7 +2383,8 @@ ORACLES: dict[str, str] = {
     "lognormal_fit": """
         WITH docs AS (
             SELECT lang,
-                   CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5)
+                   CAST(floor(ln(CAST(greatest(n_chars, 1) AS DOUBLE))
+                              * 1e6 + 0.5)
                         AS BIGINT) AS ln6
             FROM documents
         ), agg AS (

@@ -39,7 +39,8 @@ def test_lognormal_fit_matches_pure_python(spark, sf_dir):
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
     per = defaultdict(list)
     for lang, nc in zip(t["lang"].to_pylist(), t["n_chars"].to_pylist()):
-        per[lang].append(math.floor(math.log(nc) * 1e6 + 0.5))
+        # max(nc, 1) mirrors the operator's empty-document guard (r12)
+        per[lang].append(math.floor(math.log(max(nc, 1)) * 1e6 + 0.5))
     want = {}
     for lang, v in per.items():
         n, s1, s2 = len(v), sum(v), sum(x * x for x in v)
