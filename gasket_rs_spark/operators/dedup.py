@@ -847,7 +847,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .withColumn("cosine", F.round(dot / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)), 6))
         .where(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -1036,7 +1036,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / (F.col("na") * F.col("nb")),
+                / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)),
                 6,
             ),
         )
@@ -1135,7 +1135,7 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / (F.col("na") * F.col("nb")),
+                / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)),
                 6,
             ),
         )
@@ -2088,10 +2088,10 @@ ORACLES: dict[str, str] = {
             FROM embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+               round(list_dot_product(a.vec, b.vec) / greatest(a.nrm * b.nrm, 1e-12), 6) AS cosine
         FROM v a, v b
         WHERE a.vec_id < b.vec_id
-          AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+          AND round(list_dot_product(a.vec, b.vec) / greatest(a.nrm * b.nrm, 1e-12), 6) >= 0.4
     """,
     "semantic_dedup_exact": """
         WITH v AS (
@@ -2101,10 +2101,10 @@ ORACLES: dict[str, str] = {
         ),
         pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+                   round(list_dot_product(a.vec, b.vec) / greatest(a.nrm * b.nrm, 1e-12), 6) AS cosine
             FROM v a, v b
             WHERE a.vec_id < b.vec_id
-              AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+              AND round(list_dot_product(a.vec, b.vec) / greatest(a.nrm * b.nrm, 1e-12), 6) >= 0.4
         )
         SELECT vec_b AS vec_id,
                min(vec_a) AS exemplar,

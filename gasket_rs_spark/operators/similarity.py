@@ -84,7 +84,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+            F.round(_dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)), 6),
         )
     )
     from pyspark.sql import Window
@@ -148,7 +148,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+            F.round(_dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)), 6),
         )
     )
     from pyspark.sql import Window
@@ -254,7 +254,7 @@ def _ann_ivf_plan(emb: DataFrame, cents: list[list[float]], n_probe: int) -> Dat
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+            F.round(_dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)), 6),
         )
     )
     from pyspark.sql import Window
@@ -625,7 +625,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("label") != F.col("anchor_label")),
     ).withColumn(
         "cosine",
-        F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6),
+        F.round(_dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)), 6),
     )
     from pyspark.sql import Window
 
@@ -786,7 +786,7 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"                      slice(vec, j * 8 + 1, 8),"
         f"                      (x, y) -> x * y),"
         f"             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        f"   / (element_at(qn, i + 1) * element_at(nrm8, j + 1))"
+        f"   / greatest(element_at(qn, i + 1) * element_at(nrm8, j + 1), 1e-12)"
         f"   * 1e6 + 0.5) AS BIGINT)))),"
         f" CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
@@ -859,7 +859,7 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src_id",
             "tgt_id",
-            F.floor(dot / (F.col("na") * F.col("nb")) * 1e6 + F.lit(0.5))
+            F.floor(dot / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)) * 1e6 + F.lit(0.5))
             .cast("bigint")
             .alias("c6"),
         )
@@ -888,7 +888,7 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     (F.col("c6") * 2 * _BITEXT_K)
-                    / (F.col("dega6") + F.col("degb6"))
+                    / F.greatest(F.col("dega6") + F.col("degb6"), F.lit(1))
                     * 1e6
                     + F.lit(0.5)
                 )
@@ -954,7 +954,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         F.floor(
-            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            _dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
             + F.lit(0.5)
         )
         .cast("bigint")
@@ -1048,7 +1048,7 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.floor(
-            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            _dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
             + F.lit(0.5)
         )
         .cast("bigint")
@@ -1140,7 +1140,7 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.floor(
-            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            _dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
             + F.lit(0.5)
         )
         .cast("bigint")
@@ -1220,7 +1220,7 @@ def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.floor(
-            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            _dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
             + F.lit(0.5)
         )
         .cast("bigint")
@@ -1267,7 +1267,7 @@ _PREC_ORACLE = """
         SELECT q.vec_id AS query_id, q.label AS qlabel,
                d.vec_id, d.label,
                CAST(floor(list_dot_product(q.vec, d.vec)
-                          / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+                          / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6
         FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
     ), r AS (
         SELECT query_id, qlabel, label, c6,
@@ -1321,7 +1321,7 @@ def q_ranker_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qlabel",
         "vec_id",
         "label",
-        F.floor(dot / (F.col("qnrm") * F.col("nrm")) * 1e6 + F.lit(0.5))
+        F.floor(dot / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6 + F.lit(0.5))
         .cast("bigint")
         .alias("c6"),
         F.floor(dot * 1e3 + F.lit(0.5)).cast("bigint").alias("d3"),
@@ -1387,7 +1387,7 @@ def _winrate_oracle() -> str:
             SELECT q.vec_id AS query_id, q.label AS qlabel,
                    d.vec_id, d.label,
                    CAST(floor(list_dot_product(q.vec, d.vec)
-                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6,
+                              / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6,
                    CAST(floor(list_dot_product(q.vec, d.vec) * 1e3 + 0.5)
                         AS BIGINT) AS d3
             FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
@@ -1594,7 +1594,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "vec_id",
         F.floor(
-            _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+            _dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
             + F.lit(0.5)
         )
         .cast("bigint")
@@ -1645,7 +1645,7 @@ def _ece_oracle() -> str:
         ), p AS (
             SELECT q.vec_id AS query_id, q.label AS qlabel, d.label,
                    CAST(floor(list_dot_product(q.vec, d.vec)
-                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6,
+                              / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6,
                    d.vec_id
             FROM v q JOIN v d
               ON q.vec_id % {_ECE_QMOD} = 0 AND d.vec_id <> q.vec_id
@@ -1686,7 +1686,7 @@ def _rrf_oracle() -> str:
         ), p AS (
             SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
                    CAST(floor(list_dot_product(q.vec, d.vec)
-                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6,
+                              / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6,
                    CAST(floor((q.sq + d.sq
                                - 2.0 * list_dot_product(q.vec, d.vec)) * 1e6
                               + 0.5) AS BIGINT) AS d6
@@ -1731,7 +1731,7 @@ def _ndcg_oracle() -> str:
             SELECT q.vec_id AS query_id, q.label AS qlabel,
                    d.vec_id, d.label,
                    CAST(floor(list_dot_product(q.vec, d.vec)
-                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+                              / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6
             FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
         ), r AS (
             SELECT query_id, qlabel, label, c6,
@@ -1772,7 +1772,7 @@ def _mrr_oracle() -> str:
             SELECT q.vec_id AS query_id, q.label AS qlabel,
                    d.vec_id, d.label,
                    CAST(floor(list_dot_product(q.vec, d.vec)
-                              / (q.nrm * d.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+                              / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6
             FROM v q JOIN v d ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
         ), r AS (
             SELECT query_id, qlabel, label, c6,
@@ -2070,7 +2070,9 @@ def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: embedding values snap to int64 micro-units BEFORE any
     sum (the cross-engine float-sum-order killer), per-dimension sums
     are integers, the mean gap per dim is the exact integer
-    cross-multiplication S_A·n_B − S_B·n_A over denominator n_A·n_B,
+    cross-multiplication S_A·n_B − S_B·n_A over denominator
+    greatest(n_A·n_B, 1.0) (one label entirely absent → 0, the
+    zero-denominator class — guarded identically on both engines),
     and each dim's squared term is two IEEE ops (divide, square)
     snapped to an integer. Output: one row per dimension + the total
     on every row.
@@ -2121,11 +2123,11 @@ def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (
                     F.col("gap_num").cast("double")
-                    / (F.col("na") * F.col("nb")).cast("double")
+                    / F.greatest((F.col("na") * F.col("nb")).cast("double"), F.lit(1.0))
                 )
                 * (
                     F.col("gap_num").cast("double")
-                    / (F.col("na") * F.col("nb")).cast("double")
+                    / F.greatest((F.col("na") * F.col("nb")).cast("double"), F.lit(1.0))
                 )
                 + F.lit(0.5)
             )
@@ -2265,7 +2267,10 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve docs it has vectors for — restricting the index beats the
     accidental alternative of fusing unembedded docs and silently
     dropping them at the re-rank join). Queries are every 100th embedded
-    document, each probing with its _RAG_TERMS rarest distinct terms
+    document present in documents — the dense query set is semi-joined
+    to the same index as the sparse side's, so an embedding row without
+    a documents row can't become a dense-only query (ADVICE r12) — each
+    probing with its _RAG_TERMS rarest distinct terms
     (df ascending, token tiebreak — the informative ones; this also
     bounds the postings join); BM25 statistics (N, avgdl, df) are
     likewise index-relative, as a real index's would be.
@@ -2275,7 +2280,12 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     DoReMi discipline, so float reduction order can't flip a rank);
     RRF terms are the pure-integer ``1e9 div (K + rank)``; MaxSim is the
     integer max/sum kernel. Every window is partitioned by query_id with
-    doc_id tiebreaks — nothing in the output is a float.
+    doc_id tiebreaks — nothing in the output is a float. Every norm
+    product (dense cosine's qnrm·nrm, MaxSim's qn[i]·nrm8[j]) carries
+    greatest(..., 1e-12) identically on both engines (ADVICE r12): a
+    zero embedding or zero 8-dim sub-vector would otherwise produce NaN
+    and a divergent BIGINT cast — the zero-denominator class, swept
+    across the whole similarity/dedup cosine family this round.
 
     Scale shape: each corpus side is scanned ONCE — the slim per-side
     bases (tf postings; vec+norms) are shared across their consumers via
@@ -2366,11 +2376,25 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rb")
     )
     # ---- dense side: brute cosine over the shared embedding base ------
-    qv = v.where(F.col("vec_id") % _RAG_QMOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        F.col("nrm8").alias("qn"),
+    # Queries are restricted to embedded docs PRESENT IN documents (the
+    # semi-joined index, via the already-checkpointed tf base — no extra
+    # scan): the sparse side's qterms carries that restriction implicitly
+    # through tf, and an embedding row without a documents row must not
+    # become a dense-only query the sparse ranker (and the pure-Python
+    # pin) never sees (ADVICE r12).
+    qv = (
+        v.where(F.col("vec_id") % _RAG_QMOD == 0)
+        .join(
+            tf.select(F.col("doc_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "semi",
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("nrm8").alias("qn"),
+        )
     )
     wd = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "doc_id")
     dense_pool = (
@@ -2379,7 +2403,7 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("doc_id"),
             F.floor(
-                _dot(F.col("qv"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")) * 1e6
+                _dot(F.col("qv"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
                 + F.lit(0.5)
             )
             .cast("bigint")
@@ -2419,7 +2443,7 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"                      slice(vec, j * 8 + 1, 8),"
         f"                      (x, y) -> x * y),"
         f"             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        f"   / (element_at(qn, i + 1) * element_at(nrm8, j + 1))"
+        f"   / greatest(element_at(qn, i + 1) * element_at(nrm8, j + 1), 1e-12)"
         f"   * 1e6 + 0.5) AS BIGINT)))),"
         f" CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
@@ -2495,9 +2519,10 @@ ORACLES: dict[str, str] = {
                 SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
                            CAST(floor(list_dot_product(q.vec, d.vec)
-                                      / (q.nrm * d.nrm) * 1e6 + 0.5)
+                                      / greatest(q.nrm * d.nrm, 1e-12) * 1e6 + 0.5)
                                 AS BIGINT) DESC, d.vec_id) AS ra
                 FROM v q JOIN v d ON q.vec_id % {_RAG_QMOD} = 0
+                                 AND q.vec_id IN (SELECT doc_id FROM tf)
                                  AND d.vec_id <> q.vec_id
             ) WHERE ra <= {_RAG_POOL}
         ), pool AS (
@@ -2523,7 +2548,7 @@ ORACLES: dict[str, str] = {
                            CAST(floor(
                                list_dot_product(q.vec[i * 8 + 1 : i * 8 + 8],
                                                 d.vec[j * 8 + 1 : j * 8 + 8])
-                               / (q.nrm8[i + 1] * d.nrm8[j + 1])
+                               / greatest(q.nrm8[i + 1] * d.nrm8[j + 1], 1e-12)
                                * 1e6 + 0.5) AS BIGINT)))))
                         AS BIGINT) AS maxsim6
             FROM pool p JOIN v d ON d.vec_id = p.doc_id
@@ -2598,9 +2623,10 @@ ORACLES: dict[str, str] = {
         ), per AS (
             SELECT dim, sa * nb - sb * na AS gap_num,
                    CAST(floor((CAST(sa * nb - sb * na AS DOUBLE)
-                               / CAST(na * nb AS DOUBLE))
+                               / greatest(CAST(na * nb AS DOUBLE), 1.0))
                               * (CAST(sa * nb - sb * na AS DOUBLE)
-                                 / CAST(na * nb AS DOUBLE)) + 0.5)
+                                 / greatest(CAST(na * nb AS DOUBLE), 1.0))
+                              + 0.5)
                         AS BIGINT) AS gap_sq12
             FROM sums CROSS JOIN ns
         )
@@ -2635,7 +2661,7 @@ ORACLES: dict[str, str] = {
                            CAST(floor(
                                list_dot_product(q.vec[i * 8 + 1 : i * 8 + 8],
                                                 d.vec[j * 8 + 1 : j * 8 + 8])
-                               / (q.nrm8[i + 1] * d.nrm8[j + 1])
+                               / greatest(q.nrm8[i + 1] * d.nrm8[j + 1], 1e-12)
                                * 1e6 + 0.5) AS BIGINT)))))
                         AS BIGINT) AS score6
             FROM vn q JOIN vn d ON q.vec_id % 100 = 0
@@ -2659,7 +2685,7 @@ ORACLES: dict[str, str] = {
         ), p AS (
             SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
                    CAST(floor(list_dot_product(a.vec, b.vec)
-                              / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS c6
+                              / greatest(a.nrm * b.nrm, 1e-12) * 1e6 + 0.5) AS BIGINT) AS c6
             FROM v a, v b
             WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
         ), da AS (
@@ -2678,7 +2704,8 @@ ORACLES: dict[str, str] = {
             WHERE rn <= {_BITEXT_K} GROUP BY tgt_id
         ), m AS (
             SELECT p.src_id, p.tgt_id, p.c6,
-                   floor((p.c6 * 2 * {_BITEXT_K}) / (da.dega6 + db.degb6)
+                   floor((p.c6 * 2 * {_BITEXT_K})
+                         / greatest(da.dega6 + db.degb6, 1)
                          * 1e6 + 0.5) / 1e6 AS margin
             FROM p JOIN da USING (src_id) JOIN db USING (tgt_id)
         ), best AS (
@@ -2743,7 +2770,7 @@ ORACLES: dict[str, str] = {
             WHERE vec_id % 100 = 0
         ), scored AS (
             SELECT q.query_id, v.vec_id AS neighbor_id, v.label,
-                   round(list_dot_product(q.qvec, v.vec) / (q.qnrm * v.nrm), 6) AS cosine
+                   round(list_dot_product(q.qvec, v.vec) / greatest(q.qnrm * v.nrm, 1e-12), 6) AS cosine
             FROM q JOIN v ON v.vec_id <> q.query_id
         )
         SELECT query_id, rk, neighbor_id, cosine, label
@@ -2767,7 +2794,7 @@ ORACLES: dict[str, str] = {
         ), scored AS (
             SELECT q.query_id, q.anchor_label,
                    v.vec_id AS negative_id, v.label AS negative_label,
-                   round(list_dot_product(q.qvec, v.vec) / (q.qnrm * v.nrm), 6)
+                   round(list_dot_product(q.qvec, v.vec) / greatest(q.qnrm * v.nrm, 1e-12), 6)
                        AS cosine
             FROM q JOIN v
               ON v.vec_id <> q.query_id AND v.label <> q.anchor_label

@@ -657,7 +657,9 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     max comparison is exact integer arithmetic; the single division by
     n_a·n_b happens once, snapped at 6dp. Also reports the classic
     α=0.05 two-sample threshold 1.358·√((n_a+n_b)/(n_a·n_b)) and the
-    reject decision, both derived from the same integers."""
+    reject decision, both derived from the same integers. n_a·n_b
+    carries greatest(..., 1.0) on both engines: a one-language corpus
+    would otherwise hit 0/0 (the ADVICE-r11 class)."""
     docs = load(spark, sf_dir, "documents")
     hist = (
         docs.select(
@@ -699,10 +701,12 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    d = F.col("gap_x").cast("double") / (F.col("na") * F.col("nb")).cast("double")
+    # greatest(..., 1) on the pair product (both engines): a corpus with
+    # only one language side would hit 0/0 -> NaN (the ADVICE-r11 class)
+    nanb = F.greatest((F.col("na") * F.col("nb")).cast("double"), F.lit(1.0))
+    d = F.col("gap_x").cast("double") / nanb
     thresh = F.lit(1.358) * F.sqrt(
-        (F.col("na") + F.col("nb")).cast("double")
-        / (F.col("na") * F.col("nb")).cast("double")
+        (F.col("na") + F.col("nb")).cast("double") / nanb
     )
     # reject derived from the SNAPPED values, not the raw doubles — a
     # raw comparison within 1 ulp of the sqrt-derived threshold could
@@ -729,7 +733,9 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (cum negatives strictly below each score); the pair count
     runs in DOUBLED integer units (2 per win, 1 per tie) so everything
     until the single final division is int64 — no float sums, no
-    half-grid ties (the ½ lives in integers). One row out. EXACT
+    half-grid ties (the ½ lives in integers). The divisor 2·n_pos·n_neg
+    carries greatest(..., 1.0) on both engines: a single-class corpus
+    would otherwise hit 0/0 (the ADVICE-r11 class). One row out. EXACT
     oracle."""
     docs = load(spark, sf_dir, "documents")
     hist = (
@@ -763,7 +769,10 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.col("won2").cast("double")
-                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+                / F.greatest(
+                    (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                    F.lit(1.0),
+                )
                 * 1e6
                 + F.lit(0.5)
             )
@@ -1610,7 +1619,9 @@ def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: thresholds are the pure-integer grid
     t_i = min + i·(max−min) div 20; tp/fp counts are int64 over the
-    bounded score histogram; rates are hits·10⁶ div totals. No floats.
+    bounded score histogram; rates are hits·10⁶ div greatest(total, 1)
+    (a single-class corpus has n_neg = 0 — the zero-denominator class,
+    guarded identically on both engines). No floats.
 
     Scale: rides the same bounded value-histogram as the AUC witness
     (one map-side-combinable groupBy, corpus-independent row count);
@@ -1658,8 +1669,8 @@ def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thr",
             "tp",
             "fp",
-            F.expr("tp * 1000000 div n_pos").cast("bigint").alias("tpr6"),
-            F.expr("fp * 1000000 div n_neg").cast("bigint").alias("fpr6"),
+            F.expr("tp * 1000000 div greatest(n_pos, 1)").cast("bigint").alias("tpr6"),
+            F.expr("fp * 1000000 div greatest(n_neg, 1)").cast("bigint").alias("fpr6"),
         )
         .orderBy("i")
     )
@@ -1676,7 +1687,9 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ranks use the tie-DOUBLING identity (r = 2·rank +
     ties − 1 = twice the average rank, exact int64 — the Spearman
     convention); 2·U1 = Σ₁r_doubled − n1·(n1+1) stays integer, and the
-    effect size is the pure-integer `u2·10⁶ div (n1·n2) − 10⁶` (int÷int
+    effect size is the pure-integer `u2·10⁶ div greatest(n1·n2, 1) − 10⁶`
+    (a lang whose docs all share one source has n2 = 0 — the ADVICE-r11
+    zero-denominator class, guarded identically on both engines; int÷int
     truncation is identical cross-engine). No floats anywhere.
 
     Scale shape (100 TB): one corpus scan → per-lang rank windows (the
@@ -1715,7 +1728,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "rb6",
-            F.expr("u2 * 1000000 div (n1 * n2) - 1000000").cast("bigint"),
+            F.expr("u2 * 1000000 div greatest(n1 * n2, 1) - 1000000").cast("bigint"),
         )
         .orderBy("lang")
     )
@@ -1737,9 +1750,12 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical); τ-b = (C−D)/√((n0−tx)(n0−ty)) takes ONE sqrt of
     an exact-int64 product (the Neyman convention) and is emitted as
     floor(τ·10⁶ + 0.5) micro-units — an integer column, so the ±0.0
-    trap can't exist. The pair product carries greatest(..., 1) on both
-    engines: a group tied on either variable everywhere would otherwise
-    hit 0/0 → NaN → a divergent BIGINT cast (the ADVICE-r11 class)."""
+    trap can't exist. The pair product carries greatest(..., 1.0) with
+    the product computed in DOUBLE on both engines (ADVICE r12): a group
+    tied on either variable everywhere would otherwise hit 0/0 → NaN →
+    a divergent BIGINT cast, and the int64 spelling of the guard itself
+    overflows ~n⁴/4 past ~80k rows/group if the sample cap is lifted —
+    (n0−tx)·(n0−ty) is exact in DOUBLE far beyond any real group."""
     docs = load(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
@@ -1786,7 +1802,8 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disc",
         F.expr(
             "CAST(floor(CAST(conc - disc AS DOUBLE)"
-            " / sqrt(CAST(greatest((n0 - tx) * (n0 - ty), 1) AS DOUBLE))"
+            " / sqrt(greatest(CAST(n0 - tx AS DOUBLE)"
+            "                 * CAST(n0 - ty AS DOUBLE), 1.0))"
             " * 1e6 + 0.5) AS BIGINT)"
         ).alias("tau6"),
     ).orderBy("lang")
@@ -3085,8 +3102,8 @@ ORACLES: dict[str, str] = {
         SELECT CAST(t.i AS BIGINT) AS i, t.thr,
                CAST(sum(h.np) AS BIGINT) AS tp,
                CAST(sum(h.nn) AS BIGINT) AS fp,
-               CAST(sum(h.np) * 1000000 // t.n_pos AS BIGINT) AS tpr6,
-               CAST(sum(h.nn) * 1000000 // t.n_neg AS BIGINT) AS fpr6
+               CAST(sum(h.np) * 1000000 // greatest(t.n_pos, 1) AS BIGINT) AS tpr6,
+               CAST(sum(h.nn) * 1000000 // greatest(t.n_neg, 1) AS BIGINT) AS fpr6
         FROM thr t JOIN hist h ON h.s >= t.thr
         GROUP BY t.i, t.thr, t.n_pos, t.n_neg
         ORDER BY t.i
@@ -3113,7 +3130,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT lang, n1, n2,
                CAST(rsum2x - n1 * (n1 + 1) AS BIGINT) AS u2,
-               CAST((rsum2x - n1 * (n1 + 1)) * 1000000 // (n1 * n2)
+               CAST((rsum2x - n1 * (n1 + 1)) * 1000000 // greatest(n1 * n2, 1)
                     - 1000000 AS BIGINT) AS rb6
         FROM agg ORDER BY lang
     """,
@@ -3150,7 +3167,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT lang, n0, conc, disc,
                CAST(floor(CAST(conc - disc AS DOUBLE)
-                    / sqrt(CAST(greatest((n0 - tx) * (n0 - ty), 1) AS DOUBLE))
+                    / sqrt(greatest(CAST(n0 - tx AS DOUBLE)
+                                    * CAST(n0 - ty AS DOUBLE), 1.0))
                     * 1e6 + 0.5) AS BIGINT) AS tau6
         FROM agg ORDER BY lang
     """,
@@ -3208,15 +3226,15 @@ ORACLES: dict[str, str] = {
             FROM cum CROSS JOIN tot
         )
         SELECT na, nb,
-               floor(CAST(gap_x AS DOUBLE) / CAST(na * nb AS DOUBLE)
+               floor(CAST(gap_x AS DOUBLE) / greatest(CAST(na * nb AS DOUBLE), 1.0)
                      * 1e6 + 0.5) / 1e6 AS ks_stat,
                floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
-                                  / CAST(na * nb AS DOUBLE))
+                                  / greatest(CAST(na * nb AS DOUBLE), 1.0))
                      * 1e6 + 0.5) / 1e6 AS reject_threshold,
-               (floor(CAST(gap_x AS DOUBLE) / CAST(na * nb AS DOUBLE)
+               (floor(CAST(gap_x AS DOUBLE) / greatest(CAST(na * nb AS DOUBLE), 1.0)
                       * 1e6 + 0.5) / 1e6)
                > (floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
-                                     / CAST(na * nb AS DOUBLE))
+                                     / greatest(CAST(na * nb AS DOUBLE), 1.0))
                         * 1e6 + 0.5) / 1e6) AS reject_h0
         FROM gap
     """,
@@ -3241,7 +3259,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT n_pos, n_neg,
                floor(CAST(won2 AS DOUBLE)
-                     / CAST(2 * n_pos * n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
+                     / greatest(CAST(2 * n_pos * n_neg AS DOUBLE), 1.0)
+                     * 1e6 + 0.5) / 1e6
                    AS auc
         FROM agg
     """,

@@ -154,6 +154,46 @@ def interval_join_streams_left_outer(
     )
 
 
+def interval_join_streams_full_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """FULL-OUTER watermarked stream-stream interval join (VERDICT r12
+    #3) — the last member of the stream-join family: matched pairs plus
+    null-extensions on BOTH sides. An unmatched purchase null-extends
+    once the watermark passes its event time (a qualifying click could
+    no longer arrive); an unmatched click null-extends once the
+    watermark passes its event time + horizon (it could only match
+    purchases in [click_ts, click_ts + horizon], all below watermark by
+    then) — right-side state eviction mirrors the left, with the
+    horizon shift coming from the asymmetric interval predicate.
+
+    Like the left-outer variant this is pytest-pinned, not a driver
+    witness, because null emission rides state eviction (batch-boundary
+    dependent in general); under the repo's replay conditions the
+    emission is deterministic and ``windows.q_stream_full_outer_join_sim``
+    reproduces it bit-for-bit (tests/test_streaming.py)."""
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "fullOuter").select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("join_user"),
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a per-user running event counter whose state survives across

@@ -217,11 +217,20 @@ def q_stream_left_outer_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("ts_ms").alias("pts_ms"),
     )
+    # ADVICE r12: min-of-sides is only meaningful when BOTH sides have
+    # produced data — a one-sided fixture would collapse min(mx) to the
+    # present side's max and null-extend rows the real stream (global
+    # watermark still at epoch 0) would never emit. wm_ms = NULL then:
+    # `pts_ms < NULL` is NULL, so no null-extended row passes the filter.
     wm = (
         events.where(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
         .agg(F.max("ts_ms").alias("mx"))
-        .agg((F.min("mx") - F.lit(_LOJ_HORIZON_MS)).alias("wm_ms"))
+        .agg(
+            F.when(
+                F.count("*") == 2, F.min("mx") - F.lit(_LOJ_HORIZON_MS)
+            ).alias("wm_ms")
+        )
     )
     cond = (
         (F.col("cu") == F.col("pu"))
@@ -236,6 +245,86 @@ def q_stream_left_outer_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_full_outer_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER watermarked stream-stream interval join, simulated
+    deterministically in batch (VERDICT r12 #3) — the oracle twin of
+    ``stream.interval_join_streams_full_outer``, completing the
+    stream-join family next to the left-outer sim above.
+
+    Same replay conditions, same global watermark wm = min-of-sides max
+    event time − horizon; the eviction thresholds differ per side
+    because the interval predicate is asymmetric (click_ts ≤ purchase_ts
+    ≤ click_ts + horizon):
+
+    - an unmatched PURCHASE at pts null-extends iff pts < wm — a
+      qualifying click (cts ∈ [pts − horizon, pts]) can no longer
+      arrive once the watermark passes pts (identical to the left-outer
+      sim, whose emission is pinned bit-equal to the real stream);
+    - an unmatched CLICK at cts null-extends iff cts < wm − horizon —
+      it could only match purchases with pts ∈ [cts, cts + horizon],
+      all below the watermark by then (right-side state eviction
+      mirrors the left, shifted by the horizon).
+
+    Unmatched rows newer than their threshold stay in state and are
+    withheld when the stream ends — on both the real stream and this
+    sim (the equality pin in tests/test_streaming.py compares the full
+    row sets, and the one-sided-input guard from the left-outer sim
+    applies identically: wm is NULL unless both sides produced data).
+
+    Scale: one equi-join on user_id with the interval as a residual
+    range predicate + one broadcast watermark scalar — no windows, no
+    driver loop, state bounded by horizon + watermark exactly as the
+    real stream's would be."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.expr("unix_millis(ts)")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ms").alias("cts_ms"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("pts_ms"),
+    )
+    wm = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts_ms").alias("mx"))
+        .agg(
+            F.when(
+                F.count("*") == 2, F.min("mx") - F.lit(_LOJ_HORIZON_MS)
+            ).alias("wm_ms")
+        )
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts_ms") <= F.col("pts_ms"))
+        & (F.col("cts_ms") >= F.col("pts_ms") - F.lit(_LOJ_HORIZON_MS))
+    )
+    return (
+        p.join(c, cond, "full")
+        .crossJoin(F.broadcast(wm))
+        .where(
+            (F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull())
+            | (
+                F.col("click_id").isNull()
+                & (F.col("pts_ms") < F.col("wm_ms"))
+            )
+            | (
+                F.col("purchase_id").isNull()
+                & (F.col("cts_ms") < F.col("wm_ms") - F.lit(_LOJ_HORIZON_MS))
+            )
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("pu"), F.col("cu")).alias("join_user"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "stream_left_outer_join_sim": """
         WITH c AS (
@@ -246,7 +335,10 @@ ORACLES: dict[str, str] = {
                    epoch_ms(ts) AS pts_ms
             FROM events WHERE event_type = 'purchase'
         ), wm AS (
-            SELECT min(mx) - 3600000 AS wm_ms FROM (
+            -- NULL unless both sides present (see the Spark twin): a
+            -- one-sided corpus must emit no null-extended rows
+            SELECT CASE WHEN count(*) = 2 THEN min(mx) - 3600000 END AS wm_ms
+            FROM (
                 SELECT event_type, max(epoch_ms(ts)) AS mx FROM events
                 WHERE event_type IN ('click', 'purchase') GROUP BY 1
             )
@@ -256,6 +348,31 @@ ORACLES: dict[str, str] = {
           ON c.cu = p.pu AND c.cts_ms <= p.pts_ms
          AND c.cts_ms >= p.pts_ms - 3600000, wm
         WHERE c.click_id IS NOT NULL OR p.pts_ms < wm.wm_ms
+    """,
+    "stream_full_outer_join_sim": """
+        WITH c AS (
+            SELECT user_id AS cu, event_id AS click_id, epoch_ms(ts) AS cts_ms
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id AS pu, event_id AS purchase_id,
+                   epoch_ms(ts) AS pts_ms
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            -- NULL unless both sides present (see the Spark twin)
+            SELECT CASE WHEN count(*) = 2 THEN min(mx) - 3600000 END AS wm_ms
+            FROM (
+                SELECT event_type, max(epoch_ms(ts)) AS mx FROM events
+                WHERE event_type IN ('click', 'purchase') GROUP BY 1
+            )
+        )
+        SELECT p.purchase_id, c.click_id,
+               coalesce(p.pu, c.cu) AS join_user
+        FROM p FULL OUTER JOIN c
+          ON c.cu = p.pu AND c.cts_ms <= p.pts_ms
+         AND c.cts_ms >= p.pts_ms - 3600000, wm
+        WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+           OR (c.click_id IS NULL AND p.pts_ms < wm.wm_ms)
+           OR (p.purchase_id IS NULL AND c.cts_ms < wm.wm_ms - 3600000)
     """,
     "stream_tumbling": """
         SELECT CAST(to_timestamp((epoch_ms(ts) // 1000) // 600 * 600) AS TIMESTAMP) AS window_start,

@@ -64,6 +64,19 @@ sys.path.insert(0, REPO)
 # round whose window the generated order feeds.
 AGE_CAP = 6
 
+# Steady-state HARD bound on driver-evidence age (VERDICT r12 #2),
+# enforced by scripts/round_close.py once the never-checked backlog is
+# gone: no witness may close a round with driver evidence older than
+# this many rounds. Derivation: a witness promoted at age AGE_CAP + 1
+# (= 7, rank 1, sorts ahead of every no-evidence entry) lands in that
+# round's 50-entry window and is re-checked the same round; one round of
+# rank-0/rank-1 window overflow is the only way it slips, giving a
+# worst normal-operation age of AGE_CAP + 2 = 8 — which also equals the
+# full-catalog refresh period ceil(353/50). Age 9+ therefore means the
+# rotation itself is broken (or witness production outran the window)
+# and the close must fail, not note it.
+MAX_DRIVER_AGE = 8
+
 
 def _round_snapshot_commits() -> dict[int, str]:
     """Map round number -> commit whose tree the driver verified.

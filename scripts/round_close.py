@@ -25,6 +25,13 @@ Checks (all complete in seconds — no SparkSession):
      age histogram and fails if the never-driver-checked witness count
      grew vs the prior round's close (witness production outran the
      50-query driver window 2.7:1 in round 11 with no gate noticing).
+     Since r13 it also prints the post-fold never-checked count when the
+     round's own CORRECTNESS artifact already exists (VERDICT r12 #6).
+  7. Evidence-AGE gate (VERDICT r12 #2) — prints the max driver-evidence
+     age and FAILS if any witness exceeds MAX_DRIVER_AGE rounds
+     (gen_registry_order.py): the steady-state bound once the
+     never-checked backlog is gone; exceeding it means the rotation
+     itself is broken.
 
 Usage: python scripts/round_close.py [round]
   round defaults to max(CORRECTNESS_r*) + 1 (the round being closed).
@@ -115,6 +122,25 @@ def check_localverify(rnd: int) -> bool:
     return True
 
 
+def evidence_age_gate(
+    order, last: dict[str, int], rnd: int, cap: int | None = None
+) -> tuple[int, list[str]]:
+    """(max_age, offenders) for the steady-state age cap (VERDICT r12
+    #2): age = rnd - last_driver_checked_round per witness; offenders are
+    witnesses over the cap. Never-checked witnesses are NOT aged here —
+    they are the evidence-debt gate's concern (and rank 2 / last=-1 in
+    the rotation, so they front the very next window). Pure function so
+    tests/test_rotation.py can exercise the gate on synthetic histories."""
+    from gen_registry_order import MAX_DRIVER_AGE
+
+    if cap is None:
+        cap = MAX_DRIVER_AGE
+    ages = {n: rnd - last[n] for n in order if n in last}
+    max_age = max(ages.values(), default=0)
+    offenders = sorted(n for n, a in ages.items() if a > cap)
+    return max_age, offenders
+
+
 def check_evidence_debt(rnd: int) -> bool:
     """Driver-evidence freshness accounting (VERDICT r11 #5): round 11
     grew the never-driver-checked backlog 0 -> 89 without any gate
@@ -160,6 +186,29 @@ def check_evidence_debt(rnd: int) -> bool:
     print(f"--- evidence-debt: age histogram vs r{rnd} "
           f"(rounds since driver check): {hist}")
     current_never = sum(1 for n in ORDER if n not in last)
+    # VERDICT r12 #6: the like-for-like baseline above excludes round
+    # rnd's own artifact by design; when it already exists (a re-run
+    # after the driver checked), also print the POST-FOLD truth so the
+    # headline never-checked number can't be misread.
+    post_path = os.path.join(REPO, f"CORRECTNESS_r{rnd}.json")
+    if os.path.exists(post_path):
+        with open(post_path) as f:
+            post_checked = set(json.load(f)) | set(last)
+        post_never = sum(1 for n in ORDER if n not in post_checked)
+        print(f"--- evidence-debt: post-fold (incl. r{rnd}'s own artifact) "
+              f"never-checked = {post_never}")
+    # Steady-state age cap (VERDICT r12 #2): hard-fail when any witness's
+    # driver evidence is older than MAX_DRIVER_AGE rounds — rotation
+    # breakage, not a bookkeeping note.
+    from gen_registry_order import MAX_DRIVER_AGE
+
+    max_age, over_cap = evidence_age_gate(ORDER, last, rnd)
+    print(f"--- evidence-age: max driver-evidence age {max_age} "
+          f"(cap {MAX_DRIVER_AGE})"
+          + (f" — FAIL, over-cap witnesses: {over_cap[:5]}" if over_cap
+             else " — OK"))
+    if over_cap:
+        return False
 
     snap = _round_snapshot_commits().get(rnd - 1)
     if snap is None:

@@ -32,12 +32,26 @@ CASES = [
         0,
     ),
     (
-        # kendall_tau: every pair tied on x -> (n0-tx)*(n0-ty) = 0
+        # kendall_tau: every pair tied on x -> (n0-tx)*(n0-ty) = 0.
+        # ADVICE r12 spelling: the product is computed in DOUBLE inside
+        # the guard — the int64 spelling overflows ~n^4/4 past ~80k
+        # rows/group if the sample cap is ever lifted
         "kendall_tau_all_tied_x",
         "CAST(floor(CAST(0 - 0 AS DOUBLE)"
-        " / sqrt(CAST(greatest((3 - 3) * (3 - 1), 1) AS DOUBLE))"
-        " * 1e6 + 0.5) AS BIGINT)",
+        " / sqrt(greatest(CAST(3 - 3 AS DOUBLE) * CAST(3 - 1 AS DOUBLE),"
+        " 1.0)) * 1e6 + 0.5) AS BIGINT)",
         0,
+    ),
+    (
+        # kendall_tau guard-overflow regression (the reason for the
+        # DOUBLE spelling): n0 = 80k-row group's pair count ~3.2e9;
+        # (n0-tx)*(n0-ty) ~1e19 > int64 max — exact in DOUBLE up to the
+        # sqrt, and the guarded expression must agree cross-engine
+        "kendall_tau_large_group_no_overflow",
+        "CAST(floor(CAST(1000000 AS DOUBLE)"
+        " / sqrt(greatest(CAST(3199960000 AS DOUBLE)"
+        " * CAST(3199960000 AS DOUBLE), 1.0)) * 1e6 + 0.5) AS BIGINT)",
+        313,  # floor(1e6 / 3.19996e9 * 1e6 + 0.5)
     ),
     (
         # cramers_v: single-category row dimension -> least(r-1,c-1) = 0
@@ -89,6 +103,93 @@ CASES = [
         "CAST(floor(CAST(3 * (3 - 1) * 1000000 AS DOUBLE)"
         " / CAST(2 * (0 + 1) AS DOUBLE) + 0.5) AS BIGINT)",
         3_000_000,
+    ),
+    (
+        # rag_retrieval_pipeline dense cosine (ADVICE r12): a zero
+        # embedding -> qnrm*nrm = 0; guarded 0/1e-12 = 0 on both engines
+        # (unguarded: NaN -> Spark BIGINT 0, DuckDB raises)
+        "rag_dense_cosine_zero_norm",
+        "CAST(floor(0.0 / greatest(0.0 * 1.5, 1e-12) * 1e6 + 0.5)"
+        " AS BIGINT)",
+        0,
+    ),
+    (
+        # rag/maxsim 8-dim sub-vector kernel: an all-zero sub-vector ->
+        # qn[i]*nrm8[j] = 0; same guard, same degenerate value
+        "maxsim_zero_subvector_norm",
+        "CAST(floor(0.0 / greatest(0.0 * 0.0, 1e-12) * 1e6 + 0.5)"
+        " AS BIGINT)",
+        0,
+    ),
+    (
+        # dedup_embedding_cosine / similarity_topk round-spelling: the
+        # 6dp-rounded cosine of a zero-norm pair reads 0.0, not NaN —
+        # the >= threshold filter then DROPS it identically per engine
+        # (unguarded, Spark's NaN >= 0.4 is false but DuckDB's NaN sorts
+        # greatest and passes — a silent row-set divergence)
+        "embedding_cosine_zero_norm_rounded",
+        "round(0.0 / greatest(0.0 * 2.0, 1e-12), 6) >= 0.4",
+        False,
+    ),
+    (
+        # ks_two_sample: corpus with only one language side -> na*nb = 0
+        # (gap_x is necessarily 0 too)
+        "ks_one_sided_corpus",
+        "floor(CAST(0 AS DOUBLE) / greatest(CAST(30 * 0 AS DOUBLE), 1.0)"
+        " * 1e6 + 0.5) / 1e6",
+        0.0,
+    ),
+    (
+        # auc_exact: single-class corpus -> 2*n_pos*n_neg = 0
+        "auc_single_class",
+        "floor(CAST(0 AS DOUBLE)"
+        " / greatest(CAST(2 * 30 * 0 AS DOUBLE), 1.0) * 1e6 + 0.5) / 1e6",
+        0.0,
+    ),
+    (
+        # roc_curve: single-class corpus -> n_neg = 0; guarded integer
+        # rate reads 0 (tp side shown; fp mirrors)
+        "roc_single_class_rate",
+        "CAST(floor(CAST(0 * 1000000 AS DOUBLE)"
+        " / greatest(CAST(0 AS DOUBLE), 1.0)) AS BIGINT)",
+        0,
+    ),
+    (
+        # mann_whitney rank-biserial: a lang whose every doc shares one
+        # source -> n2 = 0 -> u2 = 0; greatest(n1*n2, 1) makes the
+        # truncating division read 0 and rb6 = -1e6 on both engines
+        # (portable floor spelling: u2 = 0 so floor == trunc == div)
+        "mann_whitney_single_source_lang",
+        "CAST(floor(CAST(0 * 1000000 AS DOUBLE)"
+        " / greatest(CAST(5 * 0 AS DOUBLE), 1.0)) AS BIGINT) - 1000000",
+        -1_000_000,
+    ),
+    (
+        # bitext_margin_mine: degree sums can be <= 0 (cosines are
+        # signed); greatest(dega6+degb6, 1) pins the degenerate margin
+        "bitext_zero_degree_sum",
+        "floor(CAST(100 * 2 * 5 AS DOUBLE) / greatest(0 + 0, 1)"
+        " * 1e6 + 0.5) / 1e6",
+        1000.0,
+    ),
+    (
+        # embedding_mmd_labels: one label entirely absent -> na*nb = 0
+        # (gap term reads the squared raw sum over the guard's 1.0)
+        "mmd_one_label_absent",
+        "CAST(floor((CAST(0 * 0 - 15 AS DOUBLE)"
+        " / greatest(CAST(3 * 0 AS DOUBLE), 1.0))"
+        " * (CAST(0 * 0 - 15 AS DOUBLE)"
+        " / greatest(CAST(3 * 0 AS DOUBLE), 1.0)) + 0.5) AS BIGINT)",
+        225,
+    ),
+    (
+        # stream_left/full_outer_join_sim (ADVICE r12): with one side
+        # absent the watermark scalar is NULL, and the null-extension
+        # predicate ts < NULL must evaluate NULL (row filtered) on both
+        # engines — never true
+        "stream_join_one_sided_watermark",
+        "coalesce(CAST(5 < (CASE WHEN 1 = 2 THEN 3 END) AS INT), -1)",
+        -1,
     ),
 ]
 

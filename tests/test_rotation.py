@@ -54,6 +54,49 @@ def test_age_cap_promotes_stale_green_evidence():
             assert meta[a][1] <= meta[b][1], (a, b)
 
 
+def test_evidence_age_gate():
+    """Steady-state age cap (VERDICT r12 #2): round_close must FAIL when
+    any witness's driver evidence is older than MAX_DRIVER_AGE rounds.
+    Exercised on synthetic histories (both sides of the cap) AND on the
+    real repo state, which must currently be under the cap."""
+    import glob
+    import json
+    import re
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_registry_order import AGE_CAP, MAX_DRIVER_AGE
+    from round_close import evidence_age_gate
+
+    # the cap must stay consistent with the rotation's promotion point:
+    # promoted at AGE_CAP+1, checked that round, +1 round of overflow slack
+    assert MAX_DRIVER_AGE == AGE_CAP + 2 == 8
+
+    # synthetic: exactly at the cap -> pass; one over -> that witness fails
+    order = ("a", "b", "c")
+    at_cap = {"a": 10 - MAX_DRIVER_AGE, "b": 9}
+    max_age, over = evidence_age_gate(order, at_cap, 10)
+    assert (max_age, over) == (MAX_DRIVER_AGE, [])
+    stale = {"a": 10 - MAX_DRIVER_AGE - 1, "b": 9}
+    max_age, over = evidence_age_gate(order, stale, 10)
+    assert (max_age, over) == (MAX_DRIVER_AGE + 1, ["a"])
+    # never-checked witnesses ("c") are not aged by this gate
+    assert evidence_age_gate(("c",), {}, 10) == (0, [])
+
+    # real repo state: no witness may already exceed the cap at the
+    # upcoming close (the gate must be GREEN on the tree that ships it)
+    from gasket_rs_spark.registry_order import ORDER
+
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)\.json$", p).group(1))
+        with open(p) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, -1), r)
+    closing = max(last.values(), default=0) + 1
+    max_age, over = evidence_age_gate(ORDER, last, closing)
+    assert not over, (max_age, over[:5])
+
+
 def test_driver_artifact_drop_does_not_fail_suite():
     """Self-healing rule (VERDICT r7 #2): a new CORRECTNESS_r{N}.json
     appearing at round end — rounds not in registry_order.ROUNDS — must
