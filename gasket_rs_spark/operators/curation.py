@@ -224,7 +224,10 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate. Ratios are int/int → IEEE double, bit-identical
     cross-engine, so threshold comparisons agree exactly; the regex
     char-class is spelled identically (DuckDB needs the explicit 'g'
-    flag to match Spark's replace-all default)."""
+    flag to match Spark's replace-all default). The alpha-ratio
+    denominator carries greatest(len(text), 1) on both engines: an
+    empty document must read b4 = false, not raise under Spark's
+    default-ANSI division (the ADVICE-r11 class)."""
     docs = load(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     n_words = F.size(words)
@@ -236,7 +239,10 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 100).alias("b1"),
         (n_words >= 20).alias("b2"),
         ((mean_wlen >= 3.0) & (mean_wlen <= 12.0)).alias("b3"),
-        (n_alpha.cast("double") / F.length("text") >= 0.6).alias("b4"),
+        (
+            n_alpha.cast("double") / F.greatest(F.length("text"), F.lit(1))
+            >= 0.6
+        ).alias("b4"),
         (
             F.size(F.array_distinct(words)).cast("double") / n_words >= 0.3
         ).alias("b5"),
@@ -702,7 +708,7 @@ ORACLES: dict[str, str] = {
             SELECT n_chars >= 100 AS b1,
                    nw >= 20 AS b2,
                    (mwl >= 3.0 AND mwl <= 12.0) AS b3,
-                   na / CAST(len(text) AS DOUBLE) >= 0.6 AS b4,
+                   na / CAST(greatest(len(text), 1) AS DOUBLE) >= 0.6 AS b4,
                    nd / CAST(nw AS DOUBLE) >= 0.3 AS b5
             FROM (
                 SELECT text, n_chars,

@@ -739,8 +739,11 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash also pins estimator quality on this corpus.
 
     Integer end to end: hash points are 48-bit ints from md5 hex, the
-    estimate is one integer division, and sources with fewer than k
-    distincts fall back to the exact count (the standard KMV rule).
+    estimate is one integer division over greatest(u_(k), 1) — u_(k)
+    is 0 with p = 2⁻⁴⁸ per group, and an unguarded integer div-by-zero
+    raises on BOTH engines (the ADVICE-r11 class at its most remote) —
+    and sources with fewer than k distincts fall back to the exact
+    count (the standard KMV rule).
     Scale: distinct (source, hash) pairs → one partitioned bottom-k
     window; the sketch is k values per group — mergeable by taking the
     k smallest of a union, same as every bottom-k system."""
@@ -771,7 +774,10 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("kth_u48").isNull(), F.col("n_distinct")
             )
             .otherwise(
-                F.expr(f"({_KMV_K} - 1) * 281474976710656 div kth_u48")
+                F.expr(
+                    f"({_KMV_K} - 1) * 281474976710656"
+                    " div greatest(kth_u48, 1)"
+                )
             )
             .cast("bigint")
             .alias("est"),
@@ -807,7 +813,8 @@ ORACLES: dict[str, str] = {
                    CAST({_KMV_K} AS BIGINT) AS k,
                    CAST(COALESCE(k2.kth_u48, 0) AS BIGINT) AS kth_u48,
                    CAST(CASE WHEN k2.kth_u48 IS NULL THEN t.n_distinct
-                        ELSE ({_KMV_K} - 1) * 281474976710656 // k2.kth_u48
+                        ELSE ({_KMV_K} - 1) * 281474976710656
+                             // greatest(k2.kth_u48, 1)
                         END AS BIGINT) AS est
             FROM trues t LEFT JOIN kth k2 ON t.source = k2.source
         )

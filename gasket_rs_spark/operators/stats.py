@@ -1878,10 +1878,13 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exact core: with N items, D = N·Σ_c n_cc (agreement
     numerator scale) and E = Σ_c row_c·col_c (chance numerator),
-    kappa = (N·D' − E)/(N² − E) where D' = Σ_c n_cc — every term is
-    int64; only the final single division runs in doubles (IEEE
+    kappa = (N·D' − E)/greatest(N² − E, 1) where D' = Σ_c n_cc — every
+    term is int64; only the final single division runs in doubles (IEEE
     division is deterministic — it is float SUM ORDER that differs
-    across engines), snapped to the 1e-6 grid.
+    across engines), snapped to the 1e-6 grid. The guard covers the
+    single-category degenerate grid (E = N² with numerator 0 — the
+    ADVICE-r11 class; unguarded, the default-ANSI Spark session raises
+    DIVIDE_BY_ZERO while DuckDB returns NULL).
 
     Scale: one corpus pass → ≤9-cell contingency; marginal joins are
     over ≤3-row frames."""
@@ -1918,9 +1921,10 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_items") * F.col("observed_agree") - F.col("pe_num")).cast(
                     "double"
                 )
-                / (F.col("n_items") * F.col("n_items") - F.col("pe_num")).cast(
-                    "double"
-                )
+                / F.greatest(
+                    (F.col("n_items") * F.col("n_items") - F.col("pe_num")),
+                    F.lit(1),
+                ).cast("double")
                 * 1e6
                 + F.lit(0.5)
             )
@@ -3002,7 +3006,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT n_items, observed_agree, pe_num,
                CAST(floor(CAST(n_items * observed_agree - pe_num AS DOUBLE)
-                          / CAST(n_items * n_items - pe_num AS DOUBLE)
+                          / CAST(greatest(n_items * n_items - pe_num, 1)
+                                 AS DOUBLE)
                           * 1e6 + 0.5) AS BIGINT) AS kappa6
         FROM tot CROSS JOIN pe
     """,

@@ -4,10 +4,12 @@ round-12 class sweep).
 The advisor's finding generalized: several estimators divide by a
 data-dependent quantity that is zero on degenerate-but-legal inputs
 (all-tied series, single-category table, one-document group, all-failure
-A/B split). Unguarded, the division yields Inf/NaN and the subsequent
-BIGINT cast DIVERGES between engines (Spark saturates / returns 0 for
-NaN; DuckDB raises) — invisible at the three fixture SFs, data-dependent
-in production. Every such site now carries greatest(..., 1) identically
+A/B split). Unguarded, the division DIVERGES between engines — verified
+round 13 on this stack: Spark 4's default-ANSI session RAISES
+DIVIDE_BY_ZERO (one degenerate row kills the whole job at scale) while
+DuckDB returns NULL for float division (raising only for integer //) —
+invisible at the three fixture SFs, data-dependent in production. Every
+such site now carries greatest(..., 1) identically
 on both engines; these tests evaluate the EXACT guarded expression
 strings on both engines at the degenerate points and assert equal,
 finite results — the divergence test the fixtures can't run.
@@ -190,6 +192,31 @@ CASES = [
         "stream_join_one_sided_watermark",
         "coalesce(CAST(5 < (CASE WHEN 1 = 2 THEN 3 END) AS INT), -1)",
         -1,
+    ),
+    (
+        # cohens_kappa: a single-category confusion grid has
+        # pe_num = n_items^2 -> 1 - pe == 0 (numerator is also 0);
+        # unguarded, Spark's ANSI session raises DIVIDE_BY_ZERO
+        "kappa_single_category",
+        "CAST(floor(CAST(30 * 30 - 900 AS DOUBLE)"
+        " / CAST(greatest(30 * 30 - 900, 1) AS DOUBLE)"
+        " * 1e6 + 0.5) AS BIGINT)",
+        0,
+    ),
+    (
+        # kmv_distinct_sketch: the k-th order statistic of the 48-bit
+        # md5 grid is 0 with p = 2^-48 per group — integer div 0 raises
+        # on BOTH engines; the guard pins the (absurd) estimate finite
+        "kmv_zero_kth_hash",
+        "CAST((256 - 1) * 281474976710656 / greatest(0, 1) AS BIGINT)",
+        71776119061217280,
+    ),
+    (
+        # curation quality gate b4: an empty document (len(text) = 0)
+        # must read alpha_ratio 0 -> b4 false, not raise / go NULL
+        "quality_gate_empty_text",
+        "CAST(0 AS DOUBLE) / CAST(greatest(0, 1) AS DOUBLE) >= 0.6",
+        False,
     ),
 ]
 
