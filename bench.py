@@ -325,7 +325,19 @@ def _cpu_totals() -> tuple[float, float]:
     /proc/<pid>/stat session-id matching). Their delta difference is
     external CPU burned during the pass, in core-seconds — co-tenant
     work, including any concurrent builder job of our own, which
-    pollutes timings just the same (the r12 lesson)."""
+    pollutes timings just the same (the r12 lesson).
+
+    Session CPU folds each process's cutime+cstime (reaped children)
+    in addition to its own utime+stime: a session child that exits
+    mid-pass (short-lived pyspark worker with reuse off) would
+    otherwise vanish from the own-session sum while its work stays in
+    /proc/stat, misclassifying it as external and flipping a genuinely
+    quiet pass dirty (ADVICE r13). Within one pass bracket the delta
+    stays exact: a child alive at start counts via its own stat entry,
+    and once reaped its full total moves into the parent's cutime.
+    Residual conservative bias: a session child reparented to init
+    before exiting (double-fork orphan) is still lost — none of the
+    session's processes spawn that way today."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
@@ -342,7 +354,8 @@ def _cpu_totals() -> tuple[float, float]:
             with open(f"/proc/{p}/stat") as f:
                 st = f.read().rsplit(")", 1)[1].split()
             if int(st[3]) == sid:  # field: session id
-                own += int(st[11]) + int(st[12])  # utime + stime
+                # utime + stime + cutime + cstime (reaped children)
+                own += int(st[11]) + int(st[12]) + int(st[13]) + int(st[14])
         except (OSError, IndexError, ValueError):
             continue
     return (busy, own / _CLK_TCK)
@@ -513,6 +526,10 @@ def _extras_plan(queries) -> tuple[list[str], dict, dict, dict]:
             or n not in prev_extras
             or m.get("module_sha") != sha
             or current_round - m.get("last_timed_round", -99) >= EXTRAS_RETIME_AGE
+            # ADVICE r13: a timing taken while an extras pass was dirty
+            # (co-tenant CPU above threshold) must not carry forward as
+            # if clean — force a re-time on the next run.
+            or m.get("clean") is False
         )
         if stale:
             to_time.append(n)
@@ -607,6 +624,17 @@ def main() -> None:
         extras_min.update(
             {n: round(min(ts), 3) for n, ts in extras_samples.items()}
         )
+        # ADVICE r13: headline clean-gating didn't reach the extras phase —
+        # a co-tenant arriving during extras polluted timings that then
+        # carried forward for up to EXTRAS_RETIME_AGE rounds unflagged.
+        # Stamp each retimed entry with its passes' clean status; a False
+        # stamp forces a re-time on the next run (see _extras_plan).
+        extras_pass_clean = [
+            pl["clean"] for pl in pass_loads if pl["phase"] == "extras"
+        ]
+        extras_all_clean = all(extras_pass_clean)
+        for n in to_time:
+            extras_meta[n]["clean"] = extras_all_clean
 
     if witness_mode:
         out = {

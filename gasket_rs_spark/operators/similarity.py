@@ -888,7 +888,17 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     (F.col("c6") * 2 * _BITEXT_K)
-                    / F.greatest(F.col("dega6") + F.col("degb6"), F.lit(1))
+                    # Zero-ONLY guard (ADVICE r13): dega6/degb6 are sums of
+                    # SIGNED top-K cosines, so the sum can be legitimately
+                    # negative — greatest(..., 1) would rewrite a negative
+                    # denominator to 1 and flip the margin's sign (a pair
+                    # the formula drops would be kept). Only the exact-zero
+                    # point (ANSI DIVIDE_BY_ZERO) is rewritten; negative
+                    # denominators keep their sign, yielding a negative
+                    # margin for positive c6 — correctly below TAU.
+                    / F.when(
+                        F.col("dega6") + F.col("degb6") == 0, F.lit(1)
+                    ).otherwise(F.col("dega6") + F.col("degb6"))
                     * 1e6
                     + F.lit(0.5)
                 )
@@ -2705,7 +2715,8 @@ ORACLES: dict[str, str] = {
         ), m AS (
             SELECT p.src_id, p.tgt_id, p.c6,
                    floor((p.c6 * 2 * {_BITEXT_K})
-                         / greatest(da.dega6 + db.degb6, 1)
+                         / (CASE WHEN da.dega6 + db.degb6 = 0 THEN 1
+                                 ELSE da.dega6 + db.degb6 END)
                          * 1e6 + 0.5) / 1e6 AS margin
             FROM p JOIN da USING (src_id) JOIN db USING (tgt_id)
         ), best AS (

@@ -1754,8 +1754,11 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the product computed in DOUBLE on both engines (ADVICE r12): a group
     tied on either variable everywhere would otherwise hit 0/0 → NaN →
     a divergent BIGINT cast, and the int64 spelling of the guard itself
-    overflows ~n⁴/4 past ~80k rows/group if the sample cap is lifted —
-    (n0−tx)·(n0−ty) is exact in DOUBLE far beyond any real group."""
+    overflows ~n⁴/4 past ~80k rows/group if the sample cap is lifted.
+    The DOUBLE product is exact only while (n0−tx)·(n0−ty) < 2⁵³
+    (≈ groups under ~13k rows); past that it is the same IEEE-754
+    rounded multiply on both engines — deterministic cross-engine, with
+    relative error ≤ 2⁻⁵³ folded under the sqrt (ADVICE r13)."""
     docs = load(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",

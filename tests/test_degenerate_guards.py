@@ -167,12 +167,26 @@ CASES = [
         -1_000_000,
     ),
     (
-        # bitext_margin_mine: degree sums can be <= 0 (cosines are
-        # signed); greatest(dega6+degb6, 1) pins the degenerate margin
+        # bitext_margin_mine: degree sums are SIGNED top-K cosine sums;
+        # ADVICE r13 — only the exact-zero point (ANSI DIVIDE_BY_ZERO)
+        # is rewritten to 1, via CASE on both engines
         "bitext_zero_degree_sum",
-        "floor(CAST(100 * 2 * 5 AS DOUBLE) / greatest(0 + 0, 1)"
+        "floor(CAST(100 * 2 * 4 AS DOUBLE)"
+        " / (CASE WHEN 0 + 0 = 0 THEN 1 ELSE 0 + 0 END)"
         " * 1e6 + 0.5) / 1e6",
-        1000.0,
+        800.0,
+    ),
+    (
+        # bitext_margin_mine negative denominator (ADVICE r13): a
+        # legitimately negative degree sum must KEEP its sign — the old
+        # greatest(..., 1) guard rewrote it to 1, flipping the margin
+        # from negative (pair dropped by margin >= TAU) to large
+        # positive (pair kept). floor rounds toward -inf on both engines.
+        "bitext_negative_degree_sum_keeps_sign",
+        "floor(CAST(100 * 2 * 4 AS DOUBLE)"
+        " / (CASE WHEN -250 + -150 = 0 THEN 1 ELSE -250 + -150 END)"
+        " * 1e6 + 0.5) / 1e6",
+        -2.0,  # floor(-1999999.5) = -2000000 (floor is toward -inf)
     ),
     (
         # embedding_mmd_labels: one label entirely absent -> na*nb = 0
