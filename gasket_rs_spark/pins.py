@@ -1,0 +1,112 @@
+"""Witness → pytest-pin mapping for the rows-only class (VERDICT r13 #3).
+
+A rows-only witness (no ``oracle_sql()`` entry — approx sketches, LSH/ANN
+candidate paths, iterative PCA) gets only a row-count check from the
+driver, so its real evidence is a named pytest pin: a recall/error/capture
+floor, a merge-invariance property, or a pure-Python recompute. Until r13
+that mapping lived in COVERAGE.md prose, which nothing machine-checked — a
+new rows-only witness could ship pinless and the close would stay green.
+
+This table IS the machine-checked mapping: ``scripts/round_close.py``
+fails the close if any rows-only witness in the registry lacks an entry
+here, or if a listed pin id no longer collects under pytest. Each value is
+a tuple of pytest node ids; the FIRST is the primary evidence (the
+property a value hash can't see), the rest corroborate.
+
+Keep entries in registry-name order. When a witness gains a real oracle,
+delete its row (round_close flags leftovers as stale, non-fatally).
+"""
+
+from __future__ import annotations
+
+ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
+    # HLL-backed approx aggregates: relative-error bound vs the exact
+    # count at the registry's configured rsd / rank tolerance.
+    "approx_count_distinct": (
+        "tests/test_approx_bounds.py::test_approx_count_distinct_within_rsd",
+    ),
+    "approx_percentiles": (
+        "tests/test_approx_bounds.py::test_approx_percentiles_within_rank_tolerance",
+    ),
+    # LSH curation path: equal to the exact-twin pipeline modulo the
+    # pinned recall floor, with a plan assert (no cartesian).
+    "curation_pipeline_lsh": (
+        "tests/test_curation_lsh.py::test_equality_modulo_recall",
+        "tests/test_curation_lsh.py::test_no_cartesian_in_plan",
+    ),
+    # components-over-LSH-pairs: edge recall pinned via the MinHash
+    # floor; the clustering algebra pinned against a pure-Python
+    # union-find on random graphs.
+    "dedup_components_lsh": (
+        "tests/test_dedup_recall.py::test_minhash_lsh_recall_floor",
+        "tests/test_dedup_components.py::test_paths_agree_on_random_graph",
+    ),
+    "dedup_embedding_lsh": (
+        "tests/test_dedup_embedding_lsh.py::test_lsh_pairs_subset_of_exact_witness",
+        "tests/test_dedup_embedding_lsh.py::test_true_duplicates_are_captured",
+        "tests/test_dedup_embedding_lsh.py::test_candidate_volume_stays_subquadratic",
+    ),
+    "dedup_minhash_lsh": (
+        "tests/test_dedup_recall.py::test_minhash_lsh_recall_floor",
+        "tests/test_dedup_recall.py::test_minhash_band_layout_midpoint",
+    ),
+    "dedup_simhash": (
+        "tests/test_dedup_simhash.py::test_pigeonhole_completeness_exhaustive",
+        "tests/test_dedup_simhash.py::test_near_identical_docs_pair_up",
+        "tests/test_dedup_simhash.py::test_candidate_volume_stays_subquadratic",
+    ),
+    "dedup_simhash_paragraph": (
+        "tests/test_dedup_simhash.py::test_paragraph_simhash_planted_capture_floors",
+        "tests/test_dedup_simhash.py::test_paragraph_reorder_defeats_exact_substring_dedup",
+    ),
+    # Iterative power-method PCA: full pure-numpy recompute + self-
+    # consistency (orthonormality, explained-variance ordering).
+    "embedding_pca": (
+        "tests/test_similarity_recall.py::test_pca_matches_pure_numpy_and_is_self_consistent",
+    ),
+    "embedding_pq_distortion": (
+        "tests/test_similarity_recall.py::test_pq_beats_single_centroid_baseline",
+    ),
+    "semantic_dedup_clustered": (
+        "tests/test_similarity_recall.py::test_semdedup_clustered_floors",
+    ),
+    # ANN family: recall@1 floors vs the brute-force twin, plus the
+    # structural guarantees (probe-all == brute; bounded candidates).
+    "similarity_ann_ivf": (
+        "tests/test_similarity_recall.py::test_ann_recall_floor[ivf]",
+        "tests/test_similarity_recall.py::test_ivf_probe_all_cells_equals_brute_force",
+    ),
+    "similarity_ann_ivf_trained": (
+        "tests/test_similarity_recall.py::test_ann_recall_floor[ivf_trained]",
+        "tests/test_similarity_recall.py::test_ivf_candidate_fraction_tracks_n_probe",
+    ),
+    "similarity_ann_lsh": (
+        "tests/test_similarity_recall.py::test_ann_recall_floor[lsh]",
+        "tests/test_similarity_recall.py::test_ann_lsh_scores_fraction_of_corpus",
+    ),
+    # Sketches: error bound vs exact + merge invariance under resharding.
+    "sketch_hll_distinct": (
+        "tests/test_sketches.py::test_hll_distinct_within_rse",
+        "tests/test_sketches.py::test_hll_merge_is_batch_invariant",
+    ),
+    "sketch_theta_overlap": (
+        "tests/test_sketches.py::test_theta_overlap_within_error",
+    ),
+}
+
+
+def rows_only_pin_audit(
+    queries: dict, oracles: dict, pins: dict[str, tuple[str, ...]]
+) -> tuple[list[str], list[str], dict[str, tuple[str, ...]]]:
+    """Pure audit used by round_close and tests/test_rotation.py.
+
+    Returns ``(missing, stale, mapping)``: rows-only witnesses with no
+    pin entry (close-FAILING), pin entries whose witness is no longer
+    rows-only (informational), and the effective mapping for the current
+    rows-only set.
+    """
+    rows_only = sorted(set(queries) - set(oracles))
+    missing = [n for n in rows_only if not pins.get(n)]
+    stale = sorted(set(pins) - set(rows_only))
+    mapping = {n: pins[n] for n in rows_only if pins.get(n)}
+    return missing, stale, mapping

@@ -32,6 +32,12 @@ Checks (all complete in seconds — no SparkSession):
      (gen_registry_order.py): the steady-state bound once the
      never-checked backlog is gone; exceeding it means the rotation
      itself is broken.
+  8. Rows-only pin gate (VERDICT r13 #3) — every witness WITHOUT an
+     oracle_sql() entry must map to at least one pytest pin in
+     gasket_rs_spark/pins.py, and every listed pin must still collect
+     under pytest. A value hash can't see these witnesses' properties;
+     the named pin is their entire evidence, so a pinless rows-only
+     witness fails the close.
 
 Usage: python scripts/round_close.py [round]
   round defaults to max(CORRECTNESS_r*) + 1 (the round being closed).
@@ -234,6 +240,47 @@ def check_evidence_debt(rnd: int) -> bool:
     return not grew
 
 
+def check_rows_only_pins() -> bool:
+    """VERDICT r13 #3: the rows-only witnesses are the thinnest slice of
+    the evidence wall — their recall/error/capture pins existed but
+    nothing machine-checked the witness→pin mapping, so a new rows-only
+    witness could ship pinless unnoticed. Fail the close when (a) any
+    rows-only witness lacks an entry in gasket_rs_spark/pins.py, or
+    (b) any listed pin id no longer collects under pytest (renamed or
+    deleted test). Stale entries (witness gained an oracle) are printed
+    but non-fatal."""
+    from gasket_rs_spark.pins import ROWS_ONLY_PINS, rows_only_pin_audit
+    from gasket_rs_spark.registry import collect_raw
+
+    queries, oracles = collect_raw()
+    missing, stale, mapping = rows_only_pin_audit(
+        queries, oracles, ROWS_ONLY_PINS
+    )
+    print(f"--- rows-only pins: {len(mapping)} witnesses mapped")
+    for name, pins in sorted(mapping.items()):
+        print(f"      {name} -> {pins[0]}"
+              + (f" (+{len(pins) - 1} corroborating)" if len(pins) > 1 else ""))
+    if stale:
+        print(f"--- rows-only pins: note — stale entries (witness now "
+              f"oracled or absent): {stale}")
+    if missing:
+        print(f"--- rows-only pins: FAIL — rows-only witnesses WITHOUT a "
+              f"pytest pin: {missing} (add to gasket_rs_spark/pins.py)")
+        return False
+    all_pins = sorted({p for pins in mapping.values() for p in pins})
+    collect = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", *all_pins],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if collect.returncode != 0:
+        tail = "\n".join(collect.stdout.strip().splitlines()[-5:])
+        print(f"--- rows-only pins: FAIL — pin id(s) no longer collect "
+              f"under pytest (rc={collect.returncode}):\n{tail}")
+        return False
+    print(f"--- rows-only pins: OK ({len(all_pins)} pin ids all collect)")
+    return True
+
+
 def main() -> int:
     from gen_registry_order import available_rounds
 
@@ -243,6 +290,7 @@ def main() -> int:
     ok &= run("fast-tests", [sys.executable, "-m", "pytest", "-q", *FAST_TESTS])
     ok &= check_localverify(rnd)
     ok &= check_evidence_debt(rnd)
+    ok &= check_rows_only_pins()
     print(f"\nround_close r{rnd}: {'GREEN — safe to snapshot' if ok else 'RED — do not snapshot'}")
     return 0 if ok else 1
 

@@ -97,6 +97,56 @@ def test_evidence_age_gate():
     assert not over, (max_age, over[:5])
 
 
+def test_rows_only_pin_gate():
+    """VERDICT r13 #3: every rows-only witness (no oracle_sql entry) must
+    map to at least one pytest pin in gasket_rs_spark/pins.py — a value
+    hash can't see these witnesses' properties, so the named pin is their
+    entire evidence. Exercised on synthetic inputs (missing/stale
+    detection) AND on the real registry, which must be fully mapped with
+    every pin id resolvable to a real test function."""
+    import re
+
+    from gasket_rs_spark.pins import ROWS_ONLY_PINS, rows_only_pin_audit
+    from gasket_rs_spark.registry import collect_raw
+
+    # synthetic: b is rows-only and unmapped -> missing; z is mapped but
+    # not rows-only (gained an oracle) -> stale, never missing
+    q = {"a": None, "b": None, "z": None}
+    o = {"z": "SELECT 1"}
+    pins = {"a": ("tests/t.py::test_a",), "z": ("tests/t.py::test_z",)}
+    missing, stale, mapping = rows_only_pin_audit(q, o, pins)
+    assert missing == ["b"]
+    assert stale == ["z"]
+    assert mapping == {"a": ("tests/t.py::test_a",)}
+    # an empty tuple counts as unmapped, not mapped
+    missing, _, _ = rows_only_pin_audit({"a": None}, {}, {"a": ()})
+    assert missing == ["a"]
+
+    # real registry: fully mapped, nothing stale
+    queries, oracles = collect_raw()
+    missing, stale, mapping = rows_only_pin_audit(
+        queries, oracles, ROWS_ONLY_PINS
+    )
+    assert not missing, f"rows-only witnesses without a pin: {missing}"
+    assert not stale, f"stale pin entries: {stale}"
+    assert set(mapping) == set(queries) - set(oracles)
+
+    # every pin id must point at a test function that exists (static
+    # check — round_close additionally runs pytest --collect-only)
+    for name, pin_ids in mapping.items():
+        assert pin_ids, name
+        for pid in pin_ids:
+            path, _, rest = pid.partition("::")
+            func = rest.split("[", 1)[0]
+            fpath = os.path.join(REPO, path)
+            assert os.path.exists(fpath), (name, pid)
+            with open(fpath) as f:
+                src = f.read()
+            assert re.search(rf"^def {re.escape(func)}\(", src, re.M), (
+                name, pid,
+            )
+
+
 def test_driver_artifact_drop_does_not_fail_suite():
     """Self-healing rule (VERDICT r7 #2): a new CORRECTNESS_r{N}.json
     appearing at round end — rounds not in registry_order.ROUNDS — must
