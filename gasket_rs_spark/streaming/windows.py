@@ -325,7 +325,91 @@ def q_stream_full_outer_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_right_outer_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-OUTER watermarked stream-stream interval join, simulated
+    deterministically in batch (VERDICT r13 #4) — the oracle twin of
+    ``stream.interval_join_streams_right_outer``, making the
+    interval-join sim family total (inner / left / right / full).
+
+    Same replay conditions and global watermark wm = min-of-sides max
+    event time − horizon as the left/full-outer sims. Only the CLICK
+    side null-extends here, at the threshold the full-outer sim derived
+    for right-side state: an unmatched click at cts null-extends iff
+    cts < wm − horizon (it could only match purchases with
+    pts ∈ [cts, cts + horizon], all below the watermark by then);
+    newer unmatched clicks stay in state and are withheld when the
+    stream ends. Pinned bit-equal to the real streaming emission by
+    tests/test_streaming.py::test_right_outer_join_sim_matches_streaming;
+    the one-sided-input guard applies identically (wm NULL unless both
+    sides produced data — no null-extensions then).
+
+    Scale: one equi-join on user_id with the interval as a residual
+    range predicate + one broadcast watermark scalar — no windows, no
+    driver loop, state bounded by horizon + watermark exactly as the
+    real stream's would be."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.expr("unix_millis(ts)")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ms").alias("cts_ms"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("pts_ms"),
+    )
+    wm = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts_ms").alias("mx"))
+        .agg(
+            F.when(
+                F.count("*") == 2, F.min("mx") - F.lit(_LOJ_HORIZON_MS)
+            ).alias("wm_ms")
+        )
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts_ms") <= F.col("pts_ms"))
+        & (F.col("cts_ms") >= F.col("pts_ms") - F.lit(_LOJ_HORIZON_MS))
+    )
+    return (
+        p.join(c, cond, "right")
+        .crossJoin(F.broadcast(wm))
+        .where(
+            F.col("purchase_id").isNotNull()
+            | (F.col("cts_ms") < F.col("wm_ms") - F.lit(_LOJ_HORIZON_MS))
+        )
+        .select("purchase_id", "click_id", F.col("cu").alias("c_user"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_right_outer_join_sim": """
+        WITH c AS (
+            SELECT user_id AS cu, event_id AS click_id, epoch_ms(ts) AS cts_ms
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id AS pu, event_id AS purchase_id,
+                   epoch_ms(ts) AS pts_ms
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            -- NULL unless both sides present (see the Spark twin)
+            SELECT CASE WHEN count(*) = 2 THEN min(mx) - 3600000 END AS wm_ms
+            FROM (
+                SELECT event_type, max(epoch_ms(ts)) AS mx FROM events
+                WHERE event_type IN ('click', 'purchase') GROUP BY 1
+            )
+        )
+        SELECT p.purchase_id, c.click_id, c.cu AS c_user
+        FROM p RIGHT JOIN c
+          ON c.cu = p.pu AND c.cts_ms <= p.pts_ms
+         AND c.cts_ms >= p.pts_ms - 3600000, wm
+        WHERE p.purchase_id IS NOT NULL
+           OR c.cts_ms < wm.wm_ms - 3600000
+    """,
     "stream_left_outer_join_sim": """
         WITH c AS (
             SELECT user_id AS cu, event_id AS click_id, epoch_ms(ts) AS cts_ms

@@ -734,6 +734,68 @@ def test_left_outer_join_sim_matches_streaming(spark, sf_dir):
     assert 0 < n_nulls < n_unmatched
 
 
+def test_right_outer_join_sim_matches_streaming(spark, sf_dir):
+    """The right-outer batch-sim twin (VERDICT r13 #4) must bit-match the
+    REAL right-outer watermarked stream-stream join's emission under the
+    repo's replay conditions: same matched pairs, same null-extended
+    clicks (cts < wm - horizon — the right-side eviction threshold the
+    full-outer pin already validated), same withheld past-watermark click
+    tail; purchases never null-extend in this variant."""
+    from gasket_rs_spark.streaming.stream import (
+        events_file_stream,
+        interval_join_streams_right_outer,
+        run_to_memory_sink,
+    )
+    from gasket_rs_spark.streaming.windows import q_stream_right_outer_join_sim
+
+    clicks = events_file_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams_right_outer(clicks, purchases)
+    run_to_memory_sink(joined, "ss_roj_sim_pin", output_mode="append", timeout_sec=180)
+    key = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+    streamed = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["c_user"])
+            for r in spark.table("ss_roj_sim_pin").collect()
+        ),
+        key=key,
+    )
+    sim = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["c_user"])
+            for r in q_stream_right_outer_join_sim(spark, sf_dir).collect()
+        ),
+        key=key,
+    )
+    assert sim == streamed
+    # fixture exercises every emission class for this variant: matched
+    # pairs, null-extended clicks, a nonempty withheld click tail, and
+    # no null-purchase row ever carries a null click
+    from gasket_rs_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    assert all(cid is not None for _, cid, _ in sim)
+    matched_c = {cid for pid, cid, _ in sim if pid is not None}
+    null_c = sum(1 for pid, cid, _ in sim if pid is None)
+    unmatched_c = ev.where(F.col("event_type") == "click").count() - len(matched_c)
+    assert 0 < null_c < unmatched_c
+    # cross-family consistency: the right-outer emission is exactly the
+    # full-outer emission minus the null-extended purchases
+    from gasket_rs_spark.streaming.windows import q_stream_full_outer_join_sim
+
+    foj = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["join_user"])
+            for r in q_stream_full_outer_join_sim(spark, sf_dir).collect()
+            if r["click_id"] is not None
+        ),
+        key=key,
+    )
+    assert foj == sim
+
+
 def test_full_outer_join_sim_matches_streaming(spark, sf_dir):
     """The full-outer batch-sim twin (VERDICT r12 #3) must bit-match the
     REAL full-outer watermarked stream-stream join's emission under the
