@@ -2046,21 +2046,33 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sst12"),
     )
+    # Third guard audit (r14): sst12 = 0 on a CONSTANT series (every
+    # day's count equal — e.g. exactly one event per day) is legal, and
+    # Spark's ANSI session raises DIVIDE_BY_ZERO on the double division
+    # (DuckDB would return NULL). A constant series has no measurable
+    # seasonality: strength = 0 by the Hyndman convention, spelled as an
+    # explicit zero-case CASE on both engines (greatest(sst12, 1) would
+    # instead read 1 − 0/1 = full strength — the wrong direction).
     strength = (
         resid.agg(F.sum("ssr12_d").cast("bigint").alias("ssr12"))
         .crossJoin(F.broadcast(tot))
         .select(
-            F.greatest(
-                F.floor(
-                    (
-                        F.lit(1.0)
-                        - F.col("ssr12").cast("double") / F.col("sst12").cast("double")
-                    )
-                    * 1e6
-                    + F.lit(0.5)
-                ).cast("bigint"),
-                F.lit(0).cast("bigint"),
-            ).alias("strength6")
+            F.when(F.col("sst12") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.greatest(
+                    F.floor(
+                        (
+                            F.lit(1.0)
+                            - F.col("ssr12").cast("double")
+                            / F.col("sst12").cast("double")
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    ).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+            )
+            .alias("strength6")
         )
     )
     return (
@@ -2790,10 +2802,12 @@ ORACLES: dict[str, str] = {
                         AS BIGINT) AS sst12
             FROM grid
         ), strength AS (
-            SELECT greatest(
+            -- constant series (sst12 = 0): strength 0 by convention;
+            -- unguarded, Spark raises DIVIDE_BY_ZERO (r14 guard audit)
+            SELECT CASE WHEN sst12 = 0 THEN 0 ELSE greatest(
                 CAST(floor((1.0 - CAST(sum(ssr12_d) AS DOUBLE)
                                   / CAST(sst12 AS DOUBLE)) * 1e6 + 0.5)
-                     AS BIGINT), 0) AS strength6
+                     AS BIGINT), 0) END AS strength6
             FROM resid CROSS JOIN tot
             GROUP BY sst12
         )

@@ -2227,12 +2227,20 @@ def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ida", "la")
         .agg(F.min("m").alias("b_m"))
     )
+    # Third guard audit (r14): max(a_m, b_m) = 0 is legal — duplicate
+    # vectors across labels make every sampled distance 0 — and Spark's
+    # ANSI session raises DIVIDE_BY_ZERO on it (DuckDB: NULL). The
+    # 1e-12 floor (far below any real mean distance) makes the
+    # degenerate point read s = (0 − 0)/1e-12 = 0, matching sklearn's
+    # silhouette convention (s := 0 when max(a, b) = 0); a_m/b_m are
+    # mean squared distances, non-negative by construction, so the
+    # greatest() floor cannot flip a sign (the bitext lesson).
     s = a_side.join(b_side, ["ida", "la"]).select(
         "ida",
         "la",
         F.floor(
             (F.col("b_m") - F.col("a_m"))
-            / F.greatest(F.col("a_m"), F.col("b_m"))
+            / F.greatest(F.col("a_m"), F.col("b_m"), F.lit(1e-12))
             * 1e6
             + F.lit(0.5)
         )
@@ -2594,7 +2602,8 @@ ORACLES: dict[str, str] = {
             WHERE la <> lb GROUP BY 1, 2
         ), s AS (
             SELECT a.ida, a.la,
-                   CAST(floor((b.b_m - a.a_m) / greatest(a.a_m, b.b_m)
+                   CAST(floor((b.b_m - a.a_m)
+                              / greatest(a.a_m, b.b_m, 1e-12)
                               * 1e6 + 0.5) AS BIGINT) AS s6
             FROM a_side a JOIN b_side b ON a.ida = b.ida AND a.la = b.la
         )

@@ -639,7 +639,17 @@ def q_mixture_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cap_tokens",
         "capped",
         snap6(alloc_raw).alias("alloc_tokens"),
-        snap6(alloc_raw / F.col("n_tokens")).alias("epochs"),
+        # Third guard audit (r14): n_tokens counts NON-EMPTY whitespace
+        # tokens (the filtered-split spelling), so a stratum whose docs
+        # are all empty reads 0 — legal, and Spark's ANSI session raises
+        # DIVIDE_BY_ZERO (DuckDB: NULL). greatest(, 1) pins the
+        # degenerate stratum at epochs = alloc (its alloc is 0 anyway:
+        # cap_tokens = 0 and an all-capped board short-circuits the
+        # uncapped branch); n_tokens >= 0 by construction, so the
+        # greatest() floor cannot flip a sign.
+        snap6(alloc_raw / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "epochs"
+        ),
     )
 
 
@@ -3421,7 +3431,8 @@ ORACLES: dict[str, str] = {
                            ELSE (budget - s_cap) / k_un END) * 1e6 + 0.5)
                    / 1e6 AS alloc_tokens,
                floor((CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
-                           ELSE (budget - s_cap) / k_un END) / n_tokens
+                           ELSE (budget - s_cap) / k_un END)
+                     / greatest(n_tokens, 1)
                      * 1e6 + 0.5) / 1e6 AS epochs
         FROM flagged CROSS JOIN pools
     """,

@@ -232,6 +232,35 @@ CASES = [
         "CAST(0 AS DOUBLE) / CAST(greatest(0, 1) AS DOUBLE) >= 0.6",
         False,
     ),
+    (
+        # seasonal_strength (r14 third audit): a CONSTANT daily-count
+        # series has sst12 = 0 (ssr12 = 0 too); the zero-case CASE pins
+        # strength 0 — the Hyndman convention — instead of Spark's ANSI
+        # DIVIDE_BY_ZERO (greatest(sst,1) would read FULL strength)
+        "seasonal_strength_constant_series",
+        "CASE WHEN 0 = 0 THEN 0 ELSE greatest(CAST(floor((1.0"
+        " - CAST(0 AS DOUBLE) / CAST(0 AS DOUBLE)) * 1e6 + 0.5)"
+        " AS BIGINT), 0) END",
+        0,
+    ),
+    (
+        # silhouette_score (r14 third audit): duplicate vectors across
+        # labels -> a_m = b_m = 0 -> max(a, b) = 0; the 1e-12 floor pins
+        # s = 0 (sklearn's convention) on both engines
+        "silhouette_all_zero_distances",
+        "CAST(floor((0.0 - 0.0) / greatest(0.0, 0.0, 1e-12)"
+        " * 1e6 + 0.5) AS BIGINT)",
+        0,
+    ),
+    (
+        # mixture_unimax_waterfill epochs (r14 third audit): a stratum
+        # of all-empty docs has n_tokens = 0 (filtered-split spelling);
+        # its alloc is 0 (cap_tokens = 0), so guarded epochs read 0
+        "unimax_empty_stratum_epochs",
+        "floor((CASE WHEN TRUE THEN CAST(0 AS DOUBLE)"
+        " ELSE (0 - 0) / 0 END) / greatest(0, 1) * 1e6 + 0.5) / 1e6",
+        0.0,
+    ),
 ]
 
 
