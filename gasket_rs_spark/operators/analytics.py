@@ -1384,7 +1384,14 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lag").cast("bigint").alias("lag"),
             "num",
             "den_ss",
-            F.expr("num * 1000000 div den_ss").cast("bigint").alias("acf6"),
+            # Third guard audit (r14): a CONSTANT daily-count series has
+            # y = 0 everywhere -> den_ss = 0 (num = 0 too); unguarded,
+            # Spark's ANSI `div 0` raises and DuckDB's `// 0` NULLs.
+            # greatest(, 1) pins the degenerate ACF at 0 on both engines
+            # (den_ss is a sum of squares, >= 0 — no sign to flip).
+            F.expr("num * 1000000 div greatest(den_ss, 1)")
+            .cast("bigint")
+            .alias("acf6"),
         )
         .orderBy("lag")
     )
@@ -3205,7 +3212,8 @@ ORACLES: dict[str, str] = {
             GROUP BY lag
         )
         SELECT CAST(lag AS BIGINT) AS lag, num, den_ss,
-               CAST(num * 1000000 // den_ss AS BIGINT) AS acf6
+               -- constant series: den_ss = 0 (r14 guard audit)
+               CAST(num * 1000000 // greatest(den_ss, 1) AS BIGINT) AS acf6
         FROM num CROSS JOIN den
         ORDER BY lag
     """,

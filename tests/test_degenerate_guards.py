@@ -253,6 +253,15 @@ CASES = [
         0,
     ),
     (
+        # acf_daily (r14 third audit): a CONSTANT daily-count series has
+        # centered y = 0 everywhere -> den_ss = 0 and num = 0; unguarded
+        # Spark `div 0` raises, DuckDB `// 0` NULLs — guarded, acf = 0
+        # (portable spelling: num = 0, so / == div == // here)
+        "acf_constant_series",
+        "CAST(0 * 1000000 / greatest(0, 1) AS BIGINT)",
+        0,
+    ),
+    (
         # mixture_unimax_waterfill epochs (r14 third audit): a stratum
         # of all-empty docs has n_tokens = 0 (filtered-split spelling);
         # its alloc is 0 (cap_tokens = 0), so guarded epochs read 0
