@@ -8,7 +8,11 @@ passes so persisted sketch bases don't turn later passes into warm-cache
 reads); per-query minima ride along as "queries_min". Rationale: round
 4's no-change round was an A/A experiment — identical code swung ±33%
 per query under single-pass timing, so medians are the floor for any
-cross-round performance claim.
+cross-round performance claim. Since round 15, passes metered dirty
+(co-tenant CPU above CLEAN_PASS_EXTERNAL_CORES) are retried — up to
+HEADLINE_MAX_EXTRA_PASSES extra passes until HEADLINE_TARGET_CLEAN are
+clean — and the committed stats come from the first 3 clean passes
+(identical to the historical median-of-3 on a quiet box).
 
 The headline set spans every operator family (relational, windows, as-of,
 dedup incl. MinHash-LSH + banded SimHash + LSH-fed components, similarity,
@@ -337,7 +341,18 @@ def _cpu_totals() -> tuple[float, float]:
     and once reaped its full total moves into the parent's cutime.
     Residual conservative bias: a session child reparented to init
     before exiting (double-fork orphan) is still lost — none of the
-    session's processes spawn that way today."""
+    session's processes spawn that way today.
+
+    Residual OPTIMISTIC bias (ADVICE r14), the mirror of the above:
+    cutime folding assumes every reaped child ran in THIS session. A
+    session process that spawns a child with ``start_new_session=True``
+    (its own sid) and reaps it mid-pass would move that child's
+    genuinely-external CPU into the own-session sum, letting a dirty
+    pass read clean. No bench-session code spawns setsid children
+    (pyspark's worker tree forks plain same-session children);
+    tests/test_bench_meter.py pins this statically (no
+    start_new_session/setsid call sites in bench.py) and pins the
+    sibling-session attribution direction empirically."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
@@ -366,6 +381,84 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 # A pass is CLEAN when external (non-session) CPU averaged <= this many
 # cores over the pass — same scale as the 0.5 load-gate threshold.
 CLEAN_PASS_EXTERNAL_CORES = 0.5
+
+# Dirty-headline-pass retry budget (VERDICT r14 #2): the r14 close ran
+# 2 of 3 headline passes under co-tenant load, so the committed min
+# rested on a single clean pass. After the base passes, up to this many
+# EXTRA passes run while fewer than HEADLINE_TARGET_CLEAN passes are
+# clean — the close self-heals on a transiently loaded box instead of
+# carrying a one-support floor. When the box never goes quiet the run
+# still terminates at base+retry passes and the detail records it.
+HEADLINE_BASE_PASSES = 3
+HEADLINE_MAX_EXTRA_PASSES = 2
+HEADLINE_TARGET_CLEAN = 2
+
+
+def _headline_pass_wanted(
+    clean_flags: list[bool],
+    base: int = HEADLINE_BASE_PASSES,
+    max_extra: int = HEADLINE_MAX_EXTRA_PASSES,
+    target_clean: int = HEADLINE_TARGET_CLEAN,
+) -> bool:
+    """True when another headline pass should run, given the clean/dirty
+    status of the passes completed so far. Pure (pinned in
+    tests/test_bench_meter.py): always run the base passes; then retry
+    only while clean passes are short of target and the extra budget
+    remains."""
+    done = len(clean_flags)
+    if done < base:
+        return True
+    if done >= base + max_extra:
+        return False
+    return sum(clean_flags) < target_clean
+
+
+def _headline_sample_passes(
+    clean_flags: list[bool],
+    target_clean: int = HEADLINE_TARGET_CLEAN,
+    keep: int = HEADLINE_BASE_PASSES,
+) -> tuple[list[int], bool]:
+    """Which passes the committed median/min are computed over, and
+    whether that sample is co-tenant-polluted. With >= target_clean
+    clean passes, the sample is the first `keep` CLEAN passes (on a
+    quiet box this is exactly the historical median-of-3, so the series
+    stays comparable); otherwise every pass is kept and the stats are
+    flagged dirty so no cross-round claim rests on them unnoticed.
+    Pure (pinned in tests/test_bench_meter.py)."""
+    clean = [i for i, c in enumerate(clean_flags) if c]
+    if len(clean) >= target_clean:
+        return clean[:keep], False
+    return list(range(len(clean_flags))), True
+
+
+def _extras_commit(
+    extras_samples: dict, pass_clean: list[bool]
+) -> tuple[dict, dict, bool]:
+    """Committed (extras, extras_min, stamp_clean) from the per-pass
+    samples and per-pass clean flags (ADVICE r14). All passes clean:
+    first-pass cold value + min-of-all, stamp clean (historical
+    behavior). SOME passes clean: the first clean pass's sample is the
+    cold value, min over clean passes only, stamp clean — one co-tenant
+    burst neither pollutes the committed numbers nor forces a blanket
+    re-time (clear_caches runs between passes, so every pass is
+    cache-cold; only JVM warm-up differs). NO pass clean: fall back to
+    the historical values, stamp False so _extras_plan re-times next
+    run. Pure (pinned in tests/test_bench_meter.py)."""
+    clean_i = [i for i, c in enumerate(pass_clean) if c]
+    if not clean_i:
+        return (
+            {n: round(ts[0], 3) for n, ts in extras_samples.items()},
+            {n: round(min(ts), 3) for n, ts in extras_samples.items()},
+            False,
+        )
+    return (
+        {n: round(ts[clean_i[0]], 3) for n, ts in extras_samples.items()},
+        {
+            n: round(min(ts[j] for j in clean_i), 3)
+            for n, ts in extras_samples.items()
+        },
+        True,
+    )
 
 
 class _PassMeter:
@@ -566,13 +659,22 @@ def main() -> None:
     # swings) proved single-pass timings are session noise — no cross-round
     # per-query delta is interpretable without a robust estimator. Witness
     # mode stays single-pass (quadratic queries, excluded from all claims).
-    passes = 1 if witness_mode else 3
+    # Headline mode self-heals on a loaded box (VERDICT r14 #2): after the
+    # base passes, dirty passes are retried (bounded by
+    # HEADLINE_MAX_EXTRA_PASSES) until HEADLINE_TARGET_CLEAN passes are
+    # clean, so the committed floor never again rests on one clean pass
+    # when the box merely had a transient co-tenant burst.
     from gasket_rs_spark.session import clear_caches
 
     samples: dict[str, list[float]] = {name: [] for name in names}
     pass_loads: list[dict] = []
     meter = _PassMeter()
-    for _ in range(passes):
+    headline_flags: list[bool] = []
+    while (
+        len(headline_flags) < 1
+        if witness_mode
+        else _headline_pass_wanted(headline_flags)
+    ):
         # Sketch bases persist per invocation and Spark's CacheManager
         # dedups identical plans — without this, passes 2-3 would time
         # warm cache reads, not the query.
@@ -585,17 +687,35 @@ def main() -> None:
             # Catalyst prune projections and under-measure).
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-        pass_loads.append({"phase": "headline", **meter.stop()})
+        pl = {"phase": "headline", **meter.stop()}
+        pass_loads.append(pl)
+        headline_flags.append(pl["clean"])
+    passes = len(headline_flags)
 
-    timings = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
-    timings_min = {n: round(min(ts), 3) for n, ts in samples.items()}
+    # Committed median/min are computed over the SAMPLE passes: the first
+    # (up to) 3 clean passes when >= 2 are clean — identical to the
+    # historical median-of-3 on a quiet box — else all passes, flagged
+    # dirty (headline_stats_on_dirty) so no cross-round claim rests on a
+    # co-tenant-polluted median unnoticed.
+    sample_idx, stats_on_dirty = (
+        (list(range(passes)), False)
+        if witness_mode
+        else _headline_sample_passes(headline_flags)
+    )
+    timings = {
+        n: round(sorted(ts[i] for i in sample_idx)[len(sample_idx) // 2], 3)
+        for n, ts in samples.items()
+    }
+    timings_min = {
+        n: round(min(ts[i] for i in sample_idx), 3) for n, ts in samples.items()
+    }
     # min over CLEAN passes only (VERDICT r12 #4): r12's run passed the
     # pre-flight gate but got co-tenanted mid-run, and adjudicating the
     # polluted dedup-family numbers took a manual quiet-box A/B. With
     # per-pass external-CPU annotation, min-of-clean-passes is mechanical;
     # when NO pass is clean the fallback is the plain min, flagged so no
     # cross-round claim rests on it unnoticed.
-    clean_idx = [i for i, pl in enumerate(pass_loads) if pl["clean"]]
+    clean_idx = [i for i, c in enumerate(headline_flags) if c]
     timings_clean_min = {
         n: round(min(ts[i] for i in clean_idx), 3)
         for n, ts in samples.items()
@@ -619,22 +739,23 @@ def main() -> None:
                 ).save()
                 extras_samples[name].append(time.perf_counter() - t0)
             pass_loads.append({"phase": "extras", **meter.stop()})
-        # first pass = the r8/r9-comparable cold value; min = robust floor
-        extras.update({n: round(ts[0], 3) for n, ts in extras_samples.items()})
-        extras_min.update(
-            {n: round(min(ts), 3) for n, ts in extras_samples.items()}
-        )
         # ADVICE r13: headline clean-gating didn't reach the extras phase —
         # a co-tenant arriving during extras polluted timings that then
         # carried forward for up to EXTRAS_RETIME_AGE rounds unflagged.
         # Stamp each retimed entry with its passes' clean status; a False
         # stamp forces a re-time on the next run (see _extras_plan).
+        # ADVICE r14: with exactly one dirty pass the committed values
+        # come from the clean pass instead (see _extras_commit).
         extras_pass_clean = [
             pl["clean"] for pl in pass_loads if pl["phase"] == "extras"
         ]
-        extras_all_clean = all(extras_pass_clean)
+        committed, committed_min, stamp_clean = _extras_commit(
+            extras_samples, extras_pass_clean
+        )
+        extras.update(committed)
+        extras_min.update(committed_min)
         for n in to_time:
-            extras_meta[n]["clean"] = extras_all_clean
+            extras_meta[n]["clean"] = stamp_clean
 
     if witness_mode:
         out = {
@@ -683,6 +804,14 @@ def main() -> None:
             ),
             "clean_passes": len(clean_idx),
             "clean_min_is_fallback": not clean_idx,
+            # VERDICT r14 #2 retry bookkeeping: how many headline passes
+            # ran beyond the base 3 (dirty-pass retries), which pass
+            # indices the committed median/min were computed over, and
+            # whether that sample is co-tenant-polluted (fewer than
+            # HEADLINE_TARGET_CLEAN clean passes even after retries).
+            "headline_extra_passes": passes - HEADLINE_BASE_PASSES,
+            "headline_sample_passes": sample_idx,
+            "headline_stats_on_dirty": stats_on_dirty,
             # Per-pass co-tenancy bracket: loadavg + external core-seconds
             # (host busy CPU minus this session's own), phase-tagged.
             "pass_loads": pass_loads,

@@ -32,7 +32,13 @@ Checks (all complete in seconds — no SparkSession):
      (gen_registry_order.py): the steady-state bound once the
      never-checked backlog is gone; exceeding it means the rotation
      itself is broken.
-  8. Rows-only pin gate (VERDICT r13 #3) — every witness WITHOUT an
+  8. Rotation-capacity gate (VERDICT r14 #3) — ceil(catalog / driver
+     window) must not exceed MAX_DRIVER_AGE: at 355 witnesses / 50-entry
+     window the full-refresh period is exactly 8 = the cap (zero slack),
+     so the gate catches catalog growth past capacity at the round that
+     adds the witness, not rounds later when the age gate starts failing
+     with no code change.
+  9. Rows-only pin gate (VERDICT r13 #3) — every witness WITHOUT an
      oracle_sql() entry must map to at least one pytest pin in
      gasket_rs_spark/pins.py, and every listed pin must still collect
      under pytest. A value hash can't see these witnesses' properties;
@@ -240,6 +246,44 @@ def check_evidence_debt(rnd: int) -> bool:
     return not grew
 
 
+def rotation_capacity(
+    catalog_size: int, window: int, max_age: int
+) -> tuple[int, bool]:
+    """(full-refresh period in rounds, within-capacity?) — the r15
+    capacity rule (VERDICT r14 #3). With a catalog of N witnesses and a
+    W-entry driver window, perfect rotation re-checks every witness only
+    every ceil(N/W) rounds; if that period exceeds MAX_DRIVER_AGE the
+    age gate WILL eventually fail with no code change — the catalog has
+    outgrown the rotation. At r14 state (355/50, cap 8) the period is
+    exactly 8: zero slack, so ANY catalog growth must first widen the
+    window or renegotiate the cap."""
+    period = -(-catalog_size // window)  # ceil
+    return period, period <= max_age
+
+
+def check_rotation_capacity() -> bool:
+    """Fail the close when ceil(catalog / driver-window) exceeds
+    MAX_DRIVER_AGE — BEFORE the age gate starts failing rounds later,
+    at the moment the witness that broke capacity is added."""
+    from check_rotation import WINDOW
+    from gen_registry_order import MAX_DRIVER_AGE
+    from gasket_rs_spark.registry_order import ORDER
+
+    period, ok = rotation_capacity(len(ORDER), WINDOW, MAX_DRIVER_AGE)
+    print(
+        f"--- rotation-capacity: catalog {len(ORDER)} / window {WINDOW} "
+        f"-> full-refresh period {period} rounds vs MAX_DRIVER_AGE "
+        f"{MAX_DRIVER_AGE} — "
+        + ("OK" + (" (ZERO slack: any catalog growth requires widening "
+                   "the window or raising the cap first)"
+                   if period == MAX_DRIVER_AGE else "")
+           if ok else
+           "FAIL — the catalog has outgrown the rotation; widen the "
+           "driver window or raise MAX_DRIVER_AGE before adding witnesses")
+    )
+    return ok
+
+
 def check_rows_only_pins() -> bool:
     """VERDICT r13 #3: the rows-only witnesses are the thinnest slice of
     the evidence wall — their recall/error/capture pins existed but
@@ -290,6 +334,7 @@ def main() -> int:
     ok &= run("fast-tests", [sys.executable, "-m", "pytest", "-q", *FAST_TESTS])
     ok &= check_localverify(rnd)
     ok &= check_evidence_debt(rnd)
+    ok &= check_rotation_capacity()
     ok &= check_rows_only_pins()
     print(f"\nround_close r{rnd}: {'GREEN — safe to snapshot' if ok else 'RED — do not snapshot'}")
     return 0 if ok else 1

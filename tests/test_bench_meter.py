@@ -104,6 +104,13 @@ def test_sibling_session_burn_is_external_but_own_is_not():
     count the sibling's work as external — the attribution direction that
     makes dirty-pass marking work at all — while (b) still not counting
     this session's own concurrent burn as external."""
+    # ADVICE r14: the test burns ~1 own core while the sibling burns ~1;
+    # on a 1-2 CPU box the scheduler can squeeze the sibling's share to
+    # ~0.5 cores, putting assert (a) exactly at its floor — the ambient
+    # skip can't see core-count contention.
+    if (os.cpu_count() or 1) < 3:
+        pytest.skip(f"needs >=3 CPUs for unsqueezed attribution; "
+                    f"have {os.cpu_count()}")
     ambient = _ambient_external_cores(1.0)
     if ambient > 1.5:
         pytest.skip(f"box already loaded: ambient external {ambient} cores")
@@ -130,3 +137,140 @@ def test_sibling_session_burn_is_external_but_own_is_not():
     # misattribution would read ~2.0+; correct attribution reads
     # ~ambient + 1 sibling core.
     assert out["external_cores"] <= ambient + 1.7, (out, ambient)
+
+
+def test_bench_spawns_no_setsid_children():
+    """ADVICE r14: the cutime/cstime fold in _cpu_totals assumes every
+    child a session process reaps ran IN the session. A bench-side
+    subprocess spawned with start_new_session=True (its own sid) and
+    reaped mid-pass would move genuinely-external CPU into the
+    own-session sum — the optimistic mirror of the documented orphan
+    bias. Pin the assumption statically: bench.py contains no setsid /
+    start_new_session call sites (the only legitimate user is this test
+    file's deliberate sibling burner)."""
+    import ast
+
+    with open(os.path.join(REPO, "bench.py")) as f:
+        tree = ast.parse(f.read())
+    offenders = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        if any(kw.arg == "start_new_session" for kw in node.keywords):
+            offenders.append(f"start_new_session kwarg at line {node.lineno}")
+        fn = node.func
+        if (isinstance(fn, ast.Attribute) and fn.attr == "setsid") or (
+            isinstance(fn, ast.Name) and fn.id == "setsid"
+        ):
+            offenders.append(f"setsid() call at line {node.lineno}")
+    assert not offenders, offenders
+
+
+# ---- VERDICT r14 #2: dirty-headline-pass retry arithmetic -------------
+
+
+def test_headline_pass_wanted_base_passes_always_run():
+    assert bench._headline_pass_wanted([]) is True
+    assert bench._headline_pass_wanted([True]) is True
+    assert bench._headline_pass_wanted([True, True]) is True
+
+
+def test_headline_pass_wanted_stops_when_target_clean_met():
+    # 2+ clean after the base 3 -> no retry
+    assert bench._headline_pass_wanted([True, True, False]) is False
+    assert bench._headline_pass_wanted([True, True, True]) is False
+    # the r14 failure shape — 1 clean of 3 -> retry
+    assert bench._headline_pass_wanted([False, True, False]) is True
+    # retry succeeded -> stop at 4 passes
+    assert bench._headline_pass_wanted([False, True, False, True]) is False
+    # retry dirty too -> one more
+    assert bench._headline_pass_wanted([False, False, False, False]) is True
+
+
+def test_headline_pass_wanted_budget_bounded():
+    # never exceeds base + max_extra even with zero clean passes
+    flags = [False] * (bench.HEADLINE_BASE_PASSES + bench.HEADLINE_MAX_EXTRA_PASSES)
+    assert bench._headline_pass_wanted(flags) is False
+
+
+def test_headline_sample_passes_quiet_box_is_median_of_3():
+    # all clean -> first 3 passes, not flagged: the historical series
+    idx, dirty = bench._headline_sample_passes([True, True, True])
+    assert idx == [0, 1, 2] and dirty is False
+
+
+def test_headline_sample_passes_skips_dirty():
+    idx, dirty = bench._headline_sample_passes([False, True, False, True])
+    assert idx == [1, 3] and dirty is False
+    idx, dirty = bench._headline_sample_passes([True, False, True])
+    assert idx == [0, 2] and dirty is False
+
+
+def test_headline_sample_passes_flags_when_under_target():
+    # <2 clean even after retries -> all passes kept, flagged dirty
+    idx, dirty = bench._headline_sample_passes([False, False, False, True, False])
+    assert idx == [0, 1, 2, 3, 4] and dirty is True
+    idx, dirty = bench._headline_sample_passes([False] * 5)
+    assert idx == [0, 1, 2, 3, 4] and dirty is True
+
+
+def test_headline_retry_never_runs_more_than_budget():
+    """Simulate the full driver loop for every clean/dirty oracle and
+    check the invariants: pass count within [base, base+max_extra]; the
+    loop stops as soon as the target clean count is met; the sample is
+    clean-only whenever >= target clean passes exist."""
+    import itertools
+
+    base = bench.HEADLINE_BASE_PASSES
+    max_extra = bench.HEADLINE_MAX_EXTRA_PASSES
+    for outcome in itertools.product(
+        [True, False], repeat=base + max_extra
+    ):
+        flags: list[bool] = []
+        while bench._headline_pass_wanted(flags):
+            flags.append(outcome[len(flags)])
+        assert base <= len(flags) <= base + max_extra
+        clean_total = sum(flags)
+        if clean_total >= bench.HEADLINE_TARGET_CLEAN:
+            # stopped at the first point the target was met (no wasted
+            # passes): removing the last pass must drop below target or
+            # be within the base passes
+            assert (
+                len(flags) == base
+                or sum(flags[:-1]) < bench.HEADLINE_TARGET_CLEAN
+            )
+            idx, dirty = bench._headline_sample_passes(flags)
+            assert dirty is False and all(flags[i] for i in idx)
+        else:
+            assert len(flags) == base + max_extra
+            idx, dirty = bench._headline_sample_passes(flags)
+            assert dirty is True and idx == list(range(len(flags)))
+
+
+# ---- ADVICE r14: extras commit uses the clean pass when one is dirty ---
+
+
+def test_extras_commit_all_clean_keeps_cold_first_pass():
+    samples = {"q": [2.0, 1.5], "r": [3.0, 3.5]}
+    cold, mins, clean = bench._extras_commit(samples, [True, True])
+    assert clean is True
+    assert cold == {"q": 2.0, "r": 3.0}          # first cold pass
+    assert mins == {"q": 1.5, "r": 3.0}          # min of both
+
+
+def test_extras_commit_one_dirty_takes_clean_pass():
+    samples = {"q": [9.0, 1.5]}                  # pass 0 co-tenanted
+    cold, mins, clean = bench._extras_commit(samples, [False, True])
+    assert clean is True                          # committed value IS clean
+    assert cold == {"q": 1.5} and mins == {"q": 1.5}
+    # symmetric: dirty second pass
+    cold, mins, clean = bench._extras_commit({"q": [1.5, 9.0]}, [True, False])
+    assert clean is True
+    assert cold == {"q": 1.5} and mins == {"q": 1.5}
+
+
+def test_extras_commit_both_dirty_stamps_false_for_retime():
+    samples = {"q": [9.0, 8.0]}
+    cold, mins, clean = bench._extras_commit(samples, [False, False])
+    assert clean is False                         # forces retime next run
+    assert cold == {"q": 9.0} and mins == {"q": 8.0}

@@ -97,6 +97,34 @@ def test_evidence_age_gate():
     assert not over, (max_age, over[:5])
 
 
+def test_rotation_capacity_gate():
+    """VERDICT r14 #3: the age cap is only servable while
+    ceil(catalog / driver-window) <= MAX_DRIVER_AGE — at r14 state
+    (355/50, cap 8) the full-refresh period EQUALS the cap, zero slack.
+    round_close must flag capacity breach at the round that grows the
+    catalog, not rounds later when the age gate reds with no code
+    change. Pinned on synthetic sizes (both sides) and the real repo
+    state (must be within capacity on the tree that ships)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_rotation import WINDOW
+    from gen_registry_order import MAX_DRIVER_AGE
+    from round_close import check_rotation_capacity, rotation_capacity
+
+    # synthetic: exactly at capacity -> ok; one witness over -> fail
+    assert rotation_capacity(400, 50, 8) == (8, True)
+    assert rotation_capacity(401, 50, 8) == (9, False)
+    assert rotation_capacity(355, 50, 8) == (8, True)
+    # widening the window restores headroom without touching the cap
+    assert rotation_capacity(401, 60, 8) == (7, True)
+
+    # real repo state: within capacity, and the close-gate wrapper agrees
+    from gasket_rs_spark.registry_order import ORDER
+
+    period, ok = rotation_capacity(len(ORDER), WINDOW, MAX_DRIVER_AGE)
+    assert ok, (len(ORDER), WINDOW, period, MAX_DRIVER_AGE)
+    assert check_rotation_capacity() is True
+
+
 def test_rows_only_pin_gate():
     """VERDICT r13 #3: every rows-only witness (no oracle_sql entry) must
     map to at least one pytest pin in gasket_rs_spark/pins.py — a value
