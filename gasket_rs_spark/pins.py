@@ -27,6 +27,10 @@ ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
     ),
     "approx_percentiles": (
         "tests/test_approx_bounds.py::test_approx_percentiles_within_rank_tolerance",
+        # VERDICT r14 #5: exact order-statistic twin on the same grouping,
+        # checked bit-for-bit against DuckDB — hash-style plumbing
+        # coverage without registry growth.
+        "tests/test_approx_bounds.py::test_exact_percentile_plumbing_cross_engine",
     ),
     # LSH curation path: equal to the exact-twin pipeline modulo the
     # pinned recall floor, with a plan assert (no cartesian).
@@ -88,6 +92,10 @@ ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
     "sketch_hll_distinct": (
         "tests/test_sketches.py::test_hll_distinct_within_rse",
         "tests/test_sketches.py::test_hll_merge_is_batch_invariant",
+        # VERDICT r14 #5: exact distinct twin on the same tokenization +
+        # grouping, bit-for-bit vs DuckDB — plumbing coverage without
+        # registry growth.
+        "tests/test_sketches.py::test_exact_distinct_plumbing_cross_engine",
     ),
     "sketch_theta_overlap": (
         "tests/test_sketches.py::test_theta_overlap_within_error",

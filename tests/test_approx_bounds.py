@@ -69,3 +69,73 @@ def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
         lo50, hi50, lo95, hi95 = r["b"]
         assert lo50 <= p50 <= hi50, (r["l_returnflag"], p50, lo50, hi50)
         assert lo95 <= p95 <= hi95, (r["l_returnflag"], p95, lo95, hi95)
+
+
+def test_exact_percentile_plumbing_cross_engine(spark, sf_dir):
+    """VERDICT r14 #5: the estimator stays rows-only (sketch values are
+    engine-specific), but the PLUMBING it rides — scan, per-returnflag
+    grouping, ordering of l_extendedprice, rank selection — gets a
+    driver-hash-style EXACT cross-engine check without registry growth.
+    Discrete order statistics are value-deterministic even under ties
+    (the value at rank k doesn't depend on tie order), and the rank
+    arithmetic is pure int64 (ceil(q*n) spelled as (q_num*n + q_num) DIV
+    q_den — both engines truncate positive integer division
+    identically), so Spark and DuckDB must agree bit-for-bit."""
+    import duckdb
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    spark_rows = sorted(
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(1*n + 1) DIV 2"),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias("p50_disc"),
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(19*n + 19) DIV 20"),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias("p95_disc"),
+            )
+            .collect()
+        ),
+        key=lambda r: r["l_returnflag"],
+    )
+    con = duckdb.connect()
+    duck_rows = con.execute(
+        f"""
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+        )
+        SELECT l_returnflag,
+               max(CASE WHEN rn = (1*n + 1) // 2 THEN l_extendedprice END)
+                   AS p50_disc,
+               max(CASE WHEN rn = (19*n + 19) // 20 THEN l_extendedprice END)
+                   AS p95_disc
+        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).fetchall()
+    assert [
+        (r["l_returnflag"], r["p50_disc"], r["p95_disc"]) for r in spark_rows
+    ] == duck_rows
+    # and the rows-only witness rides exactly this grouping
+    witness_groups = {
+        r["l_returnflag"] for r in q_approx_percentiles(spark, sf_dir).collect()
+    }
+    assert witness_groups == {r["l_returnflag"] for r in spark_rows}

@@ -39,6 +39,44 @@ def test_hll_distinct_within_rse(spark, sf_dir):
     # so just pin it against the exact global too (done above via "ALL").
 
 
+def test_exact_distinct_plumbing_cross_engine(spark, sf_dir):
+    """VERDICT r14 #5: the HLL estimate stays rows-only, but the plumbing
+    it rides — tokenization (split on ' '), per-lang grouping, the
+    merged-ALL rollup — gets a driver-hash-style EXACT cross-engine
+    check without registry growth: exact distinct-token counts on the
+    SAME grouping must match DuckDB bit-for-bit (the split(text,' ') /
+    string_split(text,' ') pairing is the one every text oracle uses)."""
+    import duckdb
+
+    toks = _exact_distinct_tokens(spark, sf_dir)
+    spark_exact = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    spark_exact["ALL"] = toks.select("tok").distinct().count()
+    con = duckdb.connect()
+    duck_rows = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        )
+        SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n
+        FROM toks GROUP BY lang
+        UNION ALL
+        SELECT 'ALL', CAST(count(DISTINCT tok) AS BIGINT) FROM toks
+        """
+    ).fetchall()
+    assert spark_exact == dict(duck_rows)
+    # and the rows-only witness rides exactly this grouping
+    witness_groups = {
+        r["lang"] for r in q_sketch_hll_distinct(spark, sf_dir).collect()
+    }
+    assert witness_groups == set(spark_exact)
+
+
 def test_hll_merge_is_batch_invariant(spark, sf_dir):
     """The property that makes sketches the incremental-ingest path: the
     union of per-batch sketches must estimate EXACTLY what a single
