@@ -15,6 +15,11 @@ import pytest
 
 from gasket_rs_spark.operators.relational import q_asof_join
 
+
+# Fuzz lane (VERDICT r14 #4): randomized/property spec — excluded from
+# the default pytest lane (see pytest.ini); run via -m fuzz.
+pytestmark = pytest.mark.fuzz
+
 _NS = 1_000_000_000
 
 

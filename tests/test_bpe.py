@@ -85,6 +85,9 @@ def test_bpe_tie_breaks_lexicographic(spark):
     assert got[0] == (0, "a", "b", "ab", 2)
 
 
+# Fuzz lane (VERDICT r14 #4): ~75 s of randomized-corpus re-derivation;
+# the deterministic BPE reference pins above stay in the default lane.
+@pytest.mark.fuzz
 @pytest.mark.parametrize("seed", [7, 21, 42])
 def test_bpe_fuzz_random_corpora(spark, seed):
     rng = random.Random(seed)

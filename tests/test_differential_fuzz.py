@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 from gasket_rs_spark.tables import load
 
+
+# Fuzz lane (VERDICT r14 #4): randomized/property spec — excluded from
+# the default pytest lane (see pytest.ini); run via -m fuzz.
+pytestmark = pytest.mark.fuzz
+
 NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STR_COLS = ["l_returnflag", "l_linestatus"]
 KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]

@@ -7,12 +7,19 @@ kernel bug can't hide behind a fixture that happens to avoid it."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from fractions import Fraction
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+
+
+# Fuzz lane (VERDICT r14 #4): randomized/property spec — excluded from
+# the default pytest lane (see pytest.ini); run via -m fuzz.
+pytestmark = pytest.mark.fuzz
 
 def _stack_pav(buckets):
     stack = []

@@ -11,11 +11,18 @@ instead of the three hand-picked cases in test_runtime:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from gasket_rs_spark.pipeline.retries import Retry, RetryPolicy, retry_call
 
+
+
+# Fuzz lane (VERDICT r14 #4): randomized/property spec — excluded from
+# the default pytest lane (see pytest.ini); run via -m fuzz.
+pytestmark = pytest.mark.fuzz
 
 @given(
     max_retries=st.integers(min_value=0, max_value=6),

@@ -15,6 +15,11 @@ import pandas as pd
 import pytest
 
 
+
+# Fuzz lane (VERDICT r14 #4): randomized/property spec — excluded from
+# the default pytest lane (see pytest.ini); run via -m fuzz.
+pytestmark = pytest.mark.fuzz
+
 def _random_corpus(seed: int) -> list[tuple[int, str]]:
     rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(6)]  # tiny -> dense collisions
