@@ -24,6 +24,9 @@ ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
     # count at the registry's configured rsd / rank tolerance.
     "approx_count_distinct": (
         "tests/test_approx_bounds.py::test_approx_count_distinct_within_rsd",
+        # r15: exact countDistinct twin on the same grouping, bit-for-bit
+        # vs DuckDB — plumbing coverage without registry growth.
+        "tests/test_approx_bounds.py::test_exact_count_distinct_plumbing_cross_engine",
     ),
     "approx_percentiles": (
         "tests/test_approx_bounds.py::test_approx_percentiles_within_rank_tolerance",
@@ -99,6 +102,9 @@ ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
     ),
     "sketch_theta_overlap": (
         "tests/test_sketches.py::test_theta_overlap_within_error",
+        # r15: exact union/intersection/difference twin on the witness's
+        # own filter + tokenization, bit-for-bit vs DuckDB.
+        "tests/test_sketches.py::test_exact_set_algebra_plumbing_cross_engine",
     ),
 }
 

@@ -71,6 +71,41 @@ def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
         assert lo95 <= p95 <= hi95, (r["l_returnflag"], p95, lo95, hi95)
 
 
+def test_exact_count_distinct_plumbing_cross_engine(spark, sf_dir):
+    """r15 extension of the VERDICT r14 #5 discipline to the remaining
+    thin rows-only witness in this family: the HLL++ estimate stays
+    rows-only, but its plumbing — scan, per-returnflag grouping,
+    distinct over l_partkey — is checked bit-for-bit against DuckDB on
+    the same parquet (exact countDistinct twin, CAST AS BIGINT per the
+    HUGEINT canonicalization rule)."""
+    import duckdb
+
+    spark_exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    duck_exact = dict(
+        con.execute(
+            f"""
+            SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+    )
+    assert spark_exact == duck_exact
+    # and the rows-only witness rides exactly this grouping
+    witness_groups = {
+        r["l_returnflag"]
+        for r in q_approx_count_distinct(spark, sf_dir).collect()
+    }
+    assert witness_groups == set(spark_exact)
+
+
 def test_exact_percentile_plumbing_cross_engine(spark, sf_dir):
     """VERDICT r14 #5: the estimator stays rows-only (sketch values are
     engine-specific), but the PLUMBING it rides — scan, per-returnflag

@@ -77,6 +77,57 @@ def test_exact_distinct_plumbing_cross_engine(spark, sf_dir):
     assert witness_groups == set(spark_exact)
 
 
+def test_exact_set_algebra_plumbing_cross_engine(spark, sf_dir):
+    """r15 extension of the VERDICT r14 #5 discipline: the Theta-sketch
+    estimates stay rows-only, but the set algebra they approximate —
+    |A ∪ B|, |A ∩ B|, |A \\ B| over the two sources' distinct token
+    sets, on the witness's own filter + tokenization — is computed
+    exactly on both engines (per-token membership flags folded to
+    int64 counts) and must match bit-for-bit."""
+    import duckdb
+
+    toks = _exact_distinct_tokens(
+        spark, sf_dir, where=F.col("source").isin("src0", "src1")
+    )
+    per = toks.groupBy("tok").agg(
+        F.max((F.col("source") == "src0").cast("int")).alias("a"),
+        F.max((F.col("source") == "src1").cast("int")).alias("b"),
+    )
+    got = per.agg(
+        F.count("*").alias("n_union"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+        ).alias("n_inter"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        ).alias("n_a_only"),
+    ).collect()[0]
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE source IN ('src0', 'src1')
+        ), per AS (
+          SELECT tok,
+                 max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+                 max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+          FROM toks GROUP BY tok
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inter,
+               CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a_only
+        FROM per
+        """
+    ).fetchone()
+    assert (got["n_union"], got["n_inter"], got["n_a_only"]) == want
+    # inclusion-exclusion consistency of the exact counts themselves
+    assert got["n_union"] >= got["n_inter"] + got["n_a_only"]
+
+
 def test_hll_merge_is_batch_invariant(spark, sf_dir):
     """The property that makes sketches the incremental-ingest path: the
     union of per-batch sketches must estimate EXACTLY what a single
