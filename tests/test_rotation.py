@@ -125,6 +125,66 @@ def test_rotation_capacity_gate():
     assert check_rotation_capacity() is True
 
 
+def test_age_breach_fault_attribution():
+    """VERDICT r15 #3: the age gate must distinguish 'builder broke
+    rotation' (red, no grace) from 'driver under-served the window'
+    (loud WARN, one-round grace) — at zero rotation slack a single
+    driver hiccup would otherwise red the close with no code change.
+    Both paths pinned on synthetic inputs of the pure classifier."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from round_close import AGE_GRACE_ROUNDS, age_breach_verdict
+
+    assert AGE_GRACE_ROUNDS == 1
+    cap = 8
+
+    # builder fault: regen never put the over-cap witness in the window
+    b, e, w = age_breach_verdict({"x": 9}, in_window=set(), served=set(),
+                                 cap=cap)
+    assert (b, e, w) == (["x"], [], [])
+
+    # driver fault, within grace: asked but not served, age = cap+1
+    b, e, w = age_breach_verdict({"x": 9}, in_window={"x"}, served=set(),
+                                 cap=cap)
+    assert (b, e, w) == ([], [], ["x"])
+
+    # driver fault, grace exhausted: still unserved at age cap+2
+    b, e, w = age_breach_verdict({"x": 10}, in_window={"x"}, served=set(),
+                                 cap=cap)
+    assert (b, e, w) == ([], ["x"], [])
+
+    # bookkeeping-impossible (in window AND served yet over cap): builder
+    b, e, w = age_breach_verdict({"x": 9}, in_window={"x"}, served={"x"},
+                                 cap=cap)
+    assert (b, e, w) == (["x"], [], [])
+
+    # mixed bag classifies independently and sorts deterministically
+    b, e, w = age_breach_verdict(
+        {"m": 9, "a": 9, "z": 10},
+        in_window={"a", "z"}, served=set(), cap=cap,
+    )
+    assert (b, e, w) == (["m"], ["z"], ["a"])
+
+
+def test_prior_window_and_served_reads_real_history():
+    """The attribution inputs must be reconstructable from committed
+    artifacts: the prior round's asked-window is the first WINDOW names
+    of registry_order.py at that round's snapshot, served is its
+    CORRECTNESS artifact. On the real repo the r15 window was served in
+    full, so asked∩served must be large (the driver serves the asked
+    prefix) and both sets must be the right size."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_rotation import WINDOW
+    from round_close import _prior_window_and_served
+
+    ctx = _prior_window_and_served(16)  # prior = r15, both artifacts exist
+    assert ctx is not None
+    asked, served = ctx
+    assert len(asked) == WINDOW
+    assert len(served) == WINDOW
+    # the driver serves the asked prefix: full overlap last round
+    assert asked == served
+
+
 def test_rows_only_pin_gate():
     """VERDICT r13 #3: every rows-only witness (no oracle_sql entry) must
     map to at least one pytest pin in gasket_rs_spark/pins.py — a value
@@ -173,6 +233,39 @@ def test_rows_only_pin_gate():
             assert re.search(rf"^def {re.escape(func)}\(", src, re.M), (
                 name, pid,
             )
+
+
+def test_pins_collect_verdict_catches_deselection():
+    """ADVICE r15 (medium): pytest --collect-only exits 0 when a
+    fuzz-marked pin is deselected by the default lane's addopts — the
+    close's bare rc check stayed green while the pin never ran anywhere.
+    The verdict must fail on any deselection and on under-collection,
+    and pass the healthy shape (>= 1 test per pin id; parametrized pins
+    collect more)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from round_close import pins_collect_verdict
+
+    # the empirically-verified deselection shape from the advice
+    ok, why, n = pins_collect_verdict(
+        "tests/t.py::test_a\n\n1/2 tests collected (1 deselected) in 0.1s\n",
+        2,
+    )
+    assert ok is False and "DESELECTED" in why and n == 1
+
+    # under-collection without the deselected marker (typo'd pin id
+    # suppressed some other way) still fails
+    ok, why, n = pins_collect_verdict("1 test collected in 0.1s\n", 2)
+    assert ok is False and "under-collected" in why
+
+    # healthy: exact count
+    ok, _, n = pins_collect_verdict("2 tests collected in 0.1s\n", 2)
+    assert ok is True and n == 2
+    # healthy: parametrized pin collects more tests than pin ids
+    ok, _, n = pins_collect_verdict("32 tests collected in 1.4s\n", 31)
+    assert ok is True and n == 32
+    # unparseable output never passes
+    ok, why, n = pins_collect_verdict("garbage\n", 1)
+    assert ok is False and n == -1
 
 
 def test_driver_artifact_drop_does_not_fail_suite():
