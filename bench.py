@@ -431,25 +431,45 @@ def _headline_sample_passes(
     return list(range(len(clean_flags))), True
 
 
+def _headline_sample_short(
+    sample_idx: list[int],
+    stats_on_dirty: bool,
+    keep: int = HEADLINE_BASE_PASSES,
+) -> bool:
+    """True when the committed stats rest on a CLEAN sample smaller than
+    the historical median-of-3 (ADVICE r15): exactly target_clean=2
+    clean passes yield a 2-element sample whose 'median' (sorted[1]) is
+    the larger value — an upward-biased estimator — yet
+    headline_stats_on_dirty stays False because the sample isn't
+    polluted. Distinct flags: dirty = co-tenant pollution, short =
+    different estimator. Pure (pinned in tests/test_bench_meter.py)."""
+    return (not stats_on_dirty) and len(sample_idx) < keep
+
+
 def _extras_commit(
     extras_samples: dict, pass_clean: list[bool]
-) -> tuple[dict, dict, bool]:
-    """Committed (extras, extras_min, stamp_clean) from the per-pass
-    samples and per-pass clean flags (ADVICE r14). All passes clean:
-    first-pass cold value + min-of-all, stamp clean (historical
+) -> tuple[dict, dict, bool, int]:
+    """Committed (extras, extras_min, stamp_clean, cold_pass) from the
+    per-pass samples and per-pass clean flags (ADVICE r14). All passes
+    clean: first-pass cold value + min-of-all, stamp clean (historical
     behavior). SOME passes clean: the first clean pass's sample is the
     cold value, min over clean passes only, stamp clean — one co-tenant
     burst neither pollutes the committed numbers nor forces a blanket
     re-time (clear_caches runs between passes, so every pass is
     cache-cold; only JVM warm-up differs). NO pass clean: fall back to
     the historical values, stamp False so _extras_plan re-times next
-    run. Pure (pinned in tests/test_bench_meter.py)."""
+    run. cold_pass is the pass index that supplied the committed cold
+    value (ADVICE r15): a clean-pass-2 cold is JVM/JIT-warm — an
+    optimistic bias vs the historical first-pass cold series — and must
+    be auditable in BENCH_DETAIL, not invisible. Pure (pinned in
+    tests/test_bench_meter.py)."""
     clean_i = [i for i, c in enumerate(pass_clean) if c]
     if not clean_i:
         return (
             {n: round(ts[0], 3) for n, ts in extras_samples.items()},
             {n: round(min(ts), 3) for n, ts in extras_samples.items()},
             False,
+            0,
         )
     return (
         {n: round(ts[clean_i[0]], 3) for n, ts in extras_samples.items()},
@@ -458,6 +478,7 @@ def _extras_commit(
             for n, ts in extras_samples.items()
         },
         True,
+        clean_i[0],
     )
 
 
@@ -749,13 +770,16 @@ def main() -> None:
         extras_pass_clean = [
             pl["clean"] for pl in pass_loads if pl["phase"] == "extras"
         ]
-        committed, committed_min, stamp_clean = _extras_commit(
+        committed, committed_min, stamp_clean, cold_pass = _extras_commit(
             extras_samples, extras_pass_clean
         )
         extras.update(committed)
         extras_min.update(committed_min)
         for n in to_time:
             extras_meta[n]["clean"] = stamp_clean
+            # ADVICE r15: which pass supplied the committed cold value —
+            # a warm-pass-sourced cold (index > 0) is auditable here.
+            extras_meta[n]["cold_pass"] = cold_pass
 
     if witness_mode:
         out = {
@@ -812,6 +836,16 @@ def main() -> None:
             "headline_extra_passes": passes - HEADLINE_BASE_PASSES,
             "headline_sample_passes": sample_idx,
             "headline_stats_on_dirty": stats_on_dirty,
+            # ADVICE r15: with exactly 2 clean passes the committed
+            # "median" is sorted[1] — the LARGER value, an upward-biased
+            # estimator vs the historical median-of-3, while
+            # headline_stats_on_dirty stays False. Flag short clean
+            # samples explicitly so cross-round series never mix the two
+            # estimators unnoticed.
+            "headline_sample_size": len(sample_idx),
+            "headline_sample_short": _headline_sample_short(
+                sample_idx, stats_on_dirty
+            ),
             # Per-pass co-tenancy bracket: loadavg + external core-seconds
             # (host busy CPU minus this session's own), phase-tagged.
             "pass_loads": pass_loads,

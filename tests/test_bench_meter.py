@@ -146,23 +146,35 @@ def test_bench_spawns_no_setsid_children():
     reaped mid-pass would move genuinely-external CPU into the
     own-session sum — the optimistic mirror of the documented orphan
     bias. Pin the assumption statically: bench.py contains no setsid /
-    start_new_session call sites (the only legitimate user is this test
-    file's deliberate sibling burner)."""
+    start_new_session spawn idiom (the only legitimate user is this test
+    file's deliberate sibling burner).
+
+    ADVICE r15 broadening: the original pin only saw ast.Call nodes, so
+    it missed `preexec_fn=os.setsid` (an Attribute passed as a kwarg
+    value, not a call) and `Popen(..., **kw)` smuggling
+    start_new_session through a splat. Now ANY reference to `setsid`
+    anywhere in the tree, any `preexec_fn` keyword, and any `**` splat
+    into a call (bench.py has none, so a splat appearing at all means
+    the static guarantee can no longer be made) are offenders."""
     import ast
 
     with open(os.path.join(REPO, "bench.py")) as f:
         tree = ast.parse(f.read())
     offenders = []
     for node in ast.walk(tree):
-        if not isinstance(node, ast.Call):
-            continue
-        if any(kw.arg == "start_new_session" for kw in node.keywords):
-            offenders.append(f"start_new_session kwarg at line {node.lineno}")
-        fn = node.func
-        if (isinstance(fn, ast.Attribute) and fn.attr == "setsid") or (
-            isinstance(fn, ast.Name) and fn.id == "setsid"
-        ):
-            offenders.append(f"setsid() call at line {node.lineno}")
+        if isinstance(node, ast.Attribute) and node.attr == "setsid":
+            offenders.append(f"setsid attribute ref at line {node.lineno}")
+        elif isinstance(node, ast.Name) and node.id == "setsid":
+            offenders.append(f"setsid name ref at line {node.lineno}")
+        elif isinstance(node, ast.Call):
+            for kw in node.keywords:
+                if kw.arg in ("start_new_session", "preexec_fn"):
+                    offenders.append(f"{kw.arg} kwarg at line {node.lineno}")
+                elif kw.arg is None:
+                    offenders.append(
+                        f"**kwargs splat into a call at line {node.lineno}"
+                        " (cannot statically rule out start_new_session)"
+                    )
     assert not offenders, offenders
 
 
@@ -252,25 +264,58 @@ def test_headline_retry_never_runs_more_than_budget():
 
 def test_extras_commit_all_clean_keeps_cold_first_pass():
     samples = {"q": [2.0, 1.5], "r": [3.0, 3.5]}
-    cold, mins, clean = bench._extras_commit(samples, [True, True])
+    cold, mins, clean, cold_pass = bench._extras_commit(samples, [True, True])
     assert clean is True
     assert cold == {"q": 2.0, "r": 3.0}          # first cold pass
     assert mins == {"q": 1.5, "r": 3.0}          # min of both
+    assert cold_pass == 0                        # historical cold series
 
 
 def test_extras_commit_one_dirty_takes_clean_pass():
     samples = {"q": [9.0, 1.5]}                  # pass 0 co-tenanted
-    cold, mins, clean = bench._extras_commit(samples, [False, True])
+    cold, mins, clean, cold_pass = bench._extras_commit(samples, [False, True])
     assert clean is True                          # committed value IS clean
     assert cold == {"q": 1.5} and mins == {"q": 1.5}
+    # ADVICE r15: the committed cold came from the WARM pass — the index
+    # makes that auditable in BENCH_DETAIL instead of invisible drift
+    assert cold_pass == 1
     # symmetric: dirty second pass
-    cold, mins, clean = bench._extras_commit({"q": [1.5, 9.0]}, [True, False])
+    cold, mins, clean, cold_pass = bench._extras_commit(
+        {"q": [1.5, 9.0]}, [True, False]
+    )
     assert clean is True
     assert cold == {"q": 1.5} and mins == {"q": 1.5}
+    assert cold_pass == 0
 
 
 def test_extras_commit_both_dirty_stamps_false_for_retime():
     samples = {"q": [9.0, 8.0]}
-    cold, mins, clean = bench._extras_commit(samples, [False, False])
+    cold, mins, clean, cold_pass = bench._extras_commit(samples, [False, False])
     assert clean is False                         # forces retime next run
     assert cold == {"q": 9.0} and mins == {"q": 8.0}
+    assert cold_pass == 0                         # historical fallback
+
+
+# ---- ADVICE r15: short clean samples are a different estimator ---------
+
+
+def test_headline_sample_short_flag():
+    """Exactly 2 clean passes -> 2-element sample whose 'median'
+    (sorted[1]) is the larger value: an upward-biased estimator vs the
+    historical median-of-3, flagged as `short` while `dirty` stays
+    False. 3+ clean passes or a dirty (all-pass) sample are NOT short."""
+    # 2 clean of 4 -> sample [1, 3]: short, not dirty
+    idx, dirty = bench._headline_sample_passes([False, True, False, True])
+    assert bench._headline_sample_short(idx, dirty) is True
+    # quiet box: 3 clean -> the historical median-of-3, not short
+    idx, dirty = bench._headline_sample_passes([True, True, True])
+    assert bench._headline_sample_short(idx, dirty) is False
+    # 4 clean passes: sample is first 3 clean, not short
+    idx, dirty = bench._headline_sample_passes([True, True, False, True, True])
+    assert len(idx) == 3
+    assert bench._headline_sample_short(idx, dirty) is False
+    # under target: ALL passes kept and flagged dirty — dirty wins,
+    # short stays False so the two flags never double-report one cause
+    idx, dirty = bench._headline_sample_passes([False] * 5)
+    assert dirty is True
+    assert bench._headline_sample_short(idx, dirty) is False
