@@ -15,6 +15,12 @@ property a value hash can't see), the rest corroborate.
 
 Keep entries in registry-name order. When a witness gains a real oracle,
 delete its row (round_close flags leftovers as stale, non-fatally).
+
+Pin-count basis (VERDICT r15 #4): the canonical count is UNIQUE pytest
+node ids — what ``round_close`` prints ("N pin ids all collect") — not
+table tuples: a pin may back several witnesses (dedup_minhash_lsh and
+dedup_components_lsh share the MinHash recall-floor pin), so the tuple
+count can exceed the id count by the number of shared pins.
 """
 
 from __future__ import annotations
