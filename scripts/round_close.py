@@ -5,8 +5,8 @@ before the end-of-round commit. This script is that check: it runs the
 fast, JVM-free invariants and exits non-zero if any fails, so the
 snapshot commit can be gated on `python scripts/round_close.py`.
 
-Checks (seconds each, except the fuzz lane — the one JVM step, ~90 s;
-skip it mid-round with --fast, never at the recorded close):
+Checks (seconds each, except the full-suite run — the one JVM step,
+~10-11 min; skip it mid-round with --fast, never at the recorded close):
   1. scripts/check_rotation.py        — committed registry_order.py is
      reproducible from the current tree + CORRECTNESS artifacts (the
      round-10 failure mode: witnesses added after the last regen).
@@ -45,7 +45,7 @@ skip it mid-round with --fast, never at the recorded close):
      under pytest — with zero deselections (ADVICE r15: a fuzz-marked
      pin is silently deselected by the default lane at rc=0, so a bare
      rc check would stay green while the pin never runs anywhere).
- 10. Fuzz-lane run (ADVICE r15) — the 105 randomized/property tests
+ 10. Full-suite run (ADVICE r15) — BOTH lanes (`-m 'fuzz or not fuzz'`)
      execute at the close, making the "both lanes run at every close"
      claim mechanical rather than manual discipline.
  11. Age-breach fault attribution (VERDICT r15 #3) — an over-cap
@@ -56,8 +56,8 @@ skip it mid-round with --fast, never at the recorded close):
 
 Usage: python scripts/round_close.py [round] [--fast]
   round defaults to max(CORRECTNESS_r*) + 1 (the round being closed).
-  --fast skips the fuzz lane for mid-round iteration; the recorded
-  close must run without it.
+  --fast skips the full-suite run for mid-round iteration; the
+  recorded close must run without it.
 """
 
 from __future__ import annotations
@@ -486,15 +486,18 @@ def main() -> int:
     ok &= run("fast-tests", [sys.executable, "-m", "pytest", "-q", *FAST_TESTS])
     # ADVICE r15: "both lanes run at every close" was a README claim with
     # no gate behind it — the 105 fuzz tests relied on manual discipline
-    # after the lane split and could silently rot. The close now RUNS the
-    # fuzz lane (~90 s, the only JVM step here); `--fast` skips it for
-    # mid-round iteration, the recorded close never passes it.
+    # after the lane split and could silently rot (and the 400+ default-
+    # lane tests were equally on discipline). The close now RUNS the full
+    # suite, both lanes in one invocation (~10-11 min, the JVM step);
+    # `--fast` skips it for mid-round iteration, the recorded close never
+    # passes it.
     if fast:
-        print("--- fuzz-lane: SKIPPED (--fast; the snapshot close must "
+        print("--- full-suite: SKIPPED (--fast; the snapshot close must "
               "run without it)")
     else:
-        ok &= run("fuzz-lane", [sys.executable, "-m", "pytest", "-q",
-                                "-m", "fuzz", "tests/"])
+        ok &= run("full-suite (both lanes)",
+                  [sys.executable, "-m", "pytest", "-q",
+                   "-m", "fuzz or not fuzz", "tests/"])
     ok &= check_localverify(rnd)
     ok &= check_evidence_debt(rnd)
     ok &= check_rotation_capacity()
