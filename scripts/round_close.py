@@ -319,9 +319,9 @@ def check_evidence_debt(rnd: int) -> bool:
                   "cannot attribute the breach (treating as builder fault)")
             return False
         asked, served = ctx
-        ages = {n: rnd - last[n] for n in over_cap}
+        breach_ages = {n: rnd - last[n] for n in over_cap}
         builder, exhausted, warned = age_breach_verdict(
-            ages, asked, served, MAX_DRIVER_AGE
+            breach_ages, asked, served, MAX_DRIVER_AGE
         )
         if builder:
             print(f"--- evidence-age: FAIL — BUILDER broke rotation "
