@@ -231,6 +231,85 @@ def test_salting_bounds_max_partition_rows(spark, zipf_events):
 
 
 @pytest.mark.fuzz
+def test_session_window_correct_under_hot_user(spark):
+    """The streaming-family window shape under the same adversarial
+    distribution: session windows grouped by a zipf-skewed user key (one
+    hot user emits 30% of all events — at scale, one giant per-user
+    state partition). Spark's session_window merge path is cross-checked
+    against a different execution strategy over the same skewed layout:
+    lag-then-cumulative-sum sessionization (strictly-greater break rule,
+    the pinned semantics from test_streaming's boundary test). Exact
+    agreement required, including the window end = last_event + gap
+    convention."""
+    n = 60_000
+    gap_s = 60
+    span = 500_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .otherwise(
+            F.concat(
+                F.lit("user_"),
+                F.pmod(F.xxhash64("id"), F.lit(N_COLD_KEYS)).cast("string"),
+            )
+        )
+        .alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 7919) % span
+        ).alias("ts"),
+    )
+
+    via_session_window = (
+        ev.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"),
+                   "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    via_lag = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "new_session",
+            # strictly greater: an event at exactly prev+gap MERGES
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > gap_s
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("w_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {gap_s} SECONDS")).alias("w_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_id")
+        .select("user_id", "w_start", "w_end", "n_events")
+    )
+
+    got = sorted(map(tuple, via_session_window.collect()))
+    want = sorted(map(tuple, via_lag.collect()))
+    assert got == want
+    # the adversarial premise: the hot user's state really is giant —
+    # it must hold ~30% of all events across its sessions
+    hot_events = sum(r[3] for r in got if r[0] == "hot")
+    assert hot_events == int(n * 0.3)
+
+
+@pytest.mark.fuzz
 def test_heavy_window_correct_under_zipf(spark, zipf_events):
     """The heaviest window shape (rank over the skewed partition key)
     stays CORRECT under adversarial skew: Spark plans
