@@ -502,7 +502,12 @@ def main() -> int:
     ok &= check_evidence_debt(rnd)
     ok &= check_rotation_capacity()
     ok &= check_rows_only_pins()
-    print(f"\nround_close r{rnd}: {'GREEN — safe to snapshot' if ok else 'RED — do not snapshot'}")
+    verdict = "GREEN — safe to snapshot" if ok else "RED — do not snapshot"
+    if fast and ok:
+        # a --fast run skipped the full suite: its GREEN must not be
+        # mistakable for the recorded snapshot close in any log
+        verdict = "GREEN (--fast: full suite SKIPPED — not a snapshot close)"
+    print(f"\nround_close r{rnd}: {verdict}")
     return 0 if ok else 1
 
 
