@@ -231,6 +231,48 @@ def test_salting_bounds_max_partition_rows(spark, zipf_events):
 
 
 @pytest.mark.fuzz
+def test_exact_dedup_hot_duplicate_group(spark):
+    """The most realistic 100 TB skew for a training-data pipeline: a
+    duplicate-heavy corpus where ONE document body accounts for 30% of
+    all rows (boilerplate, scraped templates). The exact-dedup shape
+    (dedup.py:93 — groupBy xxhash64(text) + min/count) is skew-IMMUNE by
+    construction: the aggregation is algebraic, so map-side partial
+    aggregation collapses the hot group to one row per input partition
+    BEFORE the shuffle — no reducer ever receives 18 000 duplicate rows.
+    Executed here on the adversarial corpus (exact keeper + counts), and
+    the mechanism is asserted in the physical plan: a partial
+    HashAggregate below the key exchange."""
+    n = 60_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("the hot boilerplate body"))
+        .otherwise(F.concat(F.lit("unique doc "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    out = (
+        docs.groupBy(F.xxhash64("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    hot_rows = int(n * 0.3)
+    # keeper is the minimum doc_id of the hot group (id 0 is hot: 0%10<3)
+    assert rows[0] == hot_rows
+    # every unique doc survives with count 1; totals reconcile exactly
+    assert len(rows) == 1 + (n - hot_rows)
+    assert sum(rows.values()) == n
+    # the skew-immunity mechanism, in the executed (AQE-final) plan:
+    # partial min/count BELOW the key exchange — the hot group collapses
+    # map-side, so the shuffle carries one row per (partition, key)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_min" in final and "partial_count" in final, final
+    # and the partial aggregate sits under the exchange, not above it
+    assert (final.index("Exchange hashpartitioning")
+            < final.index("partial_min")), final
+
+
+@pytest.mark.fuzz
 def test_session_window_correct_under_hot_user(spark):
     """The streaming-family window shape under the same adversarial
     distribution: session windows grouped by a zipf-skewed user key (one
