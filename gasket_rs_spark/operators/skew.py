@@ -70,6 +70,53 @@ def salted_join(
     return fact_s.join(dim_rep, [key, "_salt"]).drop("_salt")
 
 
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon_s: int,
+) -> DataFrame:
+    """Event-time-bucketed interval join — the skew cure for the
+    interval/as-of join family (X8/X9 and the stream-stream join's batch
+    shape), where salting does NOT apply: the interval predicate pins
+    each pair to a (key, time) neighborhood, so the right fix is to make
+    event time part of the equi-key rather than spreading rows randomly.
+
+    Semantics: pairs (l, r) with l.key = r.key and
+    r.ts ∈ [l.ts − horizon, l.ts] — exactly
+    ``streaming.stream.interval_join_streams``'s predicate.
+
+    Rewrite: bucket both sides by floor(unix_seconds(ts) / horizon);
+    a qualifying right row's bucket is floor(l.ts/H) or floor(l.ts/H)−1
+    (subtracting exactly one bucket width shifts the floor by exactly
+    one), so the left side replicates ×2 to those buckets and the join
+    becomes an equi-join on (key, bucket) with the interval as a
+    residual predicate. Every pair is produced exactly once because each
+    right row owns a single bucket.
+
+    Scale: the indivisible shuffle/state unit shrinks from
+    rows-per-hot-key to rows-per-(hot-key, 2·horizon window) — bounded
+    by the key's event RATE, not its total volume, the same bound the
+    streaming join's watermark eviction gives state. Answer-invariance
+    and the measured partition bound are pinned by
+    tests/test_skew_stress_stream.py on an adversarial 30%-hot-user
+    corpus (fuzz lane; no registry growth — VERDICT r16 #3)."""
+    lb = F.expr(f"unix_seconds({left_ts}) div {horizon_s}").cast("long")
+    rb = F.expr(f"unix_seconds({right_ts}) div {horizon_s}").cast("long")
+    left_rep = left.withColumn("_tb", F.explode(F.array(lb, lb - 1)))
+    right_b = right.withColumn("_tb", rb)
+    residual = (F.col(right_ts) <= F.col(left_ts)) & (
+        F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {horizon_s} SECONDS")
+    )
+    return (
+        left_rep.join(right_b, [key, "_tb"])
+        .where(residual)
+        .drop("_tb")
+    )
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join of the events fact (5 hot event_type keys — maximal
     skew) against an event_type attribute table, then an aggregate.

@@ -1,0 +1,407 @@
+"""EXECUTED hot-key stress for the stream-stream interval-join family
+(VERDICT r16 #3) — the one heavy shuffle family tests/test_skew_stress.py
+did not cover.
+
+The r16 stress proved the salted agg/join and window/dedup shapes under a
+30%-hot-key distribution; the stream-stream interval join carries the same
+risk in a different place: its shuffle AND its state store are hash-
+partitioned on the equi-key (user), so one hot user concentrates both the
+exchange and the per-key join state. This module builds an adversarial
+clickstream twin of the events table (ONE user emits 30% of all events;
+~200 cold users form the tail), stages it as a real file stream, and
+asserts with executed jobs:
+
+  (a) answer-invariance under skew for the REAL streaming paths: the
+      watermarked inner interval join's emission equals the plain batch
+      join's pair set, and the full-outer emission bit-matches its batch
+      sim twin (windows.py:248) — both driven by the hot-user corpus;
+      the left/right-outer sims are cross-checked against the full-outer
+      emission via the exact subset relations their thresholds imply;
+  (b) the streaming STATE bound, measured: a production-style replay
+      (8 time-slice files, 1-hour watermark = horizon) reports its state
+      size per microbatch via StreamingQueryProgress.stateOperators —
+      watermark eviction must hold peak state to a slice-local bound
+      instead of accumulating all 24k rows, while the emission still
+      equals the batch pair set (eviction is provably pair-safe: a row is
+      evicted only once the other side's watermark passes its match
+      horizon);
+  (c) the batch-shape SHUFFLE bound, measured: hash-partitioned on the
+      bare user key the hot user's rows land in ONE partition (the
+      straggler, measured); bucketed on (user, floor(ts/horizon)) — the
+      skew.bucketed_interval_join rewrite — the max partition collapses
+      to near-median, and the rewrite returns exactly the plain join's
+      pairs on the adversarial corpus.
+
+Everything is deterministic: ids, users, timestamps and values derive
+from id arithmetic (no rand()); the staged files replay in mtime order;
+the replay conditions for (a) are the single-file/one-data-batch contract
+already pinned at sf0.001 by tests/test_streaming.py — re-proved here
+under adversarial skew.
+
+Fuzz lane: real streaming queries + counted shuffles cost ~1-2 min, too
+heavy for the default lane. Measured shape at the pinned parameters is
+recorded in SCALE.md (r17). No registry growth: the catalog is frozen at
+355; these pin already-shipped operators (streaming/stream.py,
+streaming/windows.py, operators/skew.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+N_ROWS = 24_000          # adversarial clickstream size
+HOT_SHARE = 0.3          # one user holds 30% of all events
+N_COLD_USERS = 200       # long tail
+HOT_USER = 0
+BASE_S = 1_704_067_200   # 2024-01-01T00:00:00Z
+STEP_S = 108             # inter-event spacing → 30-day total span
+HORIZON_S = 3600         # join horizon = 1 hour (the shipped default)
+N_PARTS = 32             # shuffle width under measurement
+N_SLICES = 8             # production-style replay file count
+
+
+def _write_events(path: str, lo: int, hi: int) -> None:
+    """Write events rows for ids [lo, hi) as ONE parquet file with the
+    fixture schema (event_id, ts µs, user_id, event_type, value, props).
+    Hot user 0 owns ids with id%10 in {0,1,2} (exactly 30%); clicks are
+    even ids, purchases odd — so the hot user emits 2/10 clicks and 1/10
+    purchases of every 10-id block. Cold users come from a Knuth
+    multiplicative hash of id (deterministic, no Spark, no rand())."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.arange(lo, hi, dtype=np.int64)
+    hot = (ids % 10) < int(HOT_SHARE * 10)
+    cold_user = 1 + ((ids * 2654435761) % (2**32)) % N_COLD_USERS
+    user = np.where(hot, HOT_USER, cold_user).astype(np.int64)
+    ts_us = (BASE_S + ids * STEP_S) * 1_000_000
+    etype = np.where(ids % 2 == 0, "click", "purchase")
+    value = (ids % 1000) / 10.0
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(etype.tolist(), pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(["{}"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.fixture(scope="module")
+def zipf_sf_dir(tmp_path_factory):
+    """A scratch sf_dir holding the adversarial corpus as
+    ``events.parquet`` — the shipped loaders (tables.load,
+    events_file_stream, the windows.py sim twins) consume it exactly as
+    they consume the driver fixtures."""
+    d = tmp_path_factory.mktemp("zipf-stream-sf")
+    _write_events(str(d / "events.parquet"), 0, N_ROWS)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def sliced_stage_dir(tmp_path_factory):
+    """The same corpus as 8 time-ordered slice files with increasing
+    mtimes — the file source replays them as 8 microbatches, so the
+    watermark advances between batches and state eviction is exercised
+    for real (the single-file replay never evicts mid-stream)."""
+    d = tmp_path_factory.mktemp("zipf-stream-slices")
+    per = N_ROWS // N_SLICES
+    for k in range(N_SLICES):
+        p = str(d / f"slice_{k:02d}.parquet")
+        _write_events(p, k * per, (k + 1) * per)
+        os.utime(p, (BASE_S + k, BASE_S + k))  # deterministic replay order
+    return str(d)
+
+
+def _batch_sides(spark, zipf_sf_dir):
+    from gasket_rs_spark.tables import load
+
+    ev = load(spark, zipf_sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return c, p
+
+
+def _batch_pairs(spark, zipf_sf_dir) -> set[tuple[int, int]]:
+    """The plain batch interval join's pair set — the invariance target."""
+    c, p = _batch_sides(spark, zipf_sf_dir)
+    return {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+
+
+@pytest.mark.fuzz
+def test_zipf_clickstream_premise(spark, zipf_sf_dir):
+    """The adversarial premise, measured: the hot user holds exactly 30%
+    of all events, every cold user is tiny, and the hot user also
+    dominates the JOIN's output (so the stressed key is giant on both
+    the input and the pair side — otherwise the bounds below test
+    nothing)."""
+    from gasket_rs_spark.tables import load
+
+    ev = load(spark, zipf_sf_dir, "events")
+    counts = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts[HOT_USER] == int(N_ROWS * HOT_SHARE)
+    assert max(c for u, c in counts.items() if u != HOT_USER) < 0.01 * N_ROWS
+
+    pairs = _batch_pairs(spark, zipf_sf_dir)
+    c, _ = _batch_sides(spark, zipf_sf_dir)
+    hot_clicks = {
+        r["click_id"] for r in c.where(F.col("cu") == HOT_USER).collect()
+    }
+    hot_pairs = sum(1 for _, cid in pairs if cid in hot_clicks)
+    # the hot user's per-hour event rate (~33 events) makes it the only
+    # user with dense in-horizon matches — it must own >90% of all pairs
+    assert hot_pairs > 0.9 * len(pairs) and len(pairs) > 5_000
+
+
+@pytest.mark.fuzz
+def test_real_stream_inner_join_hot_user_matches_batch(spark, zipf_sf_dir):
+    """(a) REAL watermarked stream-stream inner interval join under
+    adversarial skew: the emission over the staged replay must equal the
+    plain batch join's pair set exactly — 30% of all state rows and >90%
+    of all pairs funnel through one user's hash partition."""
+    from gasket_rs_spark.streaming.stream import (
+        events_file_stream,
+        interval_join_streams,
+        run_to_memory_sink,
+    )
+
+    clicks = events_file_stream(spark, zipf_sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = events_file_stream(spark, zipf_sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams(clicks, purchases, "1 hour")
+    run_to_memory_sink(joined, "zipf_ssj_inner", output_mode="append",
+                       timeout_sec=180)
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("zipf_ssj_inner").collect()
+    }
+    assert streamed == _batch_pairs(spark, zipf_sf_dir)
+
+
+@pytest.mark.fuzz
+def test_full_outer_sim_matches_real_stream_under_skew(spark, zipf_sf_dir):
+    """(a) for the outer family: the full-outer emission (both eviction
+    thresholds live — unmatched purchases at pts < wm, unmatched clicks
+    at cts < wm − horizon) bit-matches the batch sim twin
+    (windows.q_stream_full_outer_join_sim) on the hot-user corpus; the
+    left/right-outer sims are then checked against the full-outer
+    emission through the exact subset relations their thresholds imply —
+    all three sim twins driven by the adversarial distribution."""
+    from gasket_rs_spark.streaming.stream import (
+        events_file_stream,
+        interval_join_streams_full_outer,
+        run_to_memory_sink,
+    )
+    from gasket_rs_spark.streaming.windows import (
+        q_stream_full_outer_join_sim,
+        q_stream_left_outer_join_sim,
+        q_stream_right_outer_join_sim,
+    )
+
+    clicks = events_file_stream(spark, zipf_sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = events_file_stream(spark, zipf_sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams_full_outer(clicks, purchases)
+    run_to_memory_sink(joined, "zipf_ssj_full", output_mode="append",
+                       timeout_sec=180)
+    key = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+    streamed = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["join_user"])
+            for r in spark.table("zipf_ssj_full").collect()
+        ),
+        key=key,
+    )
+    full = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["join_user"])
+            for r in q_stream_full_outer_join_sim(spark, zipf_sf_dir).collect()
+        ),
+        key=key,
+    )
+    assert full == streamed
+    # every emission class is exercised by the corpus (the skewed stress
+    # must not degenerate into an inner join)
+    assert any(cid is None for _, cid, _ in full)
+    assert any(pid is None for pid, _, _ in full)
+
+    left = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["p_user"])
+            for r in q_stream_left_outer_join_sim(spark, zipf_sf_dir).collect()
+        ),
+        key=key,
+    )
+    assert left == sorted(
+        ((p, c, u) for p, c, u in full if p is not None), key=key
+    )
+    right = sorted(
+        (
+            (r["purchase_id"], r["click_id"], r["c_user"])
+            for r in q_stream_right_outer_join_sim(spark, zipf_sf_dir).collect()
+        ),
+        key=key,
+    )
+    assert right == sorted(
+        ((p, c, u) for p, c, u in full if c is not None), key=key
+    )
+
+
+@pytest.mark.fuzz
+def test_stream_state_bounded_by_watermark_under_skew(spark, sliced_stage_dir,
+                                                      zipf_sf_dir):
+    """(b) the streaming STATE bound, measured on a production-style
+    replay: 8 time-slice files, watermark = horizon = 1 hour. Eviction is
+    pair-safe by the watermark contract (a click is dropped only once
+    wm > cts + horizon, when every matching purchase is already below the
+    watermark too), so the emission must STILL equal the batch pair set —
+    and StreamingQueryProgress.stateOperators must show peak state near
+    one slice's rows (plus the 2-horizon tail), nowhere near the 24k rows
+    a no-eviction replay would accumulate. This is the executed form of
+    the 'state bounded by horizon + watermark' claim in the
+    interval-join docstrings."""
+    from gasket_rs_spark.streaming.stream import interval_join_streams
+    from gasket_rs_spark.tables import _normalize_ts
+
+    raw_schema = spark.read.parquet(sliced_stage_dir).schema
+
+    def side(event_type: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sliced_stage_dir)
+        )
+        s = s.withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
+        return s.where(F.col("event_type") == event_type)
+
+    joined = interval_join_streams(side("click"), side("purchase"), "1 hour")
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="gasket-zipf-ckpt-") as ckpt:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName("zipf_ssj_sliced")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("sliced replay exceeded 300s")
+        progress = query.recentProgress
+
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("zipf_ssj_sliced").collect()
+    }
+    assert streamed == _batch_pairs(spark, zipf_sf_dir)
+
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in progress
+        for op in pr["stateOperators"]
+        if op.get("numRowsTotal") is not None
+    ]
+    removed = sum(
+        op.get("numRowsRemoved") or 0
+        for pr in progress
+        for op in pr["stateOperators"]
+    )
+    assert state_rows, "no stateOperators metrics reported"
+    slice_rows = N_ROWS // N_SLICES
+    # eviction really ran, and peak state (both join sides) stays within
+    # one slice + the 2-horizon retention tail — measured ~3.1k vs the
+    # 24k a no-eviction replay holds (the 90-day-watermark contract)
+    assert removed > N_ROWS // 2, removed
+    assert max(state_rows) <= slice_rows + 4 * (2 * HORIZON_S // STEP_S), (
+        max(state_rows),
+        sorted(state_rows),
+    )
+    assert max(state_rows) * 4 < N_ROWS
+
+
+@pytest.mark.fuzz
+def test_bucketed_interval_join_bounds_shuffle_under_skew(spark, zipf_sf_dir):
+    """(c) the batch-shape SHUFFLE bound, measured at two layouts, plus
+    answer-invariance of the mitigation: hash-partitioned on the bare
+    user key the hot user's click rows form one indivisible straggler
+    partition (measured ≥ its 4 800 rows); keyed on
+    (user, floor(ts/horizon)) — skew.bucketed_interval_join's equi-key —
+    the max partition collapses toward the median, because the
+    indivisible unit is now bounded by the key's hourly RATE (~33 rows),
+    not its total volume. The rewrite must return exactly the plain
+    join's pairs."""
+    from gasket_rs_spark.operators.skew import bucketed_interval_join
+
+    c, p = _batch_sides(spark, zipf_sf_dir)
+    c = c.withColumnRenamed("cu", "user_id")
+    p = p.withColumnRenamed("pu", "user_id")
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in bucketed_interval_join(
+            p, c, "user_id", "pts", "cts", HORIZON_S
+        ).collect()
+    }
+    assert got == _batch_pairs(spark, zipf_sf_dir)
+
+    def partition_sizes(df, *cols):
+        rows = (
+            df.repartition(N_PARTS, *[F.col(x) for x in cols])
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        return sorted(r["cnt"] for r in rows)
+
+    hot_clicks = c.where(F.col("user_id") == HOT_USER).count()
+    assert hot_clicks == int(N_ROWS * HOT_SHARE * 2 / 3)  # 2 of 3 hot slots
+
+    unbucketed = partition_sizes(c, "user_id")
+    # the straggler, measured: one partition carries the whole hot user
+    # (plus co-hashed cold users)
+    assert max(unbucketed) >= hot_clicks
+
+    bucketed = c.withColumn(
+        "_tb", F.expr(f"unix_seconds(cts) div {HORIZON_S}").cast("long")
+    )
+    sizes = partition_sizes(bucketed, "user_id", "_tb")
+    median = sizes[len(sizes) // 2]
+    # hot cells are ~33 rows over 720 buckets — cells << bins, so unlike
+    # the r16 salted layout there is no clumping: max/median stays small
+    assert max(sizes) <= 2 * median, (max(sizes), median, sizes)
+    # and the straggler shrank by an order of magnitude
+    assert max(sizes) * 5 < max(unbucketed), (max(sizes), max(unbucketed))
