@@ -178,6 +178,7 @@ def age_breach_verdict(
     served: set[str],
     cap: int,
     grace: int = AGE_GRACE_ROUNDS,
+    displaced: set[str] = frozenset(),
 ) -> tuple[list[str], list[str], list[str]]:
     """Attribute over-cap age breaches to a fault (VERDICT r15 #3) so a
     driver hiccup doesn't red the close that a regen can't fix.
@@ -188,21 +189,33 @@ def age_breach_verdict(
                    serve last round.
     served:        names actually present in the prior round's
                    CORRECTNESS artifact — what the driver DID serve.
+    displaced:     names that were DUE in the prior round's order
+                   (rank <= 1: failed or age-promoted) but sat beyond the
+                   WINDOW prefix — capacity displacement (ADVICE r16,
+                   medium). At zero rotation slack, a driver under-serve
+                   of K witnesses forces the next regen to front those K,
+                   pushing K newly-due witnesses out of the prefix; they
+                   breach the cap one round later while ABSENT from the
+                   prior window. That cascade is still the driver's
+                   fault — the regen ordered them correctly, there was
+                   no room — so it gets the same grace, not a misleading
+                   builder-fault red.
 
     Returns (fail_builder, fail_grace_exhausted, warn_driver):
       - fail_builder: the regen never placed the witness in the window
-        (rotation mis-ordered/missing — a code fix exists HERE), plus the
-        bookkeeping-impossible case (in window AND served yet still over
-        cap — the fold itself is broken). Red, no grace.
-      - warn_driver: in the window but the driver under-served it (short
-        window / skipped round) and age is within cap+grace — loud WARN,
-        close stays green for one round while the rotation re-serves it.
+        NOR was it capacity-displaced while due (rotation mis-ordered/
+        missing — a code fix exists HERE), plus the bookkeeping-
+        impossible case (served yet still over cap — the fold itself is
+        broken). Red, no grace.
+      - warn_driver: asked-or-displaced but unserved, age within
+        cap+grace — loud WARN, close stays green for one round while the
+        rotation re-serves it.
       - fail_grace_exhausted: driver-fault but age > cap+grace — the
         grace round passed and the witness is STILL unserved; red.
-    Pure function; both paths pinned in tests/test_rotation.py."""
+    Pure function; all paths pinned in tests/test_rotation.py."""
     fail_builder, fail_exhausted, warn_driver = [], [], []
     for name, age in sorted(offender_ages.items()):
-        if name not in in_window or name in served:
+        if (name not in in_window and name not in displaced) or name in served:
             fail_builder.append(name)
         elif age > cap + grace:
             fail_exhausted.append(name)
@@ -211,14 +224,37 @@ def age_breach_verdict(
     return fail_builder, fail_exhausted, warn_driver
 
 
-def _prior_window_and_served(rnd: int) -> tuple[set[str], set[str]] | None:
-    """(asked, served) for the prior round: the first WINDOW names of
-    registry_order.py at the r{rnd-1} snapshot commit, and the names in
-    CORRECTNESS_r{rnd-1}.json (empty if the driver skipped the round).
-    None when the prior snapshot is unreadable — attribution impossible,
-    caller falls back to the ungraced hard-fail."""
+def parse_registry_order_block(text: str) -> tuple[list[str], dict[str, int]]:
+    """(names-in-order, name -> recorded rank) from a generated
+    registry_order.py's ORDER block. The parse is SLICED to the
+    ``ORDER = ( ... )`` assignment first (ADVICE r16, low): the old
+    whole-file regex would silently absorb any future 4-space-indented
+    quoted tuple added to the module. Ranks come from the generator's
+    per-line comments; a line without one gets rank 3 (not due)."""
     import re
 
+    m = re.search(r"^ORDER = \(\n(.*?)^\)", text, re.M | re.S)
+    block = m.group(1) if m else ""
+    names = re.findall(r"^    '(\w+)',", block, re.M)
+    ranks = {
+        nm: int(rk)
+        for nm, rk in re.findall(
+            r"^    '(\w+)',\s*# r\S+ rank=(\d)", block, re.M
+        )
+    }
+    return names, {n: ranks.get(n, 3) for n in names}
+
+
+def _prior_window_and_served(
+    rnd: int,
+) -> tuple[set[str], set[str], set[str]] | None:
+    """(asked, served, displaced) for the prior round: the first WINDOW
+    names of registry_order.py at the r{rnd-1} snapshot commit, the
+    names in CORRECTNESS_r{rnd-1}.json (empty if the driver skipped the
+    round), and the DUE-but-capacity-displaced names (recorded rank <= 1
+    beyond the WINDOW prefix — see age_breach_verdict). None when the
+    prior snapshot is unreadable — attribution impossible, caller falls
+    back to the ungraced hard-fail."""
     from check_rotation import WINDOW
     from gen_registry_order import _round_snapshot_commits
 
@@ -232,14 +268,15 @@ def _prior_window_and_served(rnd: int) -> tuple[set[str], set[str]] | None:
     )
     if show.returncode != 0:
         return None
-    prior_order = re.findall(r"^    '(\w+)',", show.stdout, re.M)
+    prior_order, prior_ranks = parse_registry_order_block(show.stdout)
     asked = set(prior_order[:WINDOW])
+    displaced = {n for n in prior_order[WINDOW:] if prior_ranks[n] <= 1}
     path = os.path.join(REPO, f"CORRECTNESS_r{rnd - 1}.json")
     served: set[str] = set()
     if os.path.exists(path):
         with open(path) as f:
             served = set(json.load(f))
-    return asked, served
+    return asked, served, displaced
 
 
 def check_evidence_debt(rnd: int) -> bool:
@@ -318,10 +355,11 @@ def check_evidence_debt(rnd: int) -> bool:
             print("--- evidence-age: FAIL — prior snapshot unreadable, "
                   "cannot attribute the breach (treating as builder fault)")
             return False
-        asked, served = ctx
+        asked, served, displaced = ctx
         breach_ages = {n: rnd - last[n] for n in over_cap}
         builder, exhausted, warned = age_breach_verdict(
-            breach_ages, asked, served, MAX_DRIVER_AGE
+            breach_ages, asked, served, MAX_DRIVER_AGE,
+            displaced=displaced,
         )
         if builder:
             print(f"--- evidence-age: FAIL — BUILDER broke rotation "
@@ -332,11 +370,14 @@ def check_evidence_debt(rnd: int) -> bool:
                   f"({AGE_GRACE_ROUNDS} round) EXHAUSTED, still unserved: "
                   f"{exhausted[:5]}")
         if warned:
-            print(f"--- evidence-age: WARN — DRIVER under-served the "
-                  f"r{rnd - 1} window ({len(served)} served of "
-                  f"{len(asked)} asked); one-round grace active for: "
-                  f"{warned[:5]} — these must be served in r{rnd} or the "
-                  f"next close goes red")
+            cascaded = sorted(set(warned) & displaced)
+            print(f"--- evidence-age: WARN — DRIVER-fault breach "
+                  f"(r{rnd - 1} window served {len(served)} of "
+                  f"{len(asked)} asked"
+                  + (f"; capacity-displacement cascade for {cascaded[:5]}"
+                     if cascaded else "")
+                  + f"); one-round grace active for: {warned[:5]} — these "
+                  f"must be served in r{rnd} or the next close goes red")
         if builder or exhausted:
             return False
 
@@ -353,7 +394,7 @@ def check_evidence_debt(rnd: int) -> bool:
         print(f"--- evidence-debt: OK (never-checked={current_never}; prior "
               f"catalog unreadable at {snap[:12]} — informational)")
         return True
-    prior_order = re.findall(r"^    '(\w+)',", show.stdout, re.M)
+    prior_order, _ = parse_registry_order_block(show.stdout)
     prior_checked = checked_through(rnd - 2)
     prior_never = sum(1 for n in prior_order if n not in prior_checked)
     grew = current_never > prior_never
@@ -457,16 +498,19 @@ def pins_collect_verdict(
     pin is merely DESELECTED by the default lane's `-m "not fuzz"`
     addopts ('1/2 tests collected (1 deselected)') — the pin would then
     never execute anywhere while the close stays green. Fail on any
-    deselection, and require at least one collected test per pin id (a
-    pin id can collect >1 via parametrization, never fewer). Pure;
-    pinned in tests/test_rotation.py."""
+    deselection — matched against pytest's summary-line shape
+    '(N deselected)', not the bare substring, so a test node id or
+    warning text containing the word can't false-fail the close
+    (ADVICE r16, low) — and require at least one collected test per pin
+    id (a pin id can collect >1 via parametrization, never fewer).
+    Pure; pinned in tests/test_rotation.py."""
     import re
 
     # '1/2 tests collected (1 deselected)': collected count is the FIRST
     # number; the optional '/M' is the total-found denominator.
     m = re.search(r"(\d+)(?:/\d+)?\s+tests?\s+collected", output)
     n_collected = int(m.group(1)) if m else -1
-    if "deselected" in output:
+    if re.search(r"\(\d+ deselected\)", output):
         return (False, "pin id(s) DESELECTED from the default lane (a "
                 "fuzz-marked pin would never run at the close)", n_collected)
     if n_collected < n_pins:

@@ -103,10 +103,10 @@ def test_evidence_age_gate():
     if over:
         ctx = _prior_window_and_served(closing)
         assert ctx is not None, (max_age, over[:5])
-        asked, served = ctx
+        asked, served, displaced = ctx
         builder, exhausted, _warned = age_breach_verdict(
             {n: closing - last[n] for n in over}, asked, served,
-            MAX_DRIVER_AGE,
+            MAX_DRIVER_AGE, displaced=displaced,
         )
         assert not builder and not exhausted, (builder, exhausted, over[:5])
 
@@ -178,6 +178,61 @@ def test_age_breach_fault_attribution():
     )
     assert (b, e, w) == (["m"], ["z"], ["a"])
 
+    # ADVICE r16 (medium) — the zero-slack displacement cascade: a
+    # driver under-serve forces the next regen to front the hiccuped
+    # witnesses, pushing K newly-DUE witnesses (rank <= 1) beyond the
+    # 50-prefix; they breach one round later while absent from the prior
+    # window. That is still driver fault: graced, not builder-red.
+    b, e, w = age_breach_verdict(
+        {"x": 9}, in_window=set(), served=set(), cap=cap, displaced={"x"},
+    )
+    assert (b, e, w) == ([], [], ["x"])
+    # cascade grace exhausts on the same clock as the direct grace
+    b, e, w = age_breach_verdict(
+        {"x": 10}, in_window=set(), served=set(), cap=cap, displaced={"x"},
+    )
+    assert (b, e, w) == ([], ["x"], [])
+    # displaced AND served yet still over cap: the fold is broken —
+    # bookkeeping-impossible stays builder-red
+    b, e, w = age_breach_verdict(
+        {"x": 9}, in_window=set(), served={"x"}, cap=cap, displaced={"x"},
+    )
+    assert (b, e, w) == (["x"], [], [])
+
+
+def test_parse_registry_order_block_is_sliced_to_order():
+    """ADVICE r16 (low): the prior-window parse must read ONLY the
+    ORDER = ( ... ) block — a second 4-space-indented quoted tuple
+    elsewhere in the file must not pollute the window prefix — and the
+    recorded ranks must come from the generator's comments (absent
+    comment -> rank 3, never displaced)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from round_close import parse_registry_order_block
+
+    text = (
+        "OTHER = (\n"
+        "    'pollution_a',\n"
+        "    'pollution_b',  # r9 rank=0\n"
+        ")\n"
+        "\n"
+        "ORDER = (\n"
+        "    'w1',  # r10 rank=1\n"
+        "    'w2',  # r- rank=2\n"
+        "    'w3',\n"
+        ")\n"
+    )
+    names, ranks = parse_registry_order_block(text)
+    assert names == ["w1", "w2", "w3"]
+    assert ranks == {"w1": 1, "w2": 2, "w3": 3}
+    # and the real committed file parses to the full catalog with the
+    # same names check_rotation sees
+    with open(os.path.join(REPO, "gasket_rs_spark", "registry_order.py")) as f:
+        real_names, real_ranks = parse_registry_order_block(f.read())
+    from gasket_rs_spark.registry_order import ORDER
+
+    assert real_names == list(ORDER)
+    assert set(real_ranks.values()) <= {0, 1, 2, 3}
+
 
 def test_prior_window_and_served_reads_real_history():
     """The attribution inputs must be reconstructable from committed
@@ -192,11 +247,14 @@ def test_prior_window_and_served_reads_real_history():
 
     ctx = _prior_window_and_served(16)  # prior = r15, both artifacts exist
     assert ctx is not None
-    asked, served = ctx
+    asked, served, displaced = ctx
     assert len(asked) == WINDOW
     assert len(served) == WINDOW
     # the driver serves the asked prefix: full overlap last round
     assert asked == served
+    # displaced = DUE (rank <= 1) names beyond the prefix; disjoint from
+    # the asked window by construction
+    assert displaced.isdisjoint(asked)
 
 
 def test_rows_only_pin_gate():
@@ -273,6 +331,15 @@ def test_pins_collect_verdict_catches_deselection():
 
     # healthy: exact count
     ok, _, n = pins_collect_verdict("2 tests collected in 0.1s\n", 2)
+    assert ok is True and n == 2
+    # ADVICE r16 (low): the word 'deselected' inside a test NODE ID (or
+    # warning text) must not false-fail — only the summary-line shape
+    # '(N deselected)' counts
+    ok, _, n = pins_collect_verdict(
+        "tests/t.py::test_not_deselected_guard\n\n"
+        "2 tests collected in 0.1s\n",
+        2,
+    )
     assert ok is True and n == 2
     # healthy: parametrized pin collects more tests than pin ids
     ok, _, n = pins_collect_verdict("32 tests collected in 1.4s\n", 31)
