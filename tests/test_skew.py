@@ -144,6 +144,42 @@ def test_hot_bucket_star_survivors_match_exact_witness(spark, monkeypatch):
         spark.catalog.clearCache()
 
 
+def test_bucketed_interval_join_matches_plain_on_fixture(spark, sf_dir):
+    """Default-lane pin for skew.bucketed_interval_join on the REAL
+    events fixture (the adversarial-skew bounds live in the fuzz lane,
+    tests/test_skew_stress_stream.py): the time-bucketed rewrite must
+    return exactly the plain interval join's click→purchase pairs —
+    including boundary rows at ts == pts − horizon, which the fixture's
+    irregular timestamps can land near."""
+    from gasket_rs_spark.operators.skew import bucketed_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    plain = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c.withColumnRenamed("user_id", "cu"),
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in bucketed_interval_join(p, c, "user_id", "pts", "cts", 3600).collect()
+    }
+    assert got == plain and plain  # nonempty on the fixture
+
+
 def test_shard_balance_audit_matches_python_reference(spark, sf_dir):
     import hashlib
     from collections import defaultdict
