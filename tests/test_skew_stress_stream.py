@@ -431,6 +431,145 @@ def test_stream_dedup_state_is_key_bounded_under_skew(spark,
 
 
 @pytest.mark.fuzz
+@pytest.mark.parametrize("seed", range(6))
+def test_bucketed_interval_join_fuzz_matches_python_reference(spark, seed):
+    """Randomized differential spec for skew.bucketed_interval_join: on
+    random corpora whose timestamp grid INCLUDES exact-horizon deltas
+    (cts == pts − horizon is the boundary where the right row's bucket
+    is exactly pb − 1 — the edge the ×2 left replication must cover),
+    the rewrite must reproduce a pure-Python O(n²) reference of the
+    interval predicate bit-for-bit, across several horizons. Also pins
+    the plan shape once: equi-join, never a cartesian."""
+    import datetime
+    import random
+
+    from gasket_rs_spark.operators.skew import bucketed_interval_join
+
+    rng = random.Random(7000 + seed)
+    horizon = rng.choice([7, 60, 3600])
+    t0 = datetime.datetime(2024, 3, 1)
+    steps = [0, 1, horizon // 2, horizon - 1, horizon, horizon + 1,
+             2 * horizon]
+
+    def gen(side_tag: str):
+        rows = []
+        eid = 0
+        for user in range(rng.randint(1, 4)):
+            t = rng.randint(0, horizon)
+            for _ in range(rng.randint(3, 20)):
+                t += rng.choice(steps)
+                rows.append((user, eid, t))
+                eid += 1
+        return rows
+
+    clicks, purchases = gen("c"), gen("p")
+    expected = {
+        (pe, ce)
+        for pu, pe, pt in purchases
+        for cu, ce, ct in clicks
+        if pu == cu and pt - horizon <= ct <= pt
+    }
+
+    to_ts = lambda s: t0 + datetime.timedelta(seconds=s)  # noqa: E731
+    c = spark.createDataFrame(
+        [(u, e, to_ts(s)) for u, e, s in clicks],
+        "user_id bigint, click_id bigint, cts timestamp",
+    )
+    p = spark.createDataFrame(
+        [(u, e, to_ts(s)) for u, e, s in purchases],
+        "user_id bigint, purchase_id bigint, pts timestamp",
+    )
+    joined = bucketed_interval_join(p, c, "user_id", "pts", "cts", horizon)
+    got = {(r["purchase_id"], r["click_id"]) for r in joined.collect()}
+    assert got == expected, (seed, horizon, got ^ expected)
+    if seed == 0:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.fuzz
+def test_stream_join_checkpoint_restart_exactly_once(spark, sliced_stage_dir,
+                                                     zipf_sf_dir):
+    """X33/R18 restart edge for the stream-stream JOIN family under
+    skew: hard-stop the sliced hot-user replay mid-stream, restart from
+    the same checkpoint, and the union of per-batch emissions must equal
+    the batch join's pair set exactly — no loss, no double-count. The
+    decisive assertion is the CROSS-BOUNDARY pairs: clicks that arrived
+    before the stop matching purchases that arrived after it can only
+    emit if the JOIN STATE STORE (not just source offsets) survived the
+    restart."""
+    import os
+    import tempfile
+    import time
+
+    from gasket_rs_spark.streaming.stream import interval_join_streams
+    from gasket_rs_spark.tables import _normalize_ts
+
+    raw_schema = spark.read.parquet(sliced_stage_dir).schema
+
+    def side(event_type: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sliced_stage_dir)
+        )
+        s = s.withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
+        return s.where(F.col("event_type") == event_type)
+
+    # keyed by batch_id: a replayed interrupted batch overwrites its own
+    # entry — the idempotence a real per-batch sink provides
+    seen: dict[int, set] = {}
+
+    def sink(batch_df, batch_id):
+        seen[batch_id] = {
+            (r["purchase_id"], r["click_id"]) for r in batch_df.collect()
+        }
+
+    ckpt = tempfile.mkdtemp(prefix="gasket-ssj-restart-ckpt-")
+
+    def start():
+        joined = interval_join_streams(side("click"), side("purchase"),
+                                       "1 hour")
+        return (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while len(seen) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+    n_before = len(seen)
+    assert n_before >= 1, "nothing processed before the stop"
+
+    q2 = start()
+    assert q2.awaitTermination(300)
+    assert len(seen) > n_before, "no batches processed after restart"
+
+    got = set().union(*seen.values())
+    assert got == _batch_pairs(spark, zipf_sf_dir)
+
+    # cross-boundary premise: some emitted pair's click arrived in a
+    # pre-stop batch and its purchase in a post-restart batch. Slices
+    # are id-ranged (per = N/8), clicks even ids / purchases odd, so the
+    # slice of an event is id // per; pairs spanning the stop batch
+    # index prove the restored join state matched them.
+    per = N_ROWS // N_SLICES
+    cross = [
+        (pid, cid)
+        for pid, cid in got
+        if cid // per < n_before <= pid // per
+    ]
+    assert cross, (n_before, len(got))
+    os.system(f"rm -rf {ckpt}")
+
+
+@pytest.mark.fuzz
 def test_bucketed_interval_join_bounds_shuffle_under_skew(spark, zipf_sf_dir):
     """(c) the batch-shape SHUFFLE bound, measured at two layouts, plus
     answer-invariance of the mitigation: hash-partitioned on the bare
