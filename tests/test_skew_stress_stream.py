@@ -570,6 +570,68 @@ def test_stream_join_checkpoint_restart_exactly_once(spark, sliced_stage_dir,
 
 
 @pytest.mark.fuzz
+def test_asof_join_strategies_agree_under_skew(spark, tmp_path):
+    """(a) for the AS-OF join family (X9) — the last join family without
+    a direct skew twin: the JVM union+window strategy
+    (relational.q_asof_join — the hot user becomes ONE 7,200-row window
+    sort partition) and the cogrouped-pandas strategy
+    (udf.q_asof_join_cogrouped — the hot user becomes ONE pandas group)
+    must return bit-identical results on an adversarial corpus that is
+    both 30%-hot AND dense in same-second click↔purchase collisions
+    (ts = BASE + (id div 2)·STEP pairs every even click with the next
+    odd purchase at the SAME second — the exact-match boundary both
+    strategies pin: kind-ordering in the window, allow_exact_matches in
+    merge_asof). Two independent execution strategies agreeing on every
+    boundary row under skew is the as-of analogue of the r16 window
+    cross-check."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gasket_rs_spark.functions.udf import q_asof_join_cogrouped
+    from gasket_rs_spark.operators.relational import q_asof_join
+
+    n = 24_000
+    ids = np.arange(n, dtype=np.int64)
+    hot = (ids % 10) < 3
+    cold_user = 1 + ((ids * 2654435761) % (2**32)) % N_COLD_USERS
+    user = np.where(hot, HOT_USER, cold_user).astype(np.int64)
+    # id div 2 → every click (even id) shares its second with the next
+    # purchase (odd id); hot ids 10k/10k+1 are a same-second hot pair
+    ts_us = (BASE_S + (ids // 2) * STEP_S) * 1_000_000
+    etype = np.where(ids % 2 == 0, "click", "purchase")
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(etype.tolist(), pa.string()),
+            "value": pa.array((ids % 1000) / 10.0, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    d = str(tmp_path / "asof-skew-sf")
+    os.makedirs(d)
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+
+    key = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+    jvm = sorted(map(tuple, q_asof_join(spark, d).collect()), key=key)
+    cog = sorted(map(tuple, q_asof_join_cogrouped(spark, d).collect()),
+                 key=key)
+    assert jvm == cog
+    # premise: the hot user owns 30% of the purchases, and every one of
+    # its purchases found a click (its click stream is dense)
+    hot_rows = [r for r in jvm if r[1] == HOT_USER]
+    assert len(hot_rows) == int(n * 0.1)  # 1 of every 10 ids
+    assert all(r[3] is not None for r in hot_rows)
+    # the same-second boundary is actually exercised: hot purchases at
+    # id 10k+1 match the same-second click 10k (exact match, not the
+    # previous second's) — check a structural consequence: every hot
+    # purchase's matched click_sec equals its own purchase_sec
+    assert all(r[4] == r[2] for r in hot_rows)
+
+
+@pytest.mark.fuzz
 def test_bucketed_interval_join_bounds_shuffle_under_skew(spark, zipf_sf_dir):
     """(c) the batch-shape SHUFFLE bound, measured at two layouts, plus
     answer-invariance of the mitigation: hash-partitioned on the bare
