@@ -88,13 +88,18 @@ def bucketed_interval_join(
     r.ts ∈ [l.ts − horizon, l.ts] — exactly
     ``streaming.stream.interval_join_streams``'s predicate.
 
-    Rewrite: bucket both sides by floor(unix_seconds(ts) / horizon);
-    a qualifying right row's bucket is floor(l.ts/H) or floor(l.ts/H)−1
-    (subtracting exactly one bucket width shifts the floor by exactly
-    one), so the left side replicates ×2 to those buckets and the join
-    becomes an equi-join on (key, bucket) with the interval as a
-    residual predicate. Every pair is produced exactly once because each
-    right row owns a single bucket.
+    Rewrite: bucket both sides by floor(unix_seconds(ts) / horizon) —
+    TRUE floor, not Spark's truncate-toward-zero ``div``, so the
+    two-bucket cover below holds by the one-line identity
+    floor((x − H)/H) = floor(x/H) − 1 for ALL timestamp signs,
+    pre-epoch included (spelled integer-exactly via pmod; see
+    ``_floor_bucket``). A qualifying right row's bucket is then
+    floor(l.ts/H) or floor(l.ts/H)−1 (subtracting exactly one bucket
+    width shifts the floor by exactly one), so the left side replicates
+    ×2 to those buckets and the join becomes an equi-join on
+    (key, bucket) with the interval as a residual predicate. Every pair
+    is produced exactly once because each right row owns a single
+    bucket.
 
     Scale: the indivisible shuffle/state unit shrinks from
     rows-per-hot-key to rows-per-(hot-key, 2·horizon window) — bounded
@@ -102,18 +107,40 @@ def bucketed_interval_join(
     streaming join's watermark eviction gives state. Answer-invariance
     and the measured partition bound are pinned by
     tests/test_skew_stress_stream.py on an adversarial 30%-hot-user
-    corpus (fuzz lane; no registry growth — VERDICT r16 #3)."""
-    lb = F.expr(f"unix_seconds({left_ts}) div {horizon_s}").cast("long")
-    rb = F.expr(f"unix_seconds({right_ts}) div {horizon_s}").cast("long")
-    left_rep = left.withColumn("_tb", F.explode(F.array(lb, lb - 1)))
-    right_b = right.withColumn("_tb", rb)
+    corpus (fuzz lane; no registry growth — VERDICT r16 #3), with a
+    pre-epoch (negative unix time) leg in the fuzz grid."""
+    if left_ts == right_ts:
+        raise ValueError(
+            "bucketed_interval_join: left_ts and right_ts must be distinct "
+            f"column names (both are {left_ts!r}); the residual predicate "
+            "references both sides by name"
+        )
+    tb = "_tb"
+    taken = set(left.columns) | set(right.columns)
+    while tb in taken:
+        tb = "_" + tb
+
+    def _floor_bucket(ts: str) -> F.Column:
+        # Integer-exact floor division. Spark's `div` truncates toward
+        # zero, which disagrees with floor for negative (pre-1970)
+        # timestamps; pmod(x, H) is non-negative, so x - pmod(x, H) is
+        # the greatest multiple of H <= x and the div is then exact for
+        # all signs.
+        x = f"unix_seconds({ts})"
+        return F.expr(f"({x} - pmod({x}, {horizon_s})) div {horizon_s}").cast(
+            "long"
+        )
+
+    lb = _floor_bucket(left_ts)
+    left_rep = left.withColumn(tb, F.explode(F.array(lb, lb - 1)))
+    right_b = right.withColumn(tb, _floor_bucket(right_ts))
     residual = (F.col(right_ts) <= F.col(left_ts)) & (
         F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {horizon_s} SECONDS")
     )
     return (
-        left_rep.join(right_b, [key, "_tb"])
+        left_rep.join(right_b, [key, tb])
         .where(residual)
-        .drop("_tb")
+        .drop(tb)
     )
 
 

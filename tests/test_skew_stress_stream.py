@@ -439,7 +439,11 @@ def test_bucketed_interval_join_fuzz_matches_python_reference(spark, seed):
     is exactly pb − 1 — the edge the ×2 left replication must cover),
     the rewrite must reproduce a pure-Python O(n²) reference of the
     interval predicate bit-for-bit, across several horizons. Also pins
-    the plan shape once: equi-join, never a cartesian."""
+    the plan shape once: equi-join, never a cartesian. Odd seeds anchor
+    the corpus just BEFORE the epoch so timestamps straddle unix time 0
+    (negative seconds) — the sign regime where truncating division
+    would disagree with the floor bucketing the rewrite relies on
+    (ADVICE r17)."""
     import datetime
     import random
 
@@ -447,7 +451,11 @@ def test_bucketed_interval_join_fuzz_matches_python_reference(spark, seed):
 
     rng = random.Random(7000 + seed)
     horizon = rng.choice([7, 60, 3600])
-    t0 = datetime.datetime(2024, 3, 1)
+    t0 = (
+        datetime.datetime(1969, 12, 31, 23, 59)
+        if seed % 2
+        else datetime.datetime(2024, 3, 1)
+    )
     steps = [0, 1, horizon // 2, horizon - 1, horizon, horizon + 1,
              2 * horizon]
 
@@ -488,6 +496,37 @@ def test_bucketed_interval_join_fuzz_matches_python_reference(spark, seed):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_interval_join_guards(spark):
+    """ADVICE r17 skew.py:108 — the temp bucket column must not clobber a
+    caller's own ``_tb`` column, and same-name timestamp columns are
+    rejected up front (the residual predicate references both sides by
+    name, which would otherwise fail with an ambiguous-reference error
+    deep inside the plan)."""
+    import datetime
+
+    from gasket_rs_spark.operators.skew import bucketed_interval_join
+
+    ts = lambda s: datetime.datetime(2024, 3, 1) + datetime.timedelta(  # noqa: E731
+        seconds=s
+    )
+    left = spark.createDataFrame(
+        [(1, 10, ts(100), "keep-left")],
+        "user_id bigint, purchase_id bigint, pts timestamp, _tb string",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, ts(40))], "user_id bigint, click_id bigint, cts timestamp"
+    )
+    out = bucketed_interval_join(left, right, "user_id", "pts", "cts", 60)
+    rows = out.collect()
+    assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(10, 20)]
+    # the caller's _tb column survives with its value intact
+    assert rows[0]["_tb"] == "keep-left"
+
+    with pytest.raises(ValueError, match="distinct column names"):
+        bucketed_interval_join(left.drop("_tb"), right, "user_id", "pts",
+                               "pts", 60)
+
+
 @pytest.mark.fuzz
 def test_stream_join_checkpoint_restart_exactly_once(spark, sliced_stage_dir,
                                                      zipf_sf_dir):
@@ -499,7 +538,7 @@ def test_stream_join_checkpoint_restart_exactly_once(spark, sliced_stage_dir,
     before the stop matching purchases that arrived after it can only
     emit if the JOIN STATE STORE (not just source offsets) survived the
     restart."""
-    import os
+    import shutil
     import tempfile
     import time
 
@@ -538,35 +577,37 @@ def test_stream_join_checkpoint_restart_exactly_once(spark, sliced_stage_dir,
             .start()
         )
 
-    q = start()
-    deadline = time.time() + 120
-    while len(seen) < 2 and time.time() < deadline:
-        time.sleep(0.05)
-    q.stop()
-    q.awaitTermination(60)
-    n_before = len(seen)
-    assert n_before >= 1, "nothing processed before the stop"
+    try:
+        q = start()
+        deadline = time.time() + 120
+        while len(seen) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination(60)
+        n_before = len(seen)
+        assert n_before >= 1, "nothing processed before the stop"
 
-    q2 = start()
-    assert q2.awaitTermination(300)
-    assert len(seen) > n_before, "no batches processed after restart"
+        q2 = start()
+        assert q2.awaitTermination(300)
+        assert len(seen) > n_before, "no batches processed after restart"
 
-    got = set().union(*seen.values())
-    assert got == _batch_pairs(spark, zipf_sf_dir)
+        got = set().union(*seen.values())
+        assert got == _batch_pairs(spark, zipf_sf_dir)
 
-    # cross-boundary premise: some emitted pair's click arrived in a
-    # pre-stop batch and its purchase in a post-restart batch. Slices
-    # are id-ranged (per = N/8), clicks even ids / purchases odd, so the
-    # slice of an event is id // per; pairs spanning the stop batch
-    # index prove the restored join state matched them.
-    per = N_ROWS // N_SLICES
-    cross = [
-        (pid, cid)
-        for pid, cid in got
-        if cid // per < n_before <= pid // per
-    ]
-    assert cross, (n_before, len(got))
-    os.system(f"rm -rf {ckpt}")
+        # cross-boundary premise: some emitted pair's click arrived in a
+        # pre-stop batch and its purchase in a post-restart batch. Slices
+        # are id-ranged (per = N/8), clicks even ids / purchases odd, so
+        # the slice of an event is id // per; pairs spanning the stop
+        # batch index prove the restored join state matched them.
+        per = N_ROWS // N_SLICES
+        cross = [
+            (pid, cid)
+            for pid, cid in got
+            if cid // per < n_before <= pid // per
+        ]
+        assert cross, (n_before, len(got))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @pytest.mark.fuzz
