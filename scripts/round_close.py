@@ -189,17 +189,27 @@ def age_breach_verdict(
                    serve last round.
     served:        names actually present in the prior round's
                    CORRECTNESS artifact — what the driver DID serve.
-    displaced:     names that were DUE in the prior round's order
-                   (rank <= 1: failed or age-promoted) but sat beyond the
-                   WINDOW prefix — capacity displacement (ADVICE r16,
-                   medium). At zero rotation slack, a driver under-serve
-                   of K witnesses forces the next regen to front those K,
-                   pushing K newly-due witnesses out of the prefix; they
+    displaced:     previously-checked names that sat beyond the WINDOW
+                   prefix in the prior round's order with recorded rank
+                   <= 2 — capacity displacement (ADVICE r16, medium;
+                   widened from rank <= 1 by the r18 end-to-end replay).
+                   At zero rotation slack, a driver under-serve of K
+                   witnesses forces the next regen to front those K,
+                   pushing K due witnesses out of the prefix; they
                    breach the cap one round later while ABSENT from the
-                   prior window. That cascade is still the driver's
-                   fault — the regen ordered them correctly, there was
-                   no room — so it gets the same grace, not a misleading
-                   builder-fault red.
+                   prior window. Rank 2 belongs here too: a witness
+                   whose module changed since its last green check
+                   sorts AFTER every rank-1 entry (the generator's
+                   validity-before-age policy), so under a multi-round
+                   driver-failure backlog the module-changed due cohort
+                   is the FIRST to overflow the prefix — the regen
+                   ordered it correctly, there was no room. Both cases
+                   are the driver's fault and get the same grace, not a
+                   misleading builder-fault red. A breacher recorded at
+                   rank 3 stays builder-fault: breaching at close rnd
+                   means age >= 8 at the prior generation, which forces
+                   recorded rank <= 2 in any FRESH order — rank 3 on a
+                   breacher proves the committed order was stale.
 
     Returns (fail_builder, fail_grace_exhausted, warn_driver):
       - fail_builder: the regen never placed the witness in the window
@@ -224,25 +234,31 @@ def age_breach_verdict(
     return fail_builder, fail_exhausted, warn_driver
 
 
-def parse_registry_order_block(text: str) -> tuple[list[str], dict[str, int]]:
-    """(names-in-order, name -> recorded rank) from a generated
-    registry_order.py's ORDER block. The parse is SLICED to the
-    ``ORDER = ( ... )`` assignment first (ADVICE r16, low): the old
-    whole-file regex would silently absorb any future 4-space-indented
-    quoted tuple added to the module. Ranks come from the generator's
-    per-line comments; a line without one gets rank 3 (not due)."""
+def parse_registry_order_block(
+    text: str,
+) -> tuple[list[str], dict[str, int], dict[str, int]]:
+    """(names-in-order, name -> recorded rank, name -> recorded
+    last-checked round) from a generated registry_order.py's ORDER
+    block. The parse is SLICED to the ``ORDER = ( ... )`` assignment
+    first (ADVICE r16, low): the old whole-file regex would silently
+    absorb any future 4-space-indented quoted tuple added to the
+    module. Ranks and rounds come from the generator's per-line
+    comments; a line without one gets rank 3 / round -1 (never
+    checked records ``r-`` and also maps to -1)."""
     import re
 
     m = re.search(r"^ORDER = \(\n(.*?)^\)", text, re.M | re.S)
     block = m.group(1) if m else ""
     names = re.findall(r"^    '(\w+)',", block, re.M)
-    ranks = {
-        nm: int(rk)
-        for nm, rk in re.findall(
-            r"^    '(\w+)',\s*# r\S+ rank=(\d)", block, re.M
+    parsed = {
+        nm: (int(rk), int(rd) if rd.isdigit() else -1)
+        for nm, rd, rk in re.findall(
+            r"^    '(\w+)',\s*# r(\S+) rank=(\d)", block, re.M
         )
     }
-    return names, {n: ranks.get(n, 3) for n in names}
+    ranks = {n: parsed.get(n, (3, -1))[0] for n in names}
+    rounds = {n: parsed.get(n, (3, -1))[1] for n in names}
+    return names, ranks, rounds
 
 
 def _prior_window_and_served(
@@ -251,10 +267,11 @@ def _prior_window_and_served(
     """(asked, served, displaced) for the prior round: the first WINDOW
     names of registry_order.py at the r{rnd-1} snapshot commit, the
     names in CORRECTNESS_r{rnd-1}.json (empty if the driver skipped the
-    round), and the DUE-but-capacity-displaced names (recorded rank <= 1
-    beyond the WINDOW prefix — see age_breach_verdict). None when the
-    prior snapshot is unreadable — attribution impossible, caller falls
-    back to the ungraced hard-fail."""
+    round), and the capacity-displaced names (previously checked,
+    recorded rank <= 2, beyond the WINDOW prefix — see
+    age_breach_verdict for why rank 2 counts and rank 3 must not). None
+    when the prior snapshot is unreadable — attribution impossible,
+    caller falls back to the ungraced hard-fail."""
     from check_rotation import WINDOW
     from gen_registry_order import _round_snapshot_commits
 
@@ -268,9 +285,15 @@ def _prior_window_and_served(
     )
     if show.returncode != 0:
         return None
-    prior_order, prior_ranks = parse_registry_order_block(show.stdout)
+    prior_order, prior_ranks, prior_rounds = parse_registry_order_block(
+        show.stdout
+    )
     asked = set(prior_order[:WINDOW])
-    displaced = {n for n in prior_order[WINDOW:] if prior_ranks[n] <= 1}
+    displaced = {
+        n
+        for n in prior_order[WINDOW:]
+        if prior_ranks[n] <= 2 and prior_rounds[n] >= 0
+    }
     path = os.path.join(REPO, f"CORRECTNESS_r{rnd - 1}.json")
     served: set[str] = set()
     if os.path.exists(path):
@@ -394,7 +417,7 @@ def check_evidence_debt(rnd: int) -> bool:
         print(f"--- evidence-debt: OK (never-checked={current_never}; prior "
               f"catalog unreadable at {snap[:12]} — informational)")
         return True
-    prior_order, _ = parse_registry_order_block(show.stdout)
+    prior_order, _, _ = parse_registry_order_block(show.stdout)
     prior_checked = checked_through(rnd - 2)
     prior_never = sum(1 for n in prior_order if n not in prior_checked)
     grew = current_never > prior_never

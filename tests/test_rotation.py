@@ -221,17 +221,23 @@ def test_parse_registry_order_block_is_sliced_to_order():
         "    'w3',\n"
         ")\n"
     )
-    names, ranks = parse_registry_order_block(text)
+    names, ranks, rounds = parse_registry_order_block(text)
     assert names == ["w1", "w2", "w3"]
     assert ranks == {"w1": 1, "w2": 2, "w3": 3}
+    # recorded last-checked rounds: never-checked (r-) and comment-less
+    # lines both map to -1 so they can never count as displaced
+    assert rounds == {"w1": 10, "w2": -1, "w3": -1}
     # and the real committed file parses to the full catalog with the
     # same names check_rotation sees
     with open(os.path.join(REPO, "gasket_rs_spark", "registry_order.py")) as f:
-        real_names, real_ranks = parse_registry_order_block(f.read())
+        real_names, real_ranks, real_rounds = parse_registry_order_block(
+            f.read()
+        )
     from gasket_rs_spark.registry_order import ORDER
 
     assert real_names == list(ORDER)
     assert set(real_ranks.values()) <= {0, 1, 2, 3}
+    assert all(r >= -1 for r in real_rounds.values())
 
 
 def test_prior_window_and_served_reads_real_history():
@@ -252,8 +258,8 @@ def test_prior_window_and_served_reads_real_history():
     assert len(served) == WINDOW
     # the driver serves the asked prefix: full overlap last round
     assert asked == served
-    # displaced = DUE (rank <= 1) names beyond the prefix; disjoint from
-    # the asked window by construction
+    # displaced = previously-checked rank <= 2 names beyond the prefix;
+    # disjoint from the asked window by construction
     assert displaced.isdisjoint(asked)
 
 
