@@ -1078,6 +1078,92 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_QUANT = 1_000_000  # fixed-point grid for the deterministic k-means
+_SEM_SAMPLE_CAP = 2000
+_SEM_ITERS = 10
+
+
+def _sem_centroids(spark: SparkSession, sf_dir: str, k: int):
+    """Deterministic INTEGER k-means for the clustered SemDeDup witness
+    (VERDICT r17 #7 — what makes the scale path EXACT-oracle-able).
+
+    Every step is integer- or single-IEEE-op exact so DuckDB can replay
+    it verbatim in unrolled CTEs (the BPE unrolled-training trick, which
+    works on integer sufficient statistics — float k-means can NOT be
+    oracled because cross-engine float sums differ in association
+    order):
+
+    - sample: md5-bucketed slice of the embeddings, ORDER BY vec_id
+      LIMIT 2000 (the order makes the bounded collect engine-identical;
+      Spark executes it as a top-K, not a global sort);
+    - quantize: q = floor(x * 1e6 + 0.5) per element — one
+      multiplication, one add, one floor on the same double, identical
+      on both engines;
+    - init: centroid j = sample row (j·m) div k in vec_id order (stride
+      over the ordered sample — spread without RNG);
+    - 10 iterations of assign (integer squared-distance argmin, ties to
+      the smallest centroid id — numpy argmin's first-min = SQL
+      row_number ORDER BY dist, j) and update (elementwise integer mean
+      with divide-toward-zero, matching Spark `div` / DuckDB `//`;
+      empty clusters keep their previous centroid).
+
+    Returns the k×dim int64 centroid matrix. The collect is bounded at
+    2000 rows regardless of corpus size — the same 100 TB shape as the
+    IVF trainer (similarity.py:_train_coarse_centroids), which keeps its
+    float/seeded form because the ANN witnesses are rows-only anyway.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sample = (
+        emb.withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+            ).cast("bigint")
+            % 16,
+        )
+        .where(F.col("bucket") < 4)
+        .orderBy("vec_id")
+        .limit(_SEM_SAMPLE_CAP)
+        .select("embedding")
+    )
+    X = np.array([r["embedding"] for r in sample.collect()], dtype=np.float64)
+    Q = np.floor(X * _SEM_QUANT + 0.5).astype(np.int64)
+    m = len(Q)
+    C = Q[[(j * m) // k for j in range(k)]].copy()
+    for _ in range(_SEM_ITERS):
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = Q[assign == j]
+            if len(members):
+                s = members.sum(axis=0)
+                # divide-toward-zero (Spark div / DuckDB //); numpy //
+                # floors, which disagrees on negative sums
+                C[j] = np.sign(s) * (np.abs(s) // len(members))
+    return C
+
+
+def _sem_assign(corpus: DataFrame, C) -> DataFrame:
+    """Assign each (vec_id, vec, nrm) row its nearest integer centroid —
+    one Arrow-batched int64 kernel (quantize, |q|²+|c|²−2q·cᵀ, first-min
+    argmin), bit-reproducible against the oracle's relational argmin."""
+    c_mat = C.T.copy()  # dim × k
+    c_sq = (C.astype(np.int64) ** 2).sum(axis=1)  # k
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            Q = np.floor(X * _SEM_QUANT + 0.5).astype(np.int64)
+            d = (Q**2).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (Q @ c_mat)
+            yield pdf.assign(cell=d.argmin(axis=1))
+
+    return corpus.mapInPandas(
+        kernel, schema="vec_id long, vec array<double>, nrm double, cell long"
+    )
+
+
 def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup scale path (Abbas et al. 2023, arXiv:2303.09540): k-means
     cluster the embeddings, then apply the drop rule ONLY within each
@@ -1085,33 +1171,35 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = √n cells (and to n·c for fixed cell size c when k scales with n,
     the 100 TB setting).
 
-    Plan: coarse centroids from the bounded driver-side k-means sample
-    (similarity.py:_train_coarse_centroids — collect is capped at 2000
-    rows regardless of corpus size), one Arrow-batched matmul assignment
-    pass (home cell only, n_probe=1), within-cell self-join on the cell
-    id (AQE skew-split for hot cells), cosine verify, min-exemplar
-    aggregate. The corpus is unioned with the deterministic planted
-    near-copies (cosine ≈ 0.99875 — see _planted_corpus) so the driver's
-    rows-only count is structurally > 0: a planted copy lands in its
-    original's cell (near-identical vectors argmax the same centroid) and
-    is always dropped. Floors pinned in tests/test_similarity_recall.py:
-    organic drops are a subset of the exact twin's drops (precision 1.0
-    by construction — same threshold, same rounding), planted capture
-    ≥ 0.85.
+    Plan: coarse centroids from the bounded deterministic integer
+    k-means (_sem_centroids — collect capped at 2000 rows regardless of
+    corpus size), one Arrow-batched int64 assignment pass (_sem_assign,
+    home cell only), within-cell self-join on the cell id (AQE
+    skew-split for hot cells), cosine verify, min-exemplar aggregate.
+    The corpus is unioned with the deterministic planted near-copies
+    (cosine ≈ 0.99875 — see _planted_corpus): a planted copy lands in
+    its original's cell (near-identical vectors argmin the same
+    centroid) and is always dropped.
+
+    EXACT-oracled since r18 (VERDICT r17 #7): the whole pipeline —
+    sample, quantization, stride init, 10 integer k-means iterations,
+    assignment, within-cell drop rule — is replayed by the DuckDB
+    oracle's unrolled CTEs (_sem_clustered_oracle) and value-hash
+    compared. Quality floors additionally pinned in
+    tests/test_similarity_recall.py: organic drops are a subset of the
+    exact twin's drops (precision 1.0 by construction — same threshold,
+    same rounding), planted capture ≥ 0.85.
     """
-    from gasket_rs_spark.operators.similarity import (
-        _corpus_n,
-        _ivf_assign,
-        _ivf_params,
-        _train_coarse_centroids,
-    )
+    from gasket_rs_spark.operators.similarity import _corpus_n, _ivf_params
 
     corpus = _planted_corpus(spark, sf_dir)
     k, _ = _ivf_params(
         _corpus_n(load(spark, sf_dir, "embeddings"), sf_dir), None, None
     )
-    cents = _train_coarse_centroids(spark, sf_dir, k)
-    assigned = _ivf_assign(corpus, cents, 1).select("vec_id", "vec", "nrm", "cell")
+    cents = _sem_centroids(spark, sf_dir, k)
+    # both self-join branches consume the assignment; lazy checkpoint so
+    # the Arrow kernel runs once (materialized by the first action)
+    assigned = _sem_assign(corpus, cents).localCheckpoint(eager=False)
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_a"),
@@ -1786,7 +1874,129 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sem_clustered_oracle() -> str:
+    """DuckDB replay of q_semantic_dedup_clustered's ENTIRE pipeline —
+    planted corpus, ordered bounded sample, fixed-point quantization,
+    stride init, the 10 integer k-means iterations UNROLLED as CTE
+    pairs (assign = relational argmin with smallest-centroid tiebreak,
+    update = integer mean via truncating //, empty cells carried
+    forward), corpus assignment, within-cell drop rule. Integer
+    sufficient statistics are what make this oracle possible (the BPE
+    unrolled-training trick); float k-means cannot be replayed
+    cross-engine because float sums differ in association order. Float
+    literals that feed double arithmetic are ::DOUBLE-cast to dodge
+    DuckDB's decimal-literal promotion (see the verify skill's trap
+    list)."""
+    iters = []
+    for n in range(1, _SEM_ITERS + 1):
+        iters.append(f"""dist{n} AS MATERIALIZED (
+            SELECT sq.i, c.j, sum((sq.q - c.c) * (sq.q - c.c)) AS dist
+            FROM sq JOIN cent{n - 1} c ON sq.d = c.d
+            GROUP BY sq.i, c.j
+        ), assign{n} AS MATERIALIZED (
+            SELECT i, j FROM (
+                SELECT i, j,
+                       row_number() OVER (PARTITION BY i
+                                          ORDER BY dist, j) AS rn
+                FROM dist{n}
+            ) WHERE rn = 1
+        ), cent{n} AS MATERIALIZED (
+            SELECT p.j, p.d, COALESCE(u.c, p.c) AS c
+            FROM cent{n - 1} p
+            LEFT JOIN (
+                SELECT a.j, sq.d, sum(sq.q) // count(*) AS c
+                FROM sq JOIN assign{n} a ON sq.i = a.i
+                GROUP BY a.j, sq.d
+            ) u ON u.j = p.j AND u.d = p.d
+        )""")
+    return f"""
+        WITH emb0 AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ), dims AS MATERIALIZED (
+            SELECT unnest(range(1,
+                (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d
+        ), params AS (
+            SELECT greatest(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT))
+                       AS k
+            FROM embeddings
+        ), planted_ex AS (
+            SELECT e.vec_id, d.d,
+                   e.vec[d.d] * (1.0::DOUBLE + {_EMB_PLANT_EPS}::DOUBLE *
+                       CASE WHEN (d.d - 1 + e.vec_id) % 2 = 0
+                            THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS x
+            FROM emb0 e, dims d
+            WHERE e.vec_id % {_EMB_PLANT_EVERY} = 0
+        ), planted AS (
+            SELECT vec_id + {_EMB_PLANT_OFFSET} AS vec_id,
+                   list(x ORDER BY d) AS vec
+            FROM planted_ex GROUP BY vec_id
+        ), corpus AS MATERIALIZED (
+            SELECT vec_id, vec FROM emb0
+            UNION ALL
+            SELECT vec_id, vec FROM planted
+        ), nrm AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+            FROM corpus
+        ), samp0 AS (
+            SELECT vec_id, vec FROM emb0
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT
+                  % 16 < 4
+            ORDER BY vec_id LIMIT {_SEM_SAMPLE_CAP}
+        ), samp AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vec
+            FROM samp0
+        ), sq AS MATERIALIZED (
+            SELECT s.i, d.d,
+                   CAST(floor(s.vec[d.d] * {_SEM_QUANT} + 0.5) AS BIGINT) AS q
+            FROM samp s, dims d
+        ), mcnt AS (
+            SELECT count(*) AS m FROM samp
+        ), ks AS (
+            SELECT unnest(range((SELECT k FROM params))) AS j
+        ), cent0 AS MATERIALIZED (
+            SELECT k2.j, sq.d, sq.q AS c
+            FROM ks k2 JOIN sq
+              ON sq.i = (k2.j * (SELECT m FROM mcnt))
+                        // (SELECT k FROM params)
+        ), {", ".join(iters)}, cq AS (
+            SELECT c.vec_id, d.d,
+                   CAST(floor(c.vec[d.d] * {_SEM_QUANT} + 0.5) AS BIGINT) AS q
+            FROM corpus c, dims d
+        ), cdist AS (
+            SELECT cq.vec_id, c.j, sum((cq.q - c.c) * (cq.q - c.c)) AS dist
+            FROM cq JOIN cent{_SEM_ITERS} c ON cq.d = c.d
+            GROUP BY cq.vec_id, c.j
+        ), cell AS MATERIALIZED (
+            SELECT vec_id, j FROM (
+                SELECT vec_id, j,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rn
+                FROM cdist
+            ) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(va.vec, vb.vec)
+                         / greatest(na.nrm * nb.nrm, 1e-12), 6) AS cosine
+            FROM cell a
+            JOIN cell b ON a.j = b.j AND a.vec_id < b.vec_id
+            JOIN corpus va ON va.vec_id = a.vec_id
+            JOIN corpus vb ON vb.vec_id = b.vec_id
+            JOIN nrm na ON na.vec_id = a.vec_id
+            JOIN nrm nb ON nb.vec_id = b.vec_id
+            WHERE round(list_dot_product(va.vec, vb.vec)
+                        / greatest(na.nrm * nb.nrm, 1e-12), 6)
+                  >= {_SEM_THRESHOLD}
+        )
+        SELECT vec_b AS vec_id, min(vec_a) AS exemplar,
+               CAST(count(*) AS BIGINT) AS n_near, max(cosine) AS max_cosine
+        FROM pairs GROUP BY vec_b
+    """
+
+
 ORACLES: dict[str, str] = {
+    "semantic_dedup_clustered": _sem_clustered_oracle(),
     "sorted_neighborhood_pairs": f"""
         WITH leads AS (
             SELECT c_nationkey, c_name,
