@@ -753,6 +753,23 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     assert "LeftSemi" in q20._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_semantic_dedup_clustered_plan_shape(spark, sf_dir):
+    """The r18 EXACT upgrade must not cost the witness its single-pass
+    physics: the Arrow int64 assignment kernel runs ONCE behind a lazy
+    localCheckpoint, so the within-cell self-join's two branches both
+    read the checkpointed RDD (no second kernel pass, no parquet
+    re-scan — the embeddings parquet is read only inside the checkpoint
+    materialization and the trainer's separate bounded top-K job), and
+    the cell equi-join never degrades to a cartesian."""
+    from gasket_rs_spark.operators.dedup import q_semantic_dedup_clustered
+
+    df = q_semantic_dedup_clustered(spark, sf_dir)
+    assert count_operator(df, "Scan parquet") == 0
+    plan = explain_formatted_for_test(df)
+    assert plan.count("Scan ExistingRDD") >= 2  # both self-join branches
+    assert_no_cartesian(df)
+
+
 def test_rag_retrieval_pipeline_plan_shape(spark, sf_dir):
     """The RAG composite's single-scan discipline (VERDICT r11 #4): each
     corpus side (documents postings, embedding vectors) is read from its

@@ -450,7 +450,7 @@ def test_bucketed_interval_join_fuzz_matches_python_reference(spark, seed):
     from gasket_rs_spark.operators.skew import bucketed_interval_join
 
     rng = random.Random(7000 + seed)
-    horizon = rng.choice([7, 60, 3600])
+    horizon = rng.choice([1, 7, 60, 3600])  # 1 = bucket-per-second edge
     t0 = (
         datetime.datetime(1969, 12, 31, 23, 59)
         if seed % 2
