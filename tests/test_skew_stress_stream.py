@@ -496,6 +496,91 @@ def test_bucketed_interval_join_fuzz_matches_python_reference(spark, seed):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.fuzz
+def test_aqe_skew_join_splits_hot_partition(spark, sliced_stage_dir):
+    """session.py enables spark.sql.adaptive.skewJoin — this pin EXECUTES
+    it on the 30%-hot-user corpus: a fact-fact sort-merge join keyed on
+    user_id must come out of AQE with the hot partition SPLIT
+    (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead skewed`` in the
+    final plan; BOTH sides are skewed on the same partition here and
+    Spark splits both) and the split must be answer-invariant (pair
+    count == the per-user clicks×purchases product sum, computed by an
+    independent aggregate-only plan).
+
+    Two detection blind spots, found while building this pin and worth
+    the documentation (full notes in SCALE.md r18):
+
+    1. COMPRESSED sizes: OptimizeSkewedJoin reads compressed map-output
+       bytes. If column pruning leaves only the join key on the skewed
+       side, the hot partition is millions of IDENTICAL key values —
+       lz4 crushes it to ~1 byte/row and the detector sees NO skew
+       (measured: a 1.6M-row hot partition reporting 377 KB vs 200 KB
+       cold siblings). The per-row md5 pad here survives into the
+       post-join aggregate precisely so shuffled bytes reflect the
+       row-count skew; a key-only shuffle can hide arbitrarily large
+       row-count skew from AQE.
+    2. MAP-TASK granularity: the split unit is the mapper's chunk of
+       the reduce partition. A hot partition whose entire stage input
+       was ONE map task (single parquet file / single row group — the
+       one-file zipf fixture) reports "0 skewed partitions" no matter
+       how large it is, because there is no boundary to split at. This
+       test therefore reads the 8-slice layout (8 mappers); a 100 TB
+       shuffle always has many mappers, but single-file fixtures hide
+       the behavior entirely.
+
+    Thresholds are lowered in-test because the corpus is ~MB-scale;
+    production defaults (256 MB / factor 5) encode the same criterion."""
+    events = spark.read.parquet(sliced_stage_dir)
+    pad = F.md5(F.col("event_id").cast("string"))
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", pad.alias("cpad"))
+    purch = events.where(F.col("event_type") == "purchase").select(
+        "user_id", pad.alias("ppad"))
+
+    confs = {
+        # force a fact-fact SMJ (planner AND AQE runtime broadcast off)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # corpus-scale skew thresholds; same criterion as the 256MB/5x
+        # production defaults
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = clicks.join(purch, "user_id").agg(
+            F.count("*").alias("n_pairs"),
+            # the pads must SURVIVE pruning into the shuffle (see above)
+            F.max("cpad").alias("c_max"),
+            F.max("ppad").alias("p_max"),
+        )
+        row = joined.collect()[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the definitive marker; the AQEShuffleRead suffix ("skewed" /
+        # "coalesced and skewed") renders inconsistently across plan
+        # printouts, so don't pin it
+        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # answer-invariance of the split: independent aggregate-only plan
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("nc"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+    )
+    expected = per_user.agg(
+        F.sum(F.col("nc") * F.col("np")).alias("t")
+    ).collect()[0]["t"]
+    assert row["n_pairs"] == expected, (row["n_pairs"], expected)
+
+
 def test_bucketed_interval_join_guards(spark):
     """ADVICE r17 skew.py:108 — the temp bucket column must not clobber a
     caller's own ``_tb`` column, and same-name timestamp columns are
