@@ -120,6 +120,81 @@ def test_single_underserve_gets_driver_grace_end_to_end(tmp_path):
         assert n in out, (n, out)
 
 
+def test_stale_regen_reds_as_builder_fault_end_to_end(tmp_path):
+    """The widened rank<=2 displacement grace must NOT lose the builder-
+    fault detector. Replay: the BUILDER stops running the registry regen
+    for three rounds while the driver keeps serving the (now frozen)
+    window prefix. Witnesses whose evidence silently ages past the cap
+    while the stale order still records them rank 3 (green-and-within-
+    cap at its long-past generation) must red the close as BUILDER
+    fault — rank 3 on a breacher proves the committed order predates the
+    aging, which is exactly the failure a regen fixes. Module-changed
+    age-mates (recorded rank 2, legitimately sorted beyond the prefix)
+    stay driver-graced even in this scenario: the fault split is
+    per-witness, not per-round."""
+    clone = str(tmp_path / "clone")
+    _clone_repo(clone)
+
+    base = max(
+        int(re.search(r"r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(clone, "CORRECTNESS_r*.json"))
+    )
+    order_path = os.path.join(clone, "gasket_rs_spark", "registry_order.py")
+    with open(order_path) as f:
+        stale_text = f.read()
+    window = re.findall(r"^    '(\w+)',", stale_text, re.M)[:50]
+
+    for n_round in range(base + 1, base + 4):
+        # builder never folds: every snapshot carries the SAME stale
+        # order, and the driver keeps serving its frozen prefix
+        _git(clone, "commit", "--allow-empty", "-q", "-m",
+             f"round {n_round}: end-of-round snapshot")
+        art = {
+            n: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+                "err": None}
+            for n in window
+        }
+        with open(os.path.join(clone, f"CORRECTNESS_r{n_round}.json"),
+                  "w") as f:
+            json.dump(art, f, indent=1)
+        _git(clone, "add", "-A")
+        _git(clone, "commit", "-q", "-m",
+             f"round {n_round}: verdict/advice/correctness/bench")
+
+    closing = base + 4
+    out = _run_in_clone(
+        clone,
+        "import io, json, contextlib\n"
+        "import round_close as rc\n"
+        "buf = io.StringIO()\n"
+        "with contextlib.redirect_stdout(buf):\n"
+        f"    ok = rc.check_evidence_debt({closing})\n"
+        "text = buf.getvalue()\n"
+        "print(text)\n"
+        "import re as _re\n"
+        "m = _re.search(r'BUILDER[^:]*: \\[([^\\]]*)\\]', text)\n"
+        "names = _re.findall(r\"'(\\w+)'\", m.group(1)) if m else []\n"
+        f"_, ranks, _ = rc.parse_registry_order_block(open({order_path!r}).read())\n"
+        "print('JSON:', json.dumps({'ok': ok,\n"
+        "    'builder_ranks': sorted({ranks.get(n, -9) for n in names}),\n"
+        "    'n_builder': len(names)}))\n",
+    )
+    verdict_json = json.loads(out.split("JSON:")[1])
+
+    # the stale regen reds the close as builder fault…
+    assert verdict_json["ok"] is False
+    assert "BUILDER broke rotation" in out, out
+    # …and every builder-attributed breacher was recorded rank 3 in the
+    # stale order (green-within-cap at its generation — the smoking gun
+    # that the order predates the aging)
+    assert verdict_json["n_builder"] >= 1, out
+    assert verdict_json["builder_ranks"] == [3], verdict_json
+    # module-changed age-mates (recorded rank 2, beyond the prefix) keep
+    # the driver-side grace even while the builder is at fault
+    assert "WARN — DRIVER-fault breach" in out, out
+
+
 def test_multi_round_outage_cascade_attribution_end_to_end(tmp_path):
     """Replay: four consecutive rounds in which the driver serves only
     10 of the 50 asked witnesses, with the rotation order regenerated
