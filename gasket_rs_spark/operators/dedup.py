@@ -1127,6 +1127,16 @@ def _sem_centroids(spark: SparkSession, sf_dir: str, k: int):
         .select("embedding")
     )
     X = np.array([r["embedding"] for r in sample.collect()], dtype=np.float64)
+    if len(X) == 0:
+        # ADVICE r18: without this guard an empty md5-bucketed slice
+        # surfaces as a bare numpy IndexError at the stride init, far
+        # from the cause. Fixtures always populate the bucket; a new
+        # tiny SF would not.
+        raise ValueError(
+            f"_sem_centroids: embeddings sample from {sf_dir!r} is empty "
+            "(md5 bucket < 4 matched no rows) — corpus too small for the "
+            "clustered SemDeDup witness"
+        )
     Q = np.floor(X * _SEM_QUANT + 0.5).astype(np.int64)
     m = len(Q)
     C = Q[[(j * m) // k for j in range(k)]].copy()
@@ -1190,12 +1200,16 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin's drops (precision 1.0 by construction — same threshold,
     same rounding), planted capture ≥ 0.85.
     """
-    from gasket_rs_spark.operators.similarity import _corpus_n, _ivf_params
+    from gasket_rs_spark.operators.similarity import _corpus_n
 
     corpus = _planted_corpus(spark, sf_dir)
-    k, _ = _ivf_params(
-        _corpus_n(load(spark, sf_dir, "embeddings"), sf_dir), None, None
-    )
+    # k = max(8, floor(sqrt(n) + 0.5)) — computed HERE with half-up
+    # rounding to match the oracle's params CTE verbatim (ADVICE r18:
+    # the previous _ivf_params route used Python round(), banker's —
+    # provably equal for integer n below ~2^51 but an implicit,
+    # undocumented coupling).
+    n = _corpus_n(load(spark, sf_dir, "embeddings"), sf_dir)
+    k = max(8, int(n ** 0.5 + 0.5))
     cents = _sem_centroids(spark, sf_dir, k)
     # both self-join branches consume the assignment; lazy checkpoint so
     # the Arrow kernel runs once (materialized by the first action)
@@ -1886,7 +1900,10 @@ def _sem_clustered_oracle() -> str:
     cross-engine because float sums differ in association order. Float
     literals that feed double arithmetic are ::DOUBLE-cast to dodge
     DuckDB's decimal-literal promotion (see the verify skill's trap
-    list)."""
+    list). The params CTE's k = greatest(8, floor(sqrt(n) + 0.5)) is
+    the SAME half-up expression the Spark side now computes directly
+    (q_semantic_dedup_clustered; ADVICE r18 closed the old implicit
+    round()-vs-floor coupling)."""
     iters = []
     for n in range(1, _SEM_ITERS + 1):
         iters.append(f"""dist{n} AS MATERIALIZED (

@@ -339,23 +339,12 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q10-shaped: top-20 customers by lost revenue on returned items."""
-    customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    nation = load(spark, sf_dir, "nation")
-    return (
-        lineitem.where(F.col("l_returnflag") == "R")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        # SF-scaled customer: AQE decides (see q7).
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("lost_revenue"))
-        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
+# q_tpch_q10_returns RETIRED r19 (VERDICT r18 #3 rotation-capacity
+# headroom): plan shape — lineitem-filter ⋈ orders ⋈ AQE-left customer
+# ⋈ broadcast dim → sum(extendedprice·(1−discount)) hash agg →
+# TakeOrdered — is identical to the retained q_tpch_q3_unshipped;
+# its no-forced-broadcast invariant stays pinned via q3/q5/q7/q18 in
+# tests/test_plans.py. Last driver row: green r16.
 
 
 def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,19 +1237,10 @@ def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/avg/count per group over orders."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_custs"),
-        )
-    )
+# q_agg_minmax RETIRED r19 (VERDICT r18 #3): a strict plan-shape subset
+# of retained witnesses — filtered hash agg with map-side partials is
+# q_agg_hash; grouped count-distinct (Expand) is q_tpch_q16_supplier_count;
+# global count-distinct is q_distinct_count. Last driver row: green r16.
 
 
 def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,9 +1252,10 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT projection."""
-    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+# q_distinct_rows RETIRED r19 (VERDICT r18 #3): a keys-only
+# HashAggregate — the same physical shape q_distinct_count's partial
+# distinct and q_set_except's distinct set-op retain. Last driver row:
+# green r17.
 
 
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,23 +1507,12 @@ def _register_sql_views(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
 
 
-def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL of customer and supplier nation keys (tagged)."""
-    customer = load(spark, sf_dir, "customer")
-    supplier = load(spark, sf_dir, "supplier")
-    c = customer.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side"))
-    s = supplier.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
-    return c.unionByName(s)
-
-
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct) of nation keys with customers vs suppliers."""
-    customer = load(spark, sf_dir, "customer")
-    supplier = load(spark, sf_dir, "supplier")
-    return (
-        customer.select(F.col("c_nationkey").alias("nationkey"))
-        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
-    )
+# q_set_union and q_set_intersect RETIRED r19 (VERDICT r18 #3):
+# bare UNION ALL is a shape retained inside q_set_ops_all (its two
+# tagged branches union) and a dozen composite witnesses; INTERSECT
+# (Aggregate + left-semi) stays covered by q_join_semi (semi shape),
+# q_set_ops_all (intersectAll multiset), and q_set_except (distinct
+# set-op shape). Last driver rows: green r16 both.
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,18 +1750,6 @@ ORACLES: dict[str, str] = {
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE n1.n_name <> n2.n_name
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-    """,
-    "tpch_q10_returns": """
-        SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-        GROUP BY c_custkey, c_name, n_name
-        ORDER BY lost_revenue DESC, c_custkey
-        LIMIT 20
     """,
     "tpch_q4_priority": """
         SELECT o_orderpriority, count(*) AS order_count
@@ -2230,24 +2188,11 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "agg_minmax": """
-        SELECT o_orderstatus,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price,
-               round(avg(o_totalprice), 6) AS avg_price,
-               count(*) AS n_orders,
-               count(DISTINCT o_custkey) AS n_custs
-        FROM orders
-        GROUP BY o_orderstatus
-    """,
     "distinct_count": """
         SELECT count(DISTINCT o_custkey) AS n_cust,
                count(DISTINCT o_orderpriority) AS n_prio,
                count(*) AS n_orders
         FROM orders
-    """,
-    "distinct_rows": """
-        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
     """,
     "rollup_agg": """
         SELECT r_name, n_name,
@@ -2317,16 +2262,6 @@ ORACLES: dict[str, str] = {
             FROM orders
         ) t
         WHERE rn <= 3
-    """,
-    "set_union": """
-        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
-        UNION ALL
-        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
-    """,
-    "set_intersect": """
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT
-        SELECT s_nationkey AS nationkey FROM supplier
     """,
     "set_except": """
         SELECT o_orderkey AS orderkey FROM orders

@@ -425,14 +425,27 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_SUBSPACES = 8
 _PQ_K = 16
 _PQ_ITERS = 8
+_PQ_QUANT = 1_000_000  # fixed-point grid for the deterministic PQ k-means
 
 
 def train_pq_codebooks(spark: SparkSession, sf_dir: str):
     """Train product-quantization codebooks: the 64-dim space splits
     into 8 contiguous 8-dim subspaces, each with its own k=16 k-means
-    codebook — trained driver-side on the same bounded md5-bucketed
-    sample as the IVF centroids (corpus size never matters), broadcast
-    back as literals. Returns array (subspaces, k, subdim)."""
+    codebook — trained driver-side on a bounded md5-bucketed sample
+    (corpus size never matters), broadcast back as literals. Returns
+    INT64 array (subspaces, k, subdim) in _PQ_QUANT fixed-point units.
+
+    Deterministic INTEGER k-means (VERDICT r18 #5 — what makes the PQ
+    distortion witness EXACT-oracle-able, the same recipe as the
+    clustered SemDeDup's _sem_centroids): quantize the sample to the
+    fixed-point grid (floor(x·1e6 + 0.5) — one multiply, one add, one
+    floor on the same double, identical on both engines), stride init
+    over the ORDER BY vec_id sample (no RNG), integer squared-distance
+    argmin with first-min ties (== row_number ORDER BY dist, c), means
+    via divide-toward-zero (Spark div / DuckDB //; numpy // floors, so
+    trunc is emulated with sign·(|s|//n)), empty codes carry forward.
+    Every step is replayed verbatim by the DuckDB oracle's unrolled
+    CTEs (_pq_distortion_oracle)."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
@@ -456,22 +469,26 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str):
     if len(X) < _PQ_K:
         raise ValueError(
             f"PQ training sample has {len(X)} rows; need >= {_PQ_K} "
-            "(k-means init draws K distinct rows without replacement)"
+            "(stride init needs K distinct sample rows)"
         )
-    dim = X.shape[1]
+    Q = np.floor(X * _PQ_QUANT + 0.5).astype(np.int64)
+    m = len(Q)
+    dim = Q.shape[1]
     sub = dim // _PQ_SUBSPACES
-    rng = np.random.RandomState(42)
     books = []
     for s in range(_PQ_SUBSPACES):
-        Xs = X[:, s * sub:(s + 1) * sub]
-        C = Xs[rng.choice(len(Xs), size=_PQ_K, replace=False)].copy()
+        Qs = Q[:, s * sub:(s + 1) * sub]
+        C = Qs[[(c * m) // _PQ_K for c in range(_PQ_K)]].copy()
         for _ in range(_PQ_ITERS):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = ((Qs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             for c in range(_PQ_K):
-                members = Xs[assign == c]
+                members = Qs[assign == c]
                 if len(members):
-                    C[c] = members.mean(axis=0)
+                    ssum = members.sum(axis=0)
+                    # divide-toward-zero (Spark div / DuckDB //); numpy
+                    # // floors, which disagrees on negative sums
+                    C[c] = np.sign(ssum) * (np.abs(ssum) // len(members))
         books.append(C)
     return np.stack(books)
 
@@ -482,18 +499,29 @@ def q_embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-subspace reconstruction distortion is aggregated. This is
     the storage/ANN compression step after IVF; the witness reports per
     subspace: rows, codes actually used, and mean squared reconstruction
-    error. Rows-only (k-means codebooks are seeded); compression-quality
-    floors pinned in tests/test_similarity_recall.py (PQ must beat the
-    1-centroid baseline in every subspace, codes in range).
+    error in the original (unquantized) units.
 
-    Scale shape: codebooks are literal broadcast (8×16×8 floats); encode
+    EXACT-oracled since r19 (VERDICT r18 #5): the deterministic integer
+    k-means trainer (train_pq_codebooks) plus the integer encode pass
+    below are replayed verbatim by the DuckDB oracle's unrolled CTEs
+    (_pq_distortion_oracle — all 8 subspaces ride one keyed unroll).
+    Distortion is an exact int64 sum in _PQ_QUANT² units; the only
+    float step is the final exactly-spelled mse division+snap of exact
+    integers, identical on both engines. Compression-quality floors
+    additionally pinned in tests/test_similarity_recall.py (PQ must
+    beat the 1-centroid baseline in every subspace, codes in range).
+
+    Scale shape: codebooks are literal broadcast (8×16×8 int64); encode
     + distortion is ONE Arrow-batched numpy pass emitting 8 partial rows
-    per batch — constant shuffle, any corpus size.
+    per batch — constant shuffle, any corpus size. Per-row distortion
+    tops out near 8·(1.2e6)² ≈ 1.2e13, so int64 partials carry ~750k
+    rows per batch and the global sum ~750k×batches before needing the
+    decimal(38,0) spelling — noted, not needed at any test SF.
     """
     import numpy as np
     import pandas as pd
 
-    books = train_pq_codebooks(spark, sf_dir)  # (S, K, sub)
+    books = train_pq_codebooks(spark, sf_dir)  # (S, K, sub) int64
     emb = load(spark, sf_dir, "embeddings").select("embedding")
     sub = books.shape[2]
 
@@ -502,30 +530,43 @@ def q_embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Q = np.floor(X * _PQ_QUANT + 0.5).astype(np.int64)
             rows = []
             for s in range(_PQ_SUBSPACES):
-                Xs = X[:, s * sub:(s + 1) * sub]
-                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
-                err = d2[np.arange(len(Xs)), assign].sum()
+                Qs = Q[:, s * sub:(s + 1) * sub]
+                d2 = ((Qs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)  # first-min == ORDER BY dist, c
+                err = int(d2[np.arange(len(Qs)), assign].sum())
                 rows.append(
-                    (s, len(Xs), float(err), [int(c) for c in np.unique(assign)])
+                    (s, len(Qs), err, [int(c) for c in np.unique(assign)])
                 )
             yield pd.DataFrame(
                 rows, columns=["subspace", "n", "sq_err", "codes"]
             )
 
     partials = emb.mapInPandas(
-        encode, "subspace int, n long, sq_err double, codes array<int>"
+        encode, "subspace long, n long, sq_err long, codes array<int>"
     )
     return (
         partials.groupBy("subspace")
         .agg(
             F.sum("n").alias("n_vectors"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("codes")))).alias(
-                "n_codes_used"
-            ),
-            F.round(F.sum("sq_err") / F.sum("n"), 6).alias("mse"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("codes"))))
+            .cast("long")
+            .alias("n_codes_used"),
+            # exact ints in, one identical double-op sequence out:
+            # sum/n → un-quantize (÷ _PQ_QUANT²) → floor-snap at 9dp,
+            # spelled verbatim in _pq_distortion_oracle
+            (
+                F.floor(
+                    F.sum("sq_err").cast("double")
+                    / F.sum("n")
+                    / F.lit(1.0e12)
+                    * F.lit(1.0e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1.0e9)
+            ).alias("mse"),
         )
         .orderBy("subspace")
     )
@@ -2479,7 +2520,107 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_distortion_oracle() -> str:
+    """DuckDB replay of q_embedding_pq_distortion's ENTIRE pipeline —
+    ordered bounded sample, fixed-point quantization, stride init, the
+    _PQ_ITERS integer k-means iterations UNROLLED as CTE triples
+    (distance / first-min assign / truncating-// mean with empty-code
+    carry-forward), full-corpus encode, per-subspace distortion. All 8
+    subspaces ride ONE keyed unroll (sp = (d-1)//8 joins everywhere),
+    so the CTE count is the same as a single k-means. Integer
+    sufficient statistics are what make this oracle possible (the
+    SemDeDup/BPE unrolled-training trick; see _sem_clustered_oracle).
+    Every multi-referenced CTE is AS MATERIALIZED — DuckDB otherwise
+    inlines and re-evaluates the whole prefix per reference (2^iters
+    blowup, verify-skill trap)."""
+    iters = []
+    for n in range(1, _PQ_ITERS + 1):
+        iters.append(f"""pqdist{n} AS MATERIALIZED (
+            SELECT sq.sp, sq.i, c.c,
+                   sum((sq.q - c.v) * (sq.q - c.v)) AS dist
+            FROM pqsq sq JOIN pqcent{n - 1} c
+              ON sq.sp = c.sp AND sq.dl = c.dl
+            GROUP BY sq.sp, sq.i, c.c
+        ), pqassign{n} AS MATERIALIZED (
+            SELECT sp, i, c FROM (
+                SELECT sp, i, c,
+                       row_number() OVER (PARTITION BY sp, i
+                                          ORDER BY dist, c) AS rn
+                FROM pqdist{n}
+            ) WHERE rn = 1
+        ), pqcent{n} AS MATERIALIZED (
+            SELECT p.c, p.sp, p.dl, COALESCE(u.v, p.v) AS v
+            FROM pqcent{n - 1} p
+            LEFT JOIN (
+                SELECT a.c, sq.sp, sq.dl, sum(sq.q) // count(*) AS v
+                FROM pqsq sq JOIN pqassign{n} a
+                  ON sq.i = a.i AND sq.sp = a.sp
+                GROUP BY a.c, sq.sp, sq.dl
+            ) u ON u.c = p.c AND u.sp = p.sp AND u.dl = p.dl
+        )""")
+    return f"""
+        WITH emb0 AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ), dims AS MATERIALIZED (
+            SELECT unnest(range(1,
+                (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d
+        ), samp0 AS (
+            SELECT vec_id, vec FROM emb0
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT
+                  % 16 < 4
+            ORDER BY vec_id LIMIT 2000
+        ), samp AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vec
+            FROM samp0
+        ), pqsq AS MATERIALIZED (
+            SELECT s.i, (d.d - 1) // {_SUBDIM} AS sp, (d.d - 1) % {_SUBDIM} AS dl,
+                   CAST(floor(s.vec[d.d] * {_PQ_QUANT} + 0.5) AS BIGINT) AS q
+            FROM samp s, dims d
+        ), mcnt AS (
+            SELECT count(*) AS m FROM samp
+        ), pqks AS (
+            SELECT unnest(range({_PQ_K})) AS c
+        ), pqcent0 AS MATERIALIZED (
+            SELECT k2.c, sq.sp, sq.dl, sq.q AS v
+            FROM pqks k2 JOIN pqsq sq
+              ON sq.i = (k2.c * (SELECT m FROM mcnt)) // {_PQ_K}
+        ), {", ".join(iters)}, pqcq AS MATERIALIZED (
+            SELECT e.vec_id, (d.d - 1) // {_SUBDIM} AS sp,
+                   (d.d - 1) % {_SUBDIM} AS dl,
+                   CAST(floor(e.vec[d.d] * {_PQ_QUANT} + 0.5) AS BIGINT) AS q
+            FROM emb0 e, dims d
+        ), pqcdist AS MATERIALIZED (
+            SELECT cq.sp, cq.vec_id, c.c,
+                   sum((cq.q - c.v) * (cq.q - c.v)) AS dist
+            FROM pqcq cq JOIN pqcent{_PQ_ITERS} c
+              ON cq.sp = c.sp AND cq.dl = c.dl
+            GROUP BY cq.sp, cq.vec_id, c.c
+        ), pqenc AS MATERIALIZED (
+            SELECT sp, vec_id, c, dist FROM (
+                SELECT sp, vec_id, c, dist,
+                       row_number() OVER (PARTITION BY sp, vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM pqcdist
+            ) WHERE rn = 1
+        )
+        SELECT CAST(sp AS BIGINT) AS subspace,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_codes_used,
+               floor(CAST(sum(dist) AS DOUBLE) / count(*)
+                     / 1000000000000.0 * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS mse
+        FROM pqenc GROUP BY sp
+    """
+
+
+# 64-dim fixture embeddings split into 8 contiguous 8-dim subspaces;
+# the oracle needs the sub-dimension as a literal
+_SUBDIM = 8
+
+
 ORACLES: dict[str, str] = {
+    "embedding_pq_distortion": _pq_distortion_oracle(),
     "rag_retrieval_pipeline": f"""
         WITH tf AS MATERIALIZED (
             SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf

@@ -77,9 +77,12 @@ ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
     "embedding_pca": (
         "tests/test_similarity_recall.py::test_pca_matches_pure_numpy_and_is_self_consistent",
     ),
-    "embedding_pq_distortion": (
-        "tests/test_similarity_recall.py::test_pq_beats_single_centroid_baseline",
-    ),
+    # embedding_pq_distortion left this map in r19: its deterministic
+    # integer k-means trainer made it EXACT-oracle-able
+    # (similarity._pq_distortion_oracle, VERDICT r18 #5); the quality
+    # floor in tests/test_similarity_recall.py::
+    # test_pq_beats_single_centroid_baseline remains as supplementary
+    # evidence.
     # semantic_dedup_clustered left this map in r18: its deterministic
     # integer k-means made it EXACT-oracle-able (dedup._sem_clustered_oracle,
     # VERDICT r17 #7); the quality floors in

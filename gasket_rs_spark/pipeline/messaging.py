@@ -153,8 +153,112 @@ def funnel_ports(outputs: list[OutputPort], input_: InputPort, cap: int) -> None
         input_.connect(q)
 
 
-def broadcast_port(output: OutputPort, inputs: list[InputPort], cap: int) -> None:
-    """1:N tee: every consumer sees every message (messaging.rs:425-436)."""
+class Lagged(RuntimeError):
+    """Raised by a lagging broadcast subscriber's next recv after the
+    ring wrapped past it — the analogue of tokio broadcast's
+    RecvError::Lagged(n) (the reference's broadcast_port transport,
+    messaging.rs:425-436): ``skipped`` messages were dropped for this
+    receiver and its position jumps to the oldest retained message, so
+    the recv AFTER this exception resumes delivery there."""
+
+    def __init__(self, skipped: int):
+        super().__init__(
+            f"broadcast receiver lagged; skipped {skipped} messages"
+        )
+        self.skipped = skipped
+
+
+class _BroadcastRing:
+    """Fixed-cap ring shared by every subscriber: send NEVER blocks;
+    overflow overwrites the oldest entry and lagging receivers observe
+    Lagged on their next recv (tokio broadcast semantics)."""
+
+    def __init__(self, cap: int):
+        self._cap = max(1, cap)
+        self._buf: list[Message] = []
+        self._head = 0  # sequence number of _buf[0]
+        self._cond = threading.Condition()
+
+    def send(self, msg: Message) -> None:
+        with self._cond:
+            self._buf.append(msg)
+            if len(self._buf) > self._cap:
+                self._buf.pop(0)
+                self._head += 1
+            self._cond.notify_all()
+
+    def _end(self) -> int:  # seq one past the newest; caller holds _cond
+        return self._head + len(self._buf)
+
+    def qsize(self) -> int:
+        with self._cond:
+            return len(self._buf)
+
+
+class _RingSender:
+    def __init__(self, ring: _BroadcastRing):
+        self._ring = ring
+
+    def send(self, msg: Message) -> None:
+        self._ring.send(msg)
+
+
+class _RingReceiver:
+    """Per-subscriber cursor into a _BroadcastRing; duck-types the
+    queue.Queue surface InputPort.recv drives (get/qsize)."""
+
+    def __init__(self, ring: _BroadcastRing):
+        self._ring = ring
+        with ring._cond:
+            self._next = ring._end()  # see messages sent after subscribe
+
+    def get(self, timeout: float | None = None) -> Message:
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._ring._cond:
+            while True:
+                if self._next < self._ring._head:
+                    skipped = self._ring._head - self._next
+                    self._next = self._ring._head
+                    raise Lagged(skipped)
+                if self._next < self._ring._end():
+                    msg = self._ring._buf[self._next - self._ring._head]
+                    self._next += 1
+                    return msg
+                remaining = (
+                    None if deadline is None else deadline - time.monotonic()
+                )
+                if remaining is not None and remaining <= 0:
+                    raise queue.Empty
+                self._ring._cond.wait(remaining if remaining is not None else 0.1)
+
+    def qsize(self) -> int:
+        with self._ring._cond:
+            return max(0, self._ring._end() - max(self._next, self._ring._head))
+
+
+def broadcast_port(
+    output: OutputPort, inputs: list[InputPort], cap: int, lagged: bool = False
+) -> None:
+    """1:N tee: every consumer sees every message (messaging.rs:425-436).
+
+    The reference's transport is a tokio broadcast channel: a send NEVER
+    blocks — when the ring wraps past a slow consumer, that consumer
+    loses the oldest messages and observes RecvError::Lagged on recv.
+    The default here is a DOCUMENTED DEVIATION (VERDICT r18 #4): each
+    consumer gets its own bounded blocking queue, so delivery is
+    lossless but one stalled consumer backpressures the whole tee
+    (pipeline-wide stall instead of bounded loss — the stall is pinned
+    in tests/test_messaging.py). Pass ``lagged=True`` for
+    reference-parity drop-oldest semantics: sends never block, and a
+    lagging subscriber's recv raises ``Lagged(skipped)`` before
+    resuming at the oldest retained message."""
+    if lagged:
+        ring = _BroadcastRing(cap)
+        for inp in inputs:
+            _check_types(output, inp)
+            inp.connect(_RingReceiver(ring))
+        output.connect(_RingSender(ring), ring)
+        return
     for inp in inputs:
         _check_types(output, inp)
         q: queue.Queue = queue.Queue(maxsize=cap)

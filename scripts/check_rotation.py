@@ -90,8 +90,13 @@ def check() -> list[str]:
                 f"prefix slots: {green_inside[:5]}"
             )
         else:
-            # >WINDOW stale queries: prefix must be the oldest-checked ones.
-            oldest = sorted(stale, key=lambda n: (meta[n][0], meta[n][1], n))
+            # >WINDOW stale queries: prefix must be the highest-priority
+            # cohort under the generator's own key (rank, oracle-upgraded
+            # within rank 2, oldest-checked, name) — shared via order_key
+            # so this check can never drift from the actual ordering.
+            from gen_registry_order import order_key
+
+            oldest = sorted(stale, key=lambda n: order_key(meta[n], n))
             want = set(oldest[:WINDOW])
             if prefix != want:
                 problems.append(

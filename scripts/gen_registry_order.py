@@ -19,10 +19,20 @@ produces and to guarantee full-catalog rotation across rounds:
      (a green row for code that no longer exists proves nothing);
    - 3: green AND unchanged, within the age cap — the old evidence
      still holds verbatim and is recent enough.
-2. within a validity class: last-checked round, oldest first
-   (never-checked sorts before round 1) — this is the rotation that ages
-   out even valid evidence over time;
-3. ties: query name (deterministic).
+2. within rank 2 only — ORACLE-UPGRADED entries first (r19, VERDICT
+   r18 #2): a witness whose LATEST driver check recorded
+   ``err == "no_oracle"`` (rows-only) but which NOW registers an
+   oracle_sql() entry is making a strictly stronger claim
+   (rows+schema+value-hash) that has never been driver-tested at all —
+   not merely re-validating changed code. Mechanical: derived from the
+   committed CORRECTNESS history plus the current registry's oracle
+   map (and adding an oracle edits the witness's module, so an
+   upgraded entry is always rank 2 — the subkey never perturbs the
+   other classes);
+3. within a (validity, upgraded) class: last-checked round, oldest
+   first (never-checked sorts before round 1) — this is the rotation
+   that ages out even valid evidence over time;
+4. ties: query name (deterministic).
 
 Rationale for validity-before-age (changed from age-before-validity
 after round 2): a query whose code changed since its green check has NO
@@ -122,9 +132,20 @@ def available_rounds() -> list[int]:
     )
 
 
+def order_key(
+    meta_entry: tuple[int, int, bool], name: str
+) -> tuple[int, int, int, str]:
+    """The one sort key both the generator and check_rotation.py use:
+    (rank, upgraded-within-rank-2-first, last-checked oldest-first,
+    name). Factored so the window-coverage check can never drift from
+    the generator's actual ordering."""
+    rank, last, upgraded = meta_entry
+    return (rank, 0 if (rank == 2 and upgraded) else 1, last, name)
+
+
 def compute_order(
     rounds: set[int] | None = None,
-) -> tuple[list[str], dict[str, tuple[int, int]]]:
+) -> tuple[list[str], dict[str, tuple[int, int, bool]]]:
     """Derive the evidence-staleness order from committed artifacts.
 
     ``rounds`` restricts which CORRECTNESS_r*.json files feed the
@@ -133,19 +154,23 @@ def compute_order(
     drop alone never invalidates the committed order — only module edits
     or hand-tampering do.
 
-    Returns ``(order, meta)`` where ``meta[name] = (rank, last_round)``
-    with rank 0=failed-last-check, 1=green-and-unchanged-but-over-age-cap,
-    2=no-valid-evidence (never checked or module changed since the checked
-    snapshot), 3=green-and-unchanged-within-cap, and last_round = -1 for
-    never-checked queries.
+    Returns ``(order, meta)`` where ``meta[name] = (rank, last_round,
+    oracle_upgraded)`` with rank 0=failed-last-check,
+    1=green-and-unchanged-but-over-age-cap, 2=no-valid-evidence (never
+    checked or module changed since the checked snapshot),
+    3=green-and-unchanged-within-cap; last_round = -1 for never-checked
+    queries; oracle_upgraded = the latest check was rows-only
+    (err == "no_oracle") but the current registry has an oracle — the
+    untested-stronger-claim cohort that fronts rank 2.
     """
     from gasket_rs_spark.registry import collect_raw
 
-    queries, _ = collect_raw()
+    queries, oracles = collect_raw()
 
     # Per-query verification history from every committed correctness file.
     last_checked: dict[str, int] = {}
     last_green: dict[str, bool] = {}
+    last_rows_only: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         if rounds is not None and rnd not in rounds:
@@ -162,6 +187,7 @@ def compute_order(
                 last_green[name] = bool(
                     row.get("hash_match") or row.get("err") == "no_oracle"
                 )
+                last_rows_only[name] = row.get("err") == "no_oracle"
 
     snapshots = _round_snapshot_commits()
     changed_cache: dict[tuple[str, str], bool] = {}
@@ -189,10 +215,13 @@ def compute_order(
         # once it is more than AGE_CAP rounds old (VERDICT r9 #5)
         return 1 if (upcoming - rnd) > AGE_CAP else 3
 
-    order = sorted(
-        queries, key=lambda n: (rank(n), last_checked.get(n, -1), n)
-    )
-    meta = {n: (rank(n), last_checked.get(n, -1)) for n in order}
+    def upgraded(name: str) -> bool:
+        return bool(last_rows_only.get(name, False) and name in oracles)
+
+    meta = {
+        n: (rank(n), last_checked.get(n, -1), upgraded(n)) for n in queries
+    }
+    order = sorted(queries, key=lambda n: order_key(meta[n], n))
     return order, meta
 
 
@@ -208,7 +237,9 @@ def main() -> None:
         "time, per query: (last_checked_round, rank) where rank is",
         "0=failed-last-check, 1=green-but-evidence-over-age-cap,",
         "2=no-valid-evidence (never checked / code changed since),",
-        "3=green-and-unchanged within the age cap.",
+        "3=green-and-unchanged within the age cap. Within rank 2,",
+        "oracle-upgraded entries (latest check was rows-only, oracle now",
+        "registered) sort first — their stronger claim is untested.",
         '"""',
         "",
         "# Correctness rounds this order was derived from. check_rotation.py",
@@ -219,9 +250,10 @@ def main() -> None:
         "ORDER = (",
     ]
     for n in order:
-        rk, rnd = meta[n]
+        rk, rnd, upg = meta[n]
         lines.append(
             f"    {n!r},  # r{rnd if rnd >= 0 else '-'} rank={rk}"
+            + (" oracle-upgraded" if rk == 2 and upg else "")
         )
     lines.append(")")
     out_path = os.path.join(REPO, "gasket_rs_spark", "registry_order.py")

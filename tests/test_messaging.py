@@ -10,6 +10,7 @@ import pytest
 from gasket_rs_spark.pipeline.messaging import (
     Fanout,
     InputPort,
+    Lagged,
     Message,
     NotConnected,
     OutputPort,
@@ -136,8 +137,9 @@ def test_broadcast_slow_consumer_blocks_never_drops():
     Deliberate divergence: the batch/ingest pipelines this runtime
     drives favor losslessness over producer progress, and `cap` is the
     backpressure depth, not a lag window. This test documents that
-    contract; if drop-on-lag is ever wanted, it must come with its own
-    Lagged-style signal, not silent loss."""
+    contract for the DEFAULT mode; reference-parity drop-on-lag with an
+    explicit Lagged signal is the opt-in ``lagged=True`` mode, pinned in
+    test_broadcast_lagged_mode_drops_oldest_and_signals."""
     out = OutputPort()
     fast, slow = InputPort(), InputPort()
     broadcast_port(out, [fast, slow], cap=2)
@@ -167,3 +169,47 @@ def test_broadcast_slow_consumer_blocks_never_drops():
     assert done.is_set()
     assert got_fast == list(range(n_msgs))
     assert got_slow == list(range(n_msgs))
+
+
+def test_broadcast_lagged_mode_drops_oldest_and_signals():
+    """Reference-parity lag semantics (VERDICT r18 #4): with
+    ``lagged=True`` the tee is a tokio-style broadcast ring
+    (messaging.rs:425-436) — a send NEVER blocks regardless of consumer
+    progress; a subscriber that fell more than ``cap`` behind loses the
+    OLDEST messages and its next recv raises ``Lagged(skipped)``, after
+    which delivery resumes at the oldest retained message. Counts are
+    deterministic here because every send happens-before every recv."""
+    out = OutputPort()
+    a, b = InputPort(), InputPort()
+    broadcast_port(out, [a, b], cap=4, lagged=True)
+
+    done = threading.Event()
+
+    def produce():
+        for i in range(10):
+            out.send(i)  # cap 4, no consumer draining: must never block
+        done.set()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    assert done.wait(2.0), "lagged-mode producer blocked on slow consumers"
+    t.join(timeout=2.0)
+
+    # Both subscribers lagged past messages 0..5 (ring retains 6..9).
+    with pytest.raises(Lagged) as exc:
+        a.recv(timeout=2.0)
+    assert exc.value.skipped == 6
+    assert [a.recv(timeout=2.0).payload for _ in range(4)] == [6, 7, 8, 9]
+
+    # A consumer that reads AFTER the close: the sentinel rides the ring
+    # too, so it sees Lagged(7) (0..6 overwritten by 7, 8, 9, sentinel),
+    # the three retained payloads, then end-of-stream.
+    out.close()
+    with pytest.raises(Lagged) as exc_b:
+        b.recv(timeout=2.0)
+    assert exc_b.value.skipped == 7
+    assert [b.recv(timeout=2.0).payload for _ in range(3)] == [7, 8, 9]
+    assert b.recv(timeout=2.0) is None  # sentinel -> graceful end
+
+    # And the keeping-up subscriber sees the end-of-stream normally.
+    assert a.recv(timeout=2.0) is None

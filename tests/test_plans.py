@@ -47,7 +47,6 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir):
         q_tpch_q3_unshipped,
         q_tpch_q5_local_supplier,
         q_tpch_q7_volume,
-        q_tpch_q10_returns,
         q_tpch_q18_big_orders,
     )
     from gasket_rs_spark.plans.inspect import broadcast_hint_count
@@ -58,7 +57,7 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir):
         "q3": (q_tpch_q3_unshipped, 0),
         "q5": (q_tpch_q5_local_supplier, 3),  # supplier, nation, region
         "q7": (q_tpch_q7_volume, 3),  # supplier, n1, n2
-        "q10": (q_tpch_q10_returns, 1),  # nation
+        # q10 retired r19 (plan-shape duplicate of q3 — see relational.py)
         "q18": (q_tpch_q18_big_orders, 0),
         # per-supplier count frame is 10k×SF — left to AQE (VERDICT r8 #5)
         "cooccurrence": (q_supplier_cooccurrence, 0),

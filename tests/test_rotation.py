@@ -43,15 +43,20 @@ def test_age_cap_promotes_stale_green_evidence():
     ranks = [meta[n][0] for n in order]
     assert ranks == sorted(ranks), "order must be non-decreasing in rank"
     for n in order:
-        rk, rnd = meta[n]
+        rk, rnd, upg = meta[n]
         if rk == 1:  # promoted = valid evidence, but over the cap
             assert upcoming - rnd > AGE_CAP, (n, rnd)
         if rk == 3:  # fresh green must be within the cap
             assert upcoming - rnd <= AGE_CAP, (n, rnd)
-    # within each rank class the rotation is oldest-checked first
-    for a, b in zip(order, order[1:]):
-        if meta[a][0] == meta[b][0]:
-            assert meta[a][1] <= meta[b][1], (a, b)
+        if upg:  # oracle-upgraded implies module changed since the check
+            assert rk == 2, (n, rk)
+    # within each (rank, upgraded) class the rotation is oldest-checked
+    # first; oracle-upgraded entries front rank 2 (VERDICT r18 #2 — the
+    # untested stronger claim outranks changed-code re-checks)
+    from gen_registry_order import order_key
+
+    keys = [order_key(meta[n], n) for n in order]
+    assert keys == sorted(keys), "order must follow the generator's key"
 
 
 def test_evidence_age_gate():
