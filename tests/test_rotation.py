@@ -391,3 +391,35 @@ def test_driver_artifact_drop_does_not_fail_suite():
     assert m, proc.stdout
     noted = [int(x) for x in m.group(1).split(",")]
     assert fake_round in noted, proc.stdout
+
+
+def test_oracle_upgraded_subkey_fronts_rank_2():
+    """VERDICT r18 #2 mechanism: within rank 2, a witness whose LATEST
+    driver check was rows-only (err == no_oracle) but which NOW registers
+    an oracle must sort BEFORE every non-upgraded rank-2 entry — even
+    ones with strictly older evidence — because its stronger
+    rows+schema+value-hash claim has never been driver-tested at all.
+    Pure order_key pin on synthetic meta plus the real r19 instance."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_registry_order import order_key
+
+    upgraded_r15 = (2, 15, True)
+    plain_r11 = (2, 11, False)
+    plain_r15 = (2, 15, False)
+    rank1_r12 = (1, 12, False)
+    rank3_r17 = (3, 17, False)
+    assert order_key(upgraded_r15, "u") < order_key(plain_r11, "p")
+    assert order_key(upgraded_r15, "u") < order_key(plain_r15, "p")
+    # the subkey never outranks the validity classes around rank 2
+    assert order_key(rank1_r12, "a") < order_key(upgraded_r15, "u")
+    assert order_key(upgraded_r15, "u") < order_key(rank3_r17, "g")
+    # two upgraded entries keep oldest-checked-first between themselves
+    assert order_key((2, 14, True), "x") < order_key(upgraded_r15, "u")
+
+    # The real catalog instance this policy exists for: both r19
+    # upgrades sit inside the 50-entry driver window.
+    from gasket_rs_spark.registry_order import ORDER
+
+    window = ORDER[:50]
+    assert "semantic_dedup_clustered" in window
+    assert "embedding_pq_distortion" in window
