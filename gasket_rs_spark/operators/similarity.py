@@ -423,6 +423,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_SUBSPACES = 8
+# 64-dim fixture embeddings split into 8 contiguous 8-dim subspaces; the
+# static DuckDB oracle bakes this sub-dimension as a literal, and
+# train_pq_codebooks asserts the fixture dim matches (ADVICE r19)
+_SUBDIM = 8
 _PQ_K = 16
 _PQ_ITERS = 8
 _PQ_QUANT = 1_000_000  # fixed-point grid for the deterministic PQ k-means
@@ -474,6 +478,18 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str):
     Q = np.floor(X * _PQ_QUANT + 0.5).astype(np.int64)
     m = len(Q)
     dim = Q.shape[1]
+    # The DuckDB oracle (_pq_distortion_oracle) is a static SQL string
+    # whose subspace arithmetic is baked at _SUBDIM = dim/_PQ_SUBSPACES;
+    # a fixture with a different embedding dim would silently partition
+    # subspaces differently on the two engines (ADVICE r19) — fail here,
+    # at the cause, with a named error instead.
+    if dim != _PQ_SUBSPACES * _SUBDIM:
+        raise ValueError(
+            f"PQ codebook layout expects embedding dim "
+            f"{_PQ_SUBSPACES * _SUBDIM} ({_PQ_SUBSPACES} subspaces x "
+            f"{_SUBDIM} dims, mirrored by the static DuckDB oracle); "
+            f"fixture has dim {dim}"
+        )
     sub = dim // _PQ_SUBSPACES
     books = []
     for s in range(_PQ_SUBSPACES):
@@ -2612,11 +2628,6 @@ def _pq_distortion_oracle() -> str:
                    / 1000000000.0 AS mse
         FROM pqenc GROUP BY sp
     """
-
-
-# 64-dim fixture embeddings split into 8 contiguous 8-dim subspaces;
-# the oracle needs the sub-dimension as a literal
-_SUBDIM = 8
 
 
 ORACLES: dict[str, str] = {

@@ -171,28 +171,44 @@ class Lagged(RuntimeError):
 class _BroadcastRing:
     """Fixed-cap ring shared by every subscriber: send NEVER blocks;
     overflow overwrites the oldest entry and lagging receivers observe
-    Lagged on their next recv (tokio broadcast semantics)."""
+    Lagged on their next recv (tokio broadcast semantics).
+
+    Index-based circular buffer: O(1) send regardless of cap, O(1)
+    cursor reads. Once the end-of-stream sentinel is enqueued the ring
+    is closed and further sends raise NotConnected — the sentinel is
+    always the newest entry, so no later send can evict it and every
+    subscriber (however lagged) eventually observes end-of-stream."""
 
     def __init__(self, cap: int):
         self._cap = max(1, cap)
-        self._buf: list[Message] = []
-        self._head = 0  # sequence number of _buf[0]
+        self._buf: list[Message | None] = [None] * self._cap
+        self._len = 0  # number of retained entries
+        self._head = 0  # sequence number of the oldest retained entry
+        self._closed = False
         self._cond = threading.Condition()
 
     def send(self, msg: Message) -> None:
         with self._cond:
-            self._buf.append(msg)
-            if len(self._buf) > self._cap:
-                self._buf.pop(0)
+            if self._closed:
+                raise NotConnected("send on closed broadcast ring")
+            if msg.payload is _SENTINEL:
+                self._closed = True
+            self._buf[(self._head + self._len) % self._cap] = msg
+            if self._len < self._cap:
+                self._len += 1
+            else:
                 self._head += 1
             self._cond.notify_all()
 
+    def _at(self, seq: int) -> Message:  # caller holds _cond
+        return self._buf[seq % self._cap]
+
     def _end(self) -> int:  # seq one past the newest; caller holds _cond
-        return self._head + len(self._buf)
+        return self._head + self._len
 
     def qsize(self) -> int:
         with self._cond:
-            return len(self._buf)
+            return self._len
 
 
 class _RingSender:
@@ -221,7 +237,7 @@ class _RingReceiver:
                     self._next = self._ring._head
                     raise Lagged(skipped)
                 if self._next < self._ring._end():
-                    msg = self._ring._buf[self._next - self._ring._head]
+                    msg = self._ring._at(self._next)
                     self._next += 1
                     return msg
                 remaining = (

@@ -15,7 +15,10 @@ evidence can silently age out. This check fails loudly when the committed
    never-checked) may sit outside the next window's 50-prefix while a
    fresh green-and-unchanged (rank 3) query occupies a prefix slot. When
    more than 50 queries need re-checks, the prefix must be the 50
-   *highest-priority* (rank, then oldest-checked) ones.
+   *highest-priority* ones, ordered by ``gen_registry_order.order_key``:
+   rank, then (within rank 2) oracle-upgraded entries first — a witness
+   whose last driver check was rows-only but which now registers an
+   oracle fronts automatically — then oldest-checked.
 
 Run: ``python scripts/check_rotation.py`` — exit 0 = invariant holds.
 """

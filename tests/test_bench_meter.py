@@ -114,29 +114,51 @@ def test_sibling_session_burn_is_external_but_own_is_not():
     ambient = _ambient_external_cores(1.0)
     if ambient > 1.5:
         pytest.skip(f"box already loaded: ambient external {ambient} cores")
-    # ~1 core for up to 6 s, in its OWN session (start_new_session) so the
-    # meter's sid match classifies it external; time-bounded so a failed
-    # kill can't leak a spinning process.
-    burner = subprocess.Popen(
-        [sys.executable, "-c",
-         "import time\nt=time.time()+6\nwhile time.time()<t: pass"],
-        start_new_session=True,
+    # VERDICT r19 #4: the upper-bound assert compares against ambient
+    # sampled BEFORE the 2 s window, so a co-tenant burst that starts
+    # mid-window (another session, a GC) reds it spuriously. Hardening:
+    # on an upper-bound miss, re-sample ambient AFTER the window and
+    # apply the same load-quiet gate as the pre-check — skip if the box
+    # got busy mid-test, retry against the fresher ambient otherwise.
+    # Only a miss that persists across quiet-box attempts is a failure.
+    attempts = 3
+    out: dict = {}
+    for _ in range(attempts):
+        # ~1 core for up to 6 s, in its OWN session (start_new_session)
+        # so the meter's sid match classifies it external; time-bounded
+        # so a failed kill can't leak a spinning process.
+        burner = subprocess.Popen(
+            [sys.executable, "-c",
+             "import time\nt=time.time()+6\nwhile time.time()<t: pass"],
+            start_new_session=True,
+        )
+        try:
+            time.sleep(0.3)  # let the burner reach its spin loop
+            m = bench._PassMeter()
+            m.start()
+            _burn_own_cpu(2.0)
+            out = m.stop()
+        finally:
+            burner.kill()
+            burner.wait()
+        # (a) the sibling's ~1 core IS seen as external — a hard floor
+        # (co-tenant load can only push external UP, never below it).
+        assert out["external_cores"] >= 0.5, (out, ambient)
+        # (b) ...but our own ~1-core burn is NOT stacked on top of it:
+        # misattribution would read ~2.0+; correct attribution reads
+        # ~ambient + 1 sibling core.
+        if out["external_cores"] <= ambient + 1.7:
+            return
+        post = _ambient_external_cores(1.0)
+        if post > 1.5:
+            pytest.skip(
+                f"co-tenant burst mid-window: post-ambient {post} cores"
+            )
+        ambient = post
+    pytest.fail(
+        f"own-session burn misattributed as external across {attempts} "
+        f"quiet-box attempts: {out} vs ambient {ambient}"
     )
-    try:
-        time.sleep(0.3)  # let the burner reach its spin loop
-        m = bench._PassMeter()
-        m.start()
-        _burn_own_cpu(2.0)
-        out = m.stop()
-    finally:
-        burner.kill()
-        burner.wait()
-    # (a) the sibling's ~1 core IS seen as external...
-    assert out["external_cores"] >= 0.5, (out, ambient)
-    # (b) ...but our own ~1-core burn is NOT stacked on top of it:
-    # misattribution would read ~2.0+; correct attribution reads
-    # ~ambient + 1 sibling core.
-    assert out["external_cores"] <= ambient + 1.7, (out, ambient)
 
 
 def test_bench_spawns_no_setsid_children():

@@ -213,3 +213,27 @@ def test_broadcast_lagged_mode_drops_oldest_and_signals():
 
     # And the keeping-up subscriber sees the end-of-stream normally.
     assert a.recv(timeout=2.0) is None
+
+
+def test_broadcast_lagged_mode_close_pins_sentinel():
+    """ADVICE r19: in lagged mode the end-of-stream sentinel must never
+    be evicted by later sends — the ring records closed on close() and
+    rejects further sends loudly (NotConnected), so even a subscriber
+    that lagged past the ENTIRE payload stream still terminates instead
+    of blocking forever on recv."""
+    out = OutputPort()
+    a = InputPort()
+    broadcast_port(out, [a], cap=2, lagged=True)
+
+    for i in range(5):
+        out.send(i)  # ring retains 3, 4
+    out.close()  # ring retains 4, sentinel
+
+    with pytest.raises(NotConnected):
+        out.send(99)  # would have evicted the sentinel pre-fix
+
+    with pytest.raises(Lagged) as exc:
+        a.recv(timeout=2.0)
+    assert exc.value.skipped == 4  # 0..3 overwritten
+    assert a.recv(timeout=2.0).payload == 4
+    assert a.recv(timeout=2.0) is None  # sentinel survived -> clean end
