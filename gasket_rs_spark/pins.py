@@ -72,11 +72,12 @@ ROWS_ONLY_PINS: dict[str, tuple[str, ...]] = {
         "tests/test_dedup_simhash.py::test_paragraph_simhash_planted_capture_floors",
         "tests/test_dedup_simhash.py::test_paragraph_reorder_defeats_exact_substring_dedup",
     ),
-    # Iterative power-method PCA: full pure-numpy recompute + self-
-    # consistency (orthonormality, explained-variance ordering).
-    "embedding_pca": (
-        "tests/test_similarity_recall.py::test_pca_matches_pure_numpy_and_is_self_consistent",
-    ),
+    # embedding_pca left this map in r20: the deterministic integer
+    # power iteration on the (j+1)²-weighted second-moment matrix made
+    # it EXACT-oracle-able (similarity._pca_power_oracle, VERDICT r19
+    # #6); the LAPACK-referee fidelity pin in tests/test_similarity_
+    # recall.py::test_pca_matches_pure_numpy_and_is_self_consistent
+    # remains as supplementary evidence.
     # embedding_pq_distortion left this map in r19: its deterministic
     # integer k-means trainer made it EXACT-oracle-able
     # (similarity._pq_distortion_oracle, VERDICT r18 #5); the quality

@@ -544,9 +544,15 @@ def test_round10_plan_shapes(spark, sf_dir):
     # that no global-sort window can appear in source at all)
     assert count_operator(dc, "Scan parquet") <= 2
 
+    # PCA (integer power-iteration since r20): the RETURNED plan is the
+    # projection-moment pass — ONE corpus scan reduced to a 1-row
+    # aggregate, broadcast against the dimension-sized loadings frame
+    # (BroadcastNestedLoopJoin over a 1-row build side: the audited
+    # bounded-crossJoin idiom, never a CartesianProduct). The Gram pass
+    # is a separate pre-collected job, also one scan.
     pca = q_embedding_pca(spark, sf_dir)
     assert count_operator(pca, "Scan parquet") == 1
-    assert count_operator(pca, "BroadcastHashJoin") >= 1
+    assert count_operator(pca, "BroadcastNestedLoopJoin") == 1
     assert_no_cartesian(pca)
 
 

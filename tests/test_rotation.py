@@ -416,10 +416,12 @@ def test_oracle_upgraded_subkey_fronts_rank_2():
     # two upgraded entries keep oldest-checked-first between themselves
     assert order_key((2, 14, True), "x") < order_key(upgraded_r15, "u")
 
-    # The real catalog instance this policy exists for: both r19
-    # upgrades sit inside the 50-entry driver window.
+    # The real catalog instance this policy exists for: the most recent
+    # oracle upgrade must sit inside the 50-entry driver window ahead of
+    # non-upgraded rank-2 peers. r19: semantic_dedup_clustered +
+    # embedding_pq_distortion (both since driver-confirmed EXACT);
+    # r20: embedding_pca (integer power-iteration upgrade).
     from gasket_rs_spark.registry_order import ORDER
 
     window = ORDER[:50]
-    assert "semantic_dedup_clustered" in window
-    assert "embedding_pq_distortion" in window
+    assert "embedding_pca" in window

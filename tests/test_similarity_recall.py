@@ -175,36 +175,59 @@ def test_pq_beats_single_centroid_baseline(spark, sf_dir):
 
 
 def test_pca_matches_pure_numpy_and_is_self_consistent(spark, sf_dir):
-    """The PCA witness must reproduce a pure-numpy PCA of the same corpus
-    (eigenvalues + explained ratios within float tolerance) AND be
-    self-consistent: the DISTRIBUTED variance of each projected component
-    must equal its driver-side eigenvalue — the end-to-end proof that the
-    broadcast projection matrix and the moment-partial aggregation are
-    wired correctly. Ratios must be non-increasing and in (0, 1]."""
+    """The integer power-iteration PCA witness (EXACT-oracled r20,
+    VERDICT r19 #6) must stay FAITHFUL to real linear algebra: LAPACK is
+    the referee. Recompute the SAME (j+1)²-weighted uncentered second-
+    moment matrix in float, eigh it, and pin:
+    1. lam_micro within 1e-4 relative of LAPACK's λ1 (measured ≤ 2e-11 —
+       the margin is the spectrum-gap amplification working);
+    2. the integer loading vector within |cos| ≥ 0.999 of LAPACK's top
+       eigenvector (sign-invariant);
+    3. the weighted spectrum is genuinely separated (λ1/λ2 ≥ 1.05) —
+       the documented precondition for power-iteration fidelity; if a
+       future fixture regresses this, THIS assert names the cause
+       instead of a silent fidelity drift;
+    4. self-consistency: the DISTRIBUTED projection second moment
+       reproduces the Rayleigh quotient (vᵀGv = Σp² up to the documented
+       truncation rescale) — the end-to-end proof that the broadcast
+       direction actually projected the corpus."""
     import numpy as np
 
-    from gasket_rs_spark.operators.similarity import _PCA_K, q_embedding_pca
+    from gasket_rs_spark.operators.similarity import _PCA_GRID, q_embedding_pca
     from gasket_rs_spark.tables import load
 
     rows = sorted(q_embedding_pca(spark, sf_dir).collect(), key=lambda r: r.component)
-    assert [r.component for r in rows] == list(range(_PCA_K))
 
     X = np.array(
         [r.embedding for r in load(spark, sf_dir, "embeddings").select("embedding").collect()],
         dtype=np.float64,
     )
-    C = np.cov(X, rowvar=False, bias=True)
-    evals = np.sort(np.linalg.eigvalsh(C))[::-1]
-    total = evals.sum()
-    for k, r in enumerate(rows):
-        # the witness eigendecomposes the 6dp-SNAPPED distributed
-        # covariance cells, so agreement is at that grid, not machine eps
-        assert abs(r.eigenvalue - evals[k]) < 1e-4, (k, r.eigenvalue, evals[k])
-        assert abs(r.explained_ratio - evals[k] / total) < 1e-4
-        assert abs(r.proj_var - r.eigenvalue) < 1e-4, (k, r.proj_var, r.eigenvalue)
-        assert 0.0 < r.explained_ratio <= 1.0
-    ratios = [r.explained_ratio for r in rows]
-    assert ratios == sorted(ratios, reverse=True)
+    n, d = X.shape
+    assert [r.component for r in rows] == list(range(d))
+    w = (np.arange(d) + 1.0) ** 2
+    QW = np.floor(X * _PCA_GRID + 0.5) * w
+    M = (QW.T @ QW) / (n * _PCA_GRID * _PCA_GRID)
+    evals, evecs = np.linalg.eigh(M)  # ascending
+    lam1, lam2 = evals[-1], evals[-2]
+    assert lam1 / lam2 >= 1.05, (lam1, lam2)  # separation precondition
+
+    lam_wit = rows[0].lam_micro / 1e6
+    assert abs(lam_wit - lam1) / lam1 < 1e-4, (lam_wit, lam1)
+
+    v = np.array([r.loading_scaled for r in rows], dtype=np.float64)
+    v /= np.linalg.norm(v)
+    assert abs(float(v @ evecs[:, -1])) >= 0.999
+
+    # self-consistency: Σ(p/PROJ_DIV)² ≈ vᵀGv/PROJ_DIV² where
+    # lam = vᵀGv·1e6/(vᵀv·n·GRID²); truncation of p is ≤1 per row, so
+    # the relative gap is far below 1e-3 on any non-degenerate corpus
+    vi = np.array([r.loading_scaled for r in rows], dtype=np.float64)
+    den = float(vi @ vi)
+    lam_from_proj = (
+        rows[0].proj_ss * 1e6 * (1e8 * 1e8) / (den * n * _PCA_GRID**2)
+    )
+    assert abs(lam_from_proj - rows[0].lam_micro) / rows[0].lam_micro < 1e-3
+    assert rows[0].n == n
 
 
 def test_jl_sign_matrix_is_deterministic_and_balanced():
