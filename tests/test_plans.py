@@ -511,8 +511,8 @@ def test_round10_plan_shapes(spark, sf_dir):
     the final plan), and the only nested-loop joins are over bounded
     frames (strata / sketch buckets / 1-row totals). Domain cap: the cap
     probe is a broadcast, no cartesian, and its window is partitioned (by
-    source), never global. PCA: ONE corpus scan for the moment pass and a
-    broadcast join against the dimension-sized eigen frame."""
+    source), never global. PCA: ONE corpus scan for the projection-moment
+    pass, broadcast against the dimension-sized loadings frame."""
     from gasket_rs_spark.operators.curation import (
         q_domain_cap,
         q_quality_filter_funnel,
