@@ -789,13 +789,18 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.arange(dd, dtype=np.int32),
                 indexing="ij",
             )
-            out = pd.DataFrame(
-                {"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()}
+            # marker cell (-1,-1,rows): the per-batch row count rides
+            # the same shuffle so n needs no second corpus action
+            # driver-side. Appended at the numpy layer — a pandas
+            # .loc-enlargement could upcast g to float64 on some pandas
+            # versions, silently rounding Gram cells above 2^53.
+            yield pd.DataFrame(
+                {
+                    "i": np.append(ii.ravel(), np.int32(-1)),
+                    "j": np.append(jj.ravel(), np.int32(-1)),
+                    "g": np.append(G.ravel(), np.int64(len(M))),
+                }
             )
-            # marker cell: per-batch row count rides the same shuffle so
-            # n needs no second corpus action driver-side
-            out.loc[len(out)] = [-1, -1, len(M)]
-            yield out
 
     cells = (
         emb.mapInPandas(gram_batches, "i int, j int, g long")
@@ -836,6 +841,15 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [_tdiv(x, s) for x in u]
     num = sum(v[i] * G[i][j] * v[j] for i in range(d) for j in range(d))
     den = sum(x * x for x in v)
+    if den == 0:
+        # all-zero quantized corpus (every |x| < 0.5/GRID): the iterate
+        # collapses and the Rayleigh quotient is undefined — name the
+        # degenerate cause instead of a bare ZeroDivisionError here and
+        # a divide-by-zero in the DuckDB replay
+        raise ValueError(
+            "embedding_pca: corpus quantizes to the zero matrix at "
+            f"grid {_PCA_GRID} — no dominant direction exists"
+        )
     # Rayleigh of a PSD Gram: num ≥ 0, so // is floor == trunc on both
     # engines; units: weighted-second-moment eigenvalue × 1e6
     lam_micro = (num * 1_000_000) // (den * n * _PCA_GRID * _PCA_GRID)

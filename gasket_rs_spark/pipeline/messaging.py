@@ -190,6 +190,9 @@ class _BroadcastRing:
     def send(self, msg: Message) -> None:
         with self._cond:
             if self._closed:
+                if msg.payload is _SENTINEL:
+                    return  # repeated close() is idempotent, as in queue
+                    # mode where the extra sentinel is benignly absorbed
                 raise NotConnected("send on closed broadcast ring")
             if msg.payload is _SENTINEL:
                 self._closed = True

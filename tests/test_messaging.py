@@ -231,6 +231,7 @@ def test_broadcast_lagged_mode_close_pins_sentinel():
 
     with pytest.raises(NotConnected):
         out.send(99)  # would have evicted the sentinel pre-fix
+    out.close()  # repeat close is idempotent, matching queue mode
 
     with pytest.raises(Lagged) as exc:
         a.recv(timeout=2.0)
