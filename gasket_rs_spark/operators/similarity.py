@@ -721,9 +721,13 @@ _PCA_PROJ_DIV = 100_000_000
 
 def _tdiv(a: int, b: int) -> int:
     """Truncate-toward-zero division — Spark ``div`` / DuckDB ``//``
-    semantics. Python's ``//`` FLOORS, which disagrees on negative
-    numerators (the verify-skill python-pin division trap)."""
-    return -((-a) // b) if a < 0 else a // b
+    semantics. Python's ``//`` FLOORS, which disagrees whenever the
+    exact quotient is negative and non-integral (either operand
+    negative — the verify-skill python-pin division trap; the original
+    numerator-only spelling was caught wrong for negative DIVISORS by
+    the differential fuzz pin in test_integer_kernel_fuzz)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
