@@ -131,6 +131,47 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     assert count_operator(df, "Exchange") >= 1
 
 
+def test_collect_sites_are_allowlisted():
+    """Every ``.collect()`` inside an operator module must be one of the
+    audited constant-bounded sites (VERDICT r20 #1: SCALE.md's former
+    blanket "no collect() inside any operator" claim overclaimed, and a
+    future contributor citing it could ship an UNBOUNDED driver
+    materialization unnoticed). The allowlisted sites are each bounded by
+    a constant independent of corpus size — ≤2000-row training samples,
+    1-row iterative reductions, d²=4096 Gram cells, a branch-guarded ≤2M
+    edge fetch — with the bound documented at the site (see SCALE.md
+    "Global posture"). A new collect in gasket_rs_spark/operators/ fails
+    here until its bound is documented and the count updated."""
+    import pathlib
+    import re
+
+    ops = pathlib.Path(__file__).resolve().parent.parent / "gasket_rs_spark" / "operators"
+
+    # path -> number of audited .collect() call sites
+    collect_allowlist = {
+        "bpe.py": 1,          # 1 row per BPE merge step
+        "dedup.py": 2,        # ≤2000-row SemDeDup sample; ≤2M-edge union-find fetch
+        "similarity.py": 5,   # 2 k-means samples, d² Gram cells, 2× 1-row k-center
+    }
+
+    counts: dict[str, int] = {}
+    for py in ops.rglob("*.py"):
+        rel = py.relative_to(ops).as_posix()
+        src = py.read_text()
+        n = 0
+        for m in re.finditer(r"\.collect\(\)", src):
+            line = src[: m.start()].rsplit("\n", 1)[-1]
+            if not line.lstrip().startswith("#"):
+                n += 1
+        if n:
+            counts[rel] = n
+    assert counts == collect_allowlist, (
+        "collect() inside an operator must be constant-bounded and "
+        f"allowlisted: found {counts}, allowlist {collect_allowlist}. "
+        "Document the bound at the new site and update the allowlist."
+    )
+
+
 def test_no_unpartitioned_window_in_source():
     """Every window function in the package must be partitioned — a bare
     Window.orderBy is a single-task global sort that wedges at scale (the

@@ -193,7 +193,11 @@ def test_pca_matches_pure_numpy_and_is_self_consistent(spark, sf_dir):
        direction actually projected the corpus."""
     import numpy as np
 
-    from gasket_rs_spark.operators.similarity import _PCA_GRID, q_embedding_pca
+    from gasket_rs_spark.operators.similarity import (
+        _PCA_GRID,
+        _PCA_PROJ_DIV,
+        q_embedding_pca,
+    )
     from gasket_rs_spark.tables import load
 
     rows = sorted(q_embedding_pca(spark, sf_dir).collect(), key=lambda r: r.component)
@@ -224,7 +228,7 @@ def test_pca_matches_pure_numpy_and_is_self_consistent(spark, sf_dir):
     vi = np.array([r.loading_scaled for r in rows], dtype=np.float64)
     den = float(vi @ vi)
     lam_from_proj = (
-        rows[0].proj_ss * 1e6 * (1e8 * 1e8) / (den * n * _PCA_GRID**2)
+        rows[0].proj_ss * 1e6 * float(_PCA_PROJ_DIV) ** 2 / (den * n * _PCA_GRID**2)
     )
     assert abs(lam_from_proj - rows[0].lam_micro) / rows[0].lam_micro < 1e-3
     assert rows[0].n == n
