@@ -329,6 +329,14 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     poly = 65599  # token-hash mixing multiplier; (2^31)*65599 < 2^63 (ANSI-safe range)
 
     def sig_batches(batches):
+        # Per-doc loop kept over batch-level vectorization (r21 A/B): a
+        # concatenate + reduceat formulation (one np.unique over
+        # doc_idx<<31|shingle, np.minimum.reduceat at doc boundaries) was
+        # bit-identical but measured consistently SLOWER in-Spark (min
+        # 2.76 vs 2.21 s at sf0.1 interleaved): with ~32 partitions the
+        # per-batch doc count is small, the (128 x n_shingles) modular
+        # matrix dominates either way, and the vectorized variant pays
+        # strided-column Arrow conversion for its per-doc output slices.
         for pdf in batches:
             out_id: list = []
             out_hs: list = []
@@ -386,6 +394,13 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        # Round-robin repartition kept deliberately (r21 A/B): hashing the
+        # unique doc_id instead would skip the sortBeforeRepartition local
+        # sort (guide §2.5), but measured consistently ~0.4s SLOWER at
+        # sf0.1 (hash imbalance: Poisson ±16% per partition vs exact
+        # round-robin balance; every downstream barrier waits on the max
+        # task) — and the sort this pays is bounded by one input split's
+        # rows, trivial beside the signature kernel it feeds.
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return _minhash_sigs(docs)
@@ -584,6 +599,13 @@ def _simhash_blocks(docs: DataFrame) -> DataFrame:
     ]
 
     def block_batches(batches):
+        # Per-doc loop kept over batch-level vectorization (r21 A/B): a
+        # concatenate + np.add.reduceat formulation over one flat
+        # (total_tokens x 64) bit matrix was bit-identical but measured
+        # consistently SLOWER in-Spark (min 1.53 vs 1.82 s at sf0.1
+        # interleaved) — per-batch doc counts are small after the 32-way
+        # repartition, so the (n_tokens x 64) matrix work dominates both
+        # forms and the vectorized one only adds setup overhead.
         for pdf in batches:
             out = {"doc_id": []}
             for b in range(_SIMHASH_BLOCKS):
@@ -644,7 +666,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with bit_count(XOR) per block. Rows-only oracle (xxhash64 is
     engine-specific).
     """
-    # Repartition for the same single-file-input reason as _minhash_base.
+    # Repartition for the same single-file-input reason as _minhash_base
+    # (round-robin kept over keyed — same r21 A/B, see _minhash_base).
     docs = (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -1482,8 +1505,15 @@ def _components(
     pairs_c = pairs.select("doc_a", "doc_b").localCheckpoint()
     n_pairs = pairs_c.count()  # metadata read of the materialized checkpoint
     if n_pairs <= driver_edge_bound:
+        # collect(), not toLocalIterator(): the iterator fetches partition
+        # by partition — one sequential job per partition plus the local
+        # socket server — where collect is a single job (r21; measured
+        # ~0.2-0.4s off dedup_components_lsh at sf0.1). Memory is safe by
+        # construction: the branch condition bounds the fetch at
+        # driver_edge_bound (2M) 16-byte edges, far under both
+        # spark.driver.maxResultSize and the union-find's own footprint.
         endpoint_labels = _driver_union_find(
-            (r["doc_a"], r["doc_b"]) for r in pairs_c.toLocalIterator()
+            (r["doc_a"], r["doc_b"]) for r in pairs_c.collect()
         )
         spark = docs.sparkSession
         if endpoint_labels:

@@ -245,27 +245,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (ts, kind, event_id), carry the last click forward with
     ``last(..., ignorenulls=True)``. This is O(n log n) per key versus the
     O(clicks × purchases) range-join formulation the oracle uses.
+
+    r21: the click/purchase tagging is a single conditional projection
+    over ONE filtered scan instead of a union of two separately filtered
+    scans — same multiset of pre-shuffle rows (the two branch filters
+    were disjoint and exhaustive over this predicate), but events is now
+    read once, not twice (guide §2.3 project-early / §1.2 remove passes;
+    at 100 TB this halves the scan I/O of the query). Oracle-checked
+    EXACT at all three SFs.
     """
     events = load(spark, sf_dir, "events")
-    base = events.withColumn("ts_sec", F.expr("unix_millis(ts) div 1000"))
-    clicks = (
-        base.where(F.col("event_type") == "click")
+    is_purchase = F.col("event_type") == "purchase"
+    tagged = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .withColumn("ts_sec", F.expr("unix_millis(ts) div 1000"))
         .select(
             "user_id",
             F.col("ts_sec"),
-            F.lit(0).alias("kind"),
-            F.struct(F.col("ts_sec").alias("click_sec"), F.col("event_id").alias("click_id")).alias("click"),
-            F.lit(None).cast("bigint").alias("purchase_id"),
-        )
-    )
-    purchases = (
-        base.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("ts_sec"),
-            F.lit(1).alias("kind"),
-            F.lit(None).cast("struct<click_sec:bigint,click_id:bigint>").alias("click"),
-            F.col("event_id").alias("purchase_id"),
+            F.when(is_purchase, F.lit(1)).otherwise(F.lit(0)).alias("kind"),
+            F.when(
+                ~is_purchase,
+                F.struct(
+                    F.col("ts_sec").alias("click_sec"),
+                    F.col("event_id").alias("click_id"),
+                ),
+            ).alias("click"),
+            F.when(is_purchase, F.col("event_id")).alias("purchase_id"),
         )
     )
     w = (
@@ -274,7 +279,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        clicks.unionByName(purchases)
+        tagged
         .withColumn("last_click", F.last("click", ignorenulls=True).over(w))
         .where(F.col("kind") == 1)
         .select(

@@ -236,7 +236,15 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_df = docs.agg(F.count("*").alias("n_docs"))
     tokens = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tokens.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    # df derived FROM tf instead of a second explode+distinct branch over
+    # the raw tokens: tf has exactly one row per (doc_id, token), so
+    # counting tf rows per token IS the document frequency. The two plan
+    # branches now share an identical subtree through the (doc_id, token)
+    # aggregation, so ReuseExchange computes the tokenize+explode+partial
+    # agg once (r21; guide §2.4 "two operations keyed the same way share
+    # one exchange") — previously the distinct branch re-scanned and
+    # re-exploded the full corpus. Oracle-checked EXACT at all three SFs.
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
     scored = (
