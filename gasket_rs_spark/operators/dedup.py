@@ -1522,7 +1522,17 @@ def _components(
             )
         else:
             labels = spark.createDataFrame([], "doc_id bigint, component bigint")
-        return docs.join(labels, "doc_id", "left").select(
+        # Explicit broadcast (r21): createDataFrame yields an RDD-backed
+        # frame with UNKNOWN stats, so the planner assumed it huge and
+        # sort-merge-joined it — a full shuffle+sort of the entire docs
+        # side against a frame this branch has already bounded at
+        # 2 × driver_edge_bound endpoints (≤64 MB framed, far under the
+        # 8 GB/512M-row broadcast cap). Plan: SortMergeJoin + 2 Exchange
+        # + 2 Sort → BroadcastHashJoin, docs side never shuffled — at
+        # 100 TB that removes the only corpus-wide shuffle of this
+        # branch (guide §3.1: broadcast the side you KNOW is small when
+        # estimates can't see it).
+        return docs.join(F.broadcast(labels), "doc_id", "left").select(
             "doc_id", F.coalesce("component", "doc_id").alias("component")
         )
     edges = (
