@@ -238,12 +238,18 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # df derived FROM tf instead of a second explode+distinct branch over
     # the raw tokens: tf has exactly one row per (doc_id, token), so
-    # counting tf rows per token IS the document frequency. The two plan
-    # branches now share an identical subtree through the (doc_id, token)
-    # aggregation, so ReuseExchange computes the tokenize+explode+partial
-    # agg once (r21; guide §2.4 "two operations keyed the same way share
-    # one exchange") — previously the distinct branch re-scanned and
-    # re-exploded the full corpus. Oracle-checked EXACT at all three SFs.
+    # counting tf rows per token IS the document frequency (r21; guide
+    # §2.4). ReuseExchange alone cannot fuse the two consumers — column
+    # pruning drops the tf count from the df branch's copy of the
+    # subtree, making the exchanges physically different — so tf is
+    # shared through a LAZY localCheckpoint (no job at build time; the
+    # single action materializes it once), the same single-scan-composite
+    # pattern as rag_retrieval_pipeline. Plan: 2 scans + 2 explodes →
+    # 1 scan + 1 explode; measured interleaved at sf0.1 min 0.515 s vs
+    # 0.842 s, identical rows; oracle EXACT ×3 SFs. Same
+    # executor-loss caveat as every localCheckpoint site (SCALE.md): a
+    # 1000-executor run swaps these to reliable checkpoint/persist.
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
