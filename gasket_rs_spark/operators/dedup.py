@@ -473,14 +473,29 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
 
 
 def _lsh_candidates_plan(b: DataFrame) -> DataFrame:
-    """The lazy candidate plan over a (persisted) banding frame — split
-    from _lsh_candidates so tests can assert the physical shape (hot-key
-    broadcast, no cartesian) before checkpointing truncates the lineage."""
+    """The candidate plan over a (persisted) banding frame — split from
+    _lsh_candidates so tests can assert the physical shape (hot-key
+    broadcast, no cartesian) before the candidate-set checkpoint
+    truncates the lineage. Building the plan runs ONE small job (the
+    eager hot-set checkpoint below); the returned candidate plan itself
+    stays lazy and fuses with the caller's verify join."""
     stats = b.groupBy("band", "bucket").agg(
         F.count("*").alias("occ"), F.min("doc_id").alias("rep")
     )
-    hot = stats.where(F.col("occ") > _MAX_BUCKET_OCCUPANCY).select(
-        "band", "bucket", "rep"
+    # hot is consumed by TWO broadcast builds (cold anti-join, star
+    # join) with different projections, so column pruning makes the two
+    # stats subtrees physically different and ReuseExchange cannot fuse
+    # them — without the checkpoint the full stats aggregation over the
+    # banded frame ran once PER broadcast (r21; same pruning-defeats-
+    # reuse pattern as text_tfidf_top). Eager checkpoint of the tiny hot
+    # frame (bounded at n_banded/256 rows by the occupancy cap) computes
+    # it once; interleaved A/B at sf0.1: minhash_lsh min 2.494 s vs
+    # 2.66 s, identical rows — and one fewer corpus×BANDS aggregation
+    # pass at scale.
+    hot = (
+        stats.where(F.col("occ") > _MAX_BUCKET_OCCUPANCY)
+        .select("band", "bucket", "rep")
+        .localCheckpoint(eager=True)
     )
     cold = (
         b.join(
