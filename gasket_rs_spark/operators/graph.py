@@ -42,38 +42,58 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS) -> Data
     snapped to the 12dp grid each iteration. Returns (node, pr).
     """
     n_frame = nodes.agg(F.count("*").cast("double").alias("nn"))
-    # deg + edges_deg are re-read every iteration and ranks is consumed by
-    # TWO branches per iteration (contrib join + dangling anti-join) and
-    # rebuilt — without lineage truncation the plan re-runs the edge
-    # extraction O(iters) times and the rank lineage O(3^iters) times
-    # (measured 25s -> ~3s at sf0.01). Same localCheckpoint(eager) pattern
-    # as dedup._lsh_candidates.
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count("*").cast("double").alias("outdeg"))
+    # Edges are consumed by deg AND the per-iteration contrib join, and
+    # ranks is rebuilt per iteration — without lineage truncation the
+    # plan re-runs the (often expensive) caller edge extraction O(iters)
+    # times and the rank lineage O(3^iters) times (measured 25s -> ~3s
+    # at sf0.01). Same localCheckpoint(eager) pattern as
+    # dedup._lsh_candidates. r21 restructure (guide §1.2/§2.4): the
+    # edge subtree is checkpointed ONCE and deg derives from it — the
+    # previous shape checkpointed deg and edges_deg separately, each
+    # re-running the caller's full edge extraction (for the purchase
+    # graph: one orders⋈lineitem+distinct pass per frame, 2.8s of the
+    # 6.4s query at sf0.1). outdeg now rides the RANK frame, so the
+    # per-edge weight join needs no edge-side degree column and the
+    # dangling-mass probe is a FILTER (outdeg IS NULL), not a
+    # per-iteration anti-join against deg. Per-edge terms are the same
+    # IEEE divisions (pr/outdeg per node, replicated over its edges);
+    # oracle EXACT ×3 SFs after the restructure.
+    edges_c = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = edges_c.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_frame))
+        .join(deg, nodes.node == deg.src, "left")
+        .select(
+            "node",
+            "nn",
+            "outdeg",
+            F.round(F.lit(1.0) / F.col("nn"), _PR_SNAP).alias("pr"),
+        )
         .localCheckpoint(eager=True)
     )
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
-        "node", "nn", F.round(F.lit(1.0) / F.col("nn"), _PR_SNAP).alias("pr")
-    ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
-            edges_deg.join(ranks.select("node", "pr"), edges_deg.src == F.col("node"))
+            edges_c.join(
+                ranks.select(
+                    "node", (F.col("pr") / F.col("outdeg")).alias("w")
+                ).where(F.col("outdeg").isNotNull()),
+                edges_c.src == F.col("node"),
+            )
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+            .agg(F.sum("w").alias("contrib"))
         )
         dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            ranks.where(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
         )
         ranks = (
-            ranks.select("node", "nn")
+            ranks.select("node", "nn", "outdeg")
             .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "nn",
+                "outdeg",
                 F.round(
                     F.lit((1.0 - _PR_D)) / F.col("nn")
                     + F.lit(_PR_D)
