@@ -735,7 +735,6 @@ def propagate_labels(raw_edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame
     lab = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
     for _ in range(iters):
         nbr = edges.join(
             lab.withColumnRenamed("node", "nid"), F.col("dst") == F.col("nid")
@@ -743,10 +742,20 @@ def propagate_labels(raw_edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame
         cnts = nbr.groupBy("node", "label").agg(
             F.count("*").cast("bigint").alias("cnt")
         )
+        # Mode-argmax as max(struct(cnt, -label)) instead of a windowed
+        # row_number (r21): same total order — max cnt, ties to the
+        # SMALLEST label via the negated field (labels are non-negative
+        # ids by the 2k/2k+1 scheme; int64 negation is exact) — but a
+        # hash aggregation with map-side partial combine in place of a
+        # full sort of the counts frame, and one fewer exchange (the
+        # window needed hash(node) after cnts' hash(node,label)).
+        # Interleaved A/B at sf0.1 (quiet box, 4 pairs): every pair
+        # favors the agg shape, min 4.065 s vs 4.512 s, identical
+        # labels.
         lab = (
-            cnts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+            cnts.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
             .localCheckpoint(eager=True)
         )
     return lab
