@@ -411,12 +411,27 @@ def q_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session",
         F.sum(gap_break).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    w_sess = Window.partitionBy("user_id", "session").orderBy("ts_sec", "event_id")
-    tri = sess.select(
-        F.col("event_type").alias("t1"),
-        F.lead("event_type", 1).over(w_sess).alias("t2"),
-        F.lead("event_type", 2).over(w_sess).alias("t3"),
-    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    # Leads masked WITHIN the user window instead of a second
+    # (user_id, session)-partitioned window (r21): session ids are
+    # monotonic within the user ordering, so lead(session,2)==session
+    # iff positions i+1, i+2 sit in the same session — the exact row
+    # set the session-partitioned leads produced (verified identical at
+    # sf0.1). Saves one full Sort of the event stream (plan: 2 Sorts →
+    # 1; the user-window pass already established the order); local
+    # wall-clock is a wash at sf0.1, the win is the removed
+    # corpus-wide sort at scale (guide §2.4 — window keyed compatibly
+    # with the preceding pass needs no second shuffle/sort).
+    tri = (
+        sess.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w_user).alias("t2"),
+            F.lead("event_type", 2).over(w_user).alias("t3"),
+            F.col("session").alias("s0"),
+            F.lead("session", 2).over(w_user).alias("s2"),
+        )
+        .where(F.col("s2") == F.col("s0"))
+        .drop("s0", "s2")
+    )
     return (
         tri.groupBy("t1", "t2", "t3")
         .agg(F.count("*").cast("bigint").alias("n"))
