@@ -1085,6 +1085,13 @@ def _lm_doc_scores(docs: DataFrame) -> DataFrame:
     ex = docs.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.gram").alias("gram"), F.col("p.ctx").alias("ctx")
     )
+    # ex feeds THREE branches (c3, c2, and the probability join); without
+    # lineage sharing each branch re-split and re-exploded the corpus.
+    # Lazy checkpoint (the single-scan-composite pattern): no job at
+    # build time, the consuming action materializes the trigram stream
+    # once (r21; with the b-frame checkpoint in q_perplexity_buckets,
+    # interleaved A/B at sf0.1: min 2.775 s vs 5.843 s, identical rows).
+    ex = ex.localCheckpoint(eager=False)
     c3 = ex.groupBy("gram").agg(F.count("*").alias("c3"))
     c2 = ex.groupBy("ctx").agg(F.count("*").alias("c2"))
     return (
@@ -1218,6 +1225,12 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_log2p",
         F.floor(F.col("avg_log2p") * 100).cast("bigint").alias("qb"),
     )
+    # b feeds the grid histogram AND the final labeling join; without
+    # sharing, the whole trigram-LM pipeline ran twice. Lazy checkpoint
+    # of the doc-sized (id + 3 numbers) score frame — the hist branch's
+    # eager build materializes it, the final join reads it (r21; A/B
+    # evidence at the _lm_doc_scores ex checkpoint).
+    b = b.localCheckpoint(eager=False)
     # bounded grid (few hundred rows), three consumers — checkpoint
     hist = (
         b.groupBy("qb").agg(F.count("*").alias("cnt")).localCheckpoint(eager=True)
