@@ -1212,9 +1212,16 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED CTEs (the BPE/DoReMi pattern).
 
     Scale: ONE corpus pass builds transitions (per-user lead window —
-    the sessionization shuffle); the 25-cell matrix and 5-row state
-    vector then iterate driver-side on broadcast-sized frames —
-    localCheckpoint per step, same discipline as pagerank."""
+    the sessionization shuffle); the transition matrix is bounded by
+    the event-type DOMAIN (≤5² = 25 cells regardless of corpus size),
+    so the 20 power steps run as a driver loop over one constant-
+    bounded collect (the BPE/k-center discipline) — each step is the
+    same int64 ``(v·c) div r`` per cell with a per-dst integer sum,
+    identical to the former per-step Spark jobs (Python ``//`` equals
+    Spark ``div`` on the non-negative operands here; v·c stays inside
+    int64 at fixture scales exactly as it had to under Spark). The r21
+    A/B replaced 21 localCheckpoint job barriers over ≤5-row frames
+    with pure driver arithmetic."""
     ev = _events_sec(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     trans = (
@@ -1224,29 +1231,25 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    m = (
-        trans.join(
-            trans.groupBy(F.col("src").alias("r_src")).agg(
-                F.sum("c").cast("bigint").alias("r")
-            ),
-            F.col("src") == F.col("r_src"),
-        )
-        .select("src", "dst", "c", "r")
-        .localCheckpoint(eager=True)
-    )
-    pi = (
-        m.select(F.col("src").alias("state")).distinct()
-        .select("state", F.lit(_MARKOV_START).cast("bigint").alias("v"))
-        .localCheckpoint(eager=True)
-    )
+    m = trans.join(
+        trans.groupBy(F.col("src").alias("r_src")).agg(
+            F.sum("c").cast("bigint").alias("r")
+        ),
+        F.col("src") == F.col("r_src"),
+    ).select("src", "dst", "c", "r")
+    # ≤ |event_type|² = 25 rows — domain-bounded, corpus-independent
+    cells = m.collect()
+    pi = {row["src"]: _MARKOV_START for row in cells}
     for _ in range(_MARKOV_ITERS):
-        pi = (
-            pi.join(m, pi.state == m.src)
-            .groupBy(F.col("dst").alias("state"))
-            .agg(F.sum(F.expr("(v * c) div r")).cast("bigint").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    return pi.select("state", F.col("v").alias("pi_micro")).orderBy("state")
+        nxt: dict = {}
+        for row in cells:
+            v = pi.get(row["src"])
+            if v is not None:
+                nxt[row["dst"]] = nxt.get(row["dst"], 0) + (v * row["c"]) // row["r"]
+        pi = nxt
+    return spark.createDataFrame(
+        sorted(pi.items()), "state string, pi_micro bigint"
+    ).orderBy("state")
 
 
 def _markov_oracle() -> str:
@@ -1591,7 +1594,14 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi1 = bi.join(F.broadcast(f1), "item", "left_semi").localCheckpoint(eager=True)
     a = bi1.select("l_orderkey", F.col("item").alias("ia"))
     b = bi1.select("l_orderkey", F.col("item").alias("ib"))
-    bp = a.join(b, "l_orderkey").where(F.col("ia") < F.col("ib"))
+    # lazy checkpoint: the basket-pair join feeds THREE consumers (the L2
+    # count and both sides of the candidate self-join) — without it the
+    # per-basket pair explosion ran once per consumer (§2.4)
+    bp = (
+        a.join(b, "l_orderkey")
+        .where(F.col("ia") < F.col("ib"))
+        .localCheckpoint(eager=False)
+    )
     l2 = (
         bp.groupBy("ia", "ib")
         .agg(F.count("*").cast("bigint").alias("s"))
@@ -1603,10 +1613,13 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bpf.select("l_orderkey", "ia", "ib")
         .join(
-            bpf.select("l_orderkey", F.col("ia").alias("ia2"), F.col("ib").alias("ic")),
-            "l_orderkey",
+            # join ON the shared first item (Apriori's prefix-join), not a
+            # post-filter over the per-basket pair×pair product — the
+            # equi-join key prunes before the build/probe, not after
+            bpf.select("l_orderkey", "ia", F.col("ib").alias("ic")),
+            ["l_orderkey", "ia"],
         )
-        .where((F.col("ia") == F.col("ia2")) & (F.col("ic") > F.col("ib")))
+        .where(F.col("ic") > F.col("ib"))
         .select("l_orderkey", "ia", "ib", "ic")
         .join(
             F.broadcast(

@@ -650,11 +650,17 @@ def q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the output order (freq DESC, word) are total.
 
     Scale shape (100 TB): everything after the one corpus tokenization
-    pass runs on the Heaps-bounded word-frequency table: candidate
-    substrings are a ≤4·len explode of that table; the DP is
-    ``_UNI_MAX_WORD`` unrolled rounds of (edges ⋈ frontier) equi-joins
-    on the word key — JVM-side throughout, no driver collect, no UDF.
-    The DuckDB twin unrolls the identical DP as materialized CTEs."""
+    pass runs on the Heaps-bounded word-frequency table. The top-30
+    output set depends ONLY on (freq DESC, word) over words of length
+    ≤ ``_UNI_MAX_WORD`` (single-char coverage guarantees every such
+    word's DP completes), so the selection is a TakeOrdered over the
+    word table BEFORE any DP work, and the Viterbi recursion runs on
+    exactly 30 words as ONE per-row integer HOF fold (same max/plus
+    recursion the former 8-round edges⋈frontier loop computed — r21:
+    that loop was 8 eager checkpoints over a corpus-vocab-sized
+    frontier, all but 30 rows of which the limit then discarded).
+    JVM-side throughout, no driver collect, no UDF. The DuckDB twin
+    unrolls the identical DP as materialized CTEs."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -706,10 +712,19 @@ def q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # consumed by every DP round
     )
+    # the output set is fixed BEFORE the DP: top-30 by (freq DESC, word)
+    # over words the 8-round DP could complete (length ≤ _UNI_MAX_WORD;
+    # single-char coverage makes every such word reachable)
+    sel = (
+        words.where(F.length("w") <= _UNI_MAX_WORD)
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(_UNI_TOPK)  # TakeOrdered — bounded, no global sort
+        .localCheckpoint(eager=True)  # feeds the edge explode + the output
+    )
     edge_parts = []
     for j in range(1, _UNI_MAX_PIECE + 1):
         edge_parts.append(
-            words.where(F.length("w") >= j)
+            sel.where(F.length("w") >= j)
             .select(
                 F.explode(
                     F.sequence(F.lit(1), F.length("w") - j + 1)
@@ -728,24 +743,33 @@ def q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_all = edges_all.unionByName(c)
     edges = edges_all.join(F.broadcast(vocab), "piece").select(
         "w", "s", "e", "logp6"
-    ).localCheckpoint(eager=True)
-    frontier = words.select("w", F.lit(0).alias("pos"), F.lit(0).cast("bigint").alias("best6"))
-    for k in range(1, _UNI_MAX_WORD + 1):
-        bk = (
-            edges.where(F.col("e") == k)
-            .withColumnRenamed("s", "pos")
-            .join(frontier, ["w", "pos"])
-            .groupBy("w")
-            .agg(F.max(F.col("best6") + F.col("logp6")).alias("best6"))
-            .select("w", F.lit(k).alias("pos"), "best6")
-        )
-        frontier = frontier.unionByName(bk).localCheckpoint(eager=True)
+    )
+    # Viterbi as one integer HOF fold per word: acc[k+1] = best score to
+    # position k (1-indexed arrays; NULL = unreachable), identical
+    # max/plus recursion to the former per-round joins
+    word_edges = edges.groupBy("w").agg(
+        F.collect_list(F.struct("s", "e", "logp6")).alias("es")
+    )
+    dp = F.expr(
+        """
+        element_at(
+          aggregate(
+            sequence(1, length(w)),
+            array(CAST(0 AS BIGINT)),
+            (acc, k) -> array_append(acc,
+              array_max(transform(
+                filter(es, e -> e.e = k
+                             AND element_at(acc, e.s + 1) IS NOT NULL),
+                e -> element_at(acc, e.s + 1) + e.logp6)))),
+          length(w) + 1)
+        """
+    )
     return (
-        frontier.join(words, "w")
-        .where(F.col("pos") == F.length("w"))
-        .select(F.col("w").alias("word"), "freq", F.col("best6").alias("best_logp6"))
+        sel.join(word_edges, "w")
+        .select(
+            F.col("w").alias("word"), "freq", dp.alias("best_logp6")
+        )
         .orderBy(F.col("freq").desc(), "word")
-        .limit(_UNI_TOPK)
     )
 
 

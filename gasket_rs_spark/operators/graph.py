@@ -848,27 +848,30 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hub = None
     for _ in range(_HITS_ITERS):
+        # checkpoint the RAW frame, not the normalized one: the max and
+        # the normalized projection both consume it, and checkpointing
+        # downstream of the crossJoin made the edge-join+agg subtree run
+        # twice per half-step (once under the BroadcastExchange for mx,
+        # once in the main branch — §2.4 pruning-defeats-reuse).
         hraw = (
             edges.join(auth, "supp")
             .groupBy("cust")
             .agg(F.sum("a6").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hmax = hraw.agg(F.max("raw").alias("mx"))
-        hub = (
-            hraw.crossJoin(F.broadcast(hmax))
-            .select("cust", F.expr("raw * 1000000 div mx").cast("bigint").alias("h6"))
-            .localCheckpoint(eager=True)
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "cust", F.expr("raw * 1000000 div mx").cast("bigint").alias("h6")
         )
         araw = (
             edges.join(hub, "cust")
             .groupBy("supp")
             .agg(F.sum("h6").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         amax = araw.agg(F.max("raw").alias("mx"))
-        auth = (
-            araw.crossJoin(F.broadcast(amax))
-            .select("supp", F.expr("raw * 1000000 div mx").cast("bigint").alias("a6"))
-            .localCheckpoint(eager=True)
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "supp", F.expr("raw * 1000000 div mx").cast("bigint").alias("a6")
         )
     top_h = (
         hub.orderBy(F.col("h6").desc(), "cust")

@@ -1490,10 +1490,12 @@ def q_text_novelty(
     Plan shape: grams ride the span-dedup machinery — 7 lead() calls over
     ONE doc-partitioned window (O(L) per doc, one doc_id shuffle), then
     distinct per (doc_id, gram), a groupBy(gram).min(doc_id) first-
-    occurrence table (8-byte map-side-combinable state), an equi-join
-    back on gram, and a final doc_id aggregation. No self-joins, no HOF
-    slice lambdas, the same first-occurrence discipline as line/span
-    dedup. EXACT oracle (identical lead/window formulation in SQL).
+    occurrence table (8-byte map-side-combinable state) whose per-OWNER
+    count IS the novel-gram count — no join back onto the gram table
+    (that was a third corpus-of-grams shuffle, removed r21); the final
+    join is doc-level. No self-joins, no HOF slice lambdas, the same
+    first-occurrence discipline as line/span dedup. EXACT oracle (same
+    values; the oracle keeps its original formulation).
 
     Production note (same discipline as span_dedup, text.py ~660): the
     default path shuffles raw 8-token gram STRINGS three times (distinct,
@@ -1520,18 +1522,24 @@ def q_text_novelty(
         )
     else:
         doc_grams = doc_grams.select("doc_id", "gram")
-    doc_grams = doc_grams.distinct()
+    # lazy checkpoint: the distinct gram table feeds both doc-level
+    # branches below; pruning would otherwise defeat exchange reuse (§2.4)
+    doc_grams = doc_grams.distinct().localCheckpoint(eager=False)
+    # n_novel per doc == |{grams whose min doc_id is this doc}|, i.e. a
+    # count over the first-occurrence table grouped by its OWNER — the
+    # former formulation joined firsts back onto the full gram table
+    # (a third corpus-of-grams shuffle) only to count the equal rows
+    n_grams = doc_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     firsts = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_novel")
+    )
     return (
-        doc_grams.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_novel"),
+        n_grams.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .select(
             "doc_id",

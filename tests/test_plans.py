@@ -149,9 +149,11 @@ def test_collect_sites_are_allowlisted():
 
     # path -> number of audited .collect() call sites
     collect_allowlist = {
+        "analytics.py": 1,    # ≤|event_type|²=25-cell Markov transition matrix
         "bpe.py": 1,          # 1 row per BPE merge step
         "dedup.py": 2,        # ≤2000-row SemDeDup sample; ≤2M-edge union-find fetch
         "similarity.py": 5,   # 2 k-means samples, d² Gram cells, 2× 1-row k-center
+        "stats.py": 1,        # ≤langs·C(k,2) Bradley-Terry duels (domain-bounded)
     }
 
     counts: dict[str, int] = {}
