@@ -75,16 +75,33 @@ _CC_DRIVER_EDGE_BOUND = 2_000_000
 def _shingles(col: str = "text"):
     """Token 3-shingles as an array<string> (JVM higher-order fns only).
 
-    Guarded for <k-token docs: Spark's ``sequence(0, n)`` descends when
-    n < 0, which would fabricate bogus shingles.
+    Built as zip_with over three shifted slices — NEVER slice/element_at
+    of the token array inside a transform lambda: an array expression
+    referenced inside a HOF lambda is re-evaluated per element
+    (project-collapse inlines the split right back), so the old
+    transform(sequence(...), i -> slice(toks, i+1, K)) spelling re-split
+    the document once per shingle — O(tokens²) per doc. The r21 A/B on
+    the raw shingle explode at sf0.1: 1.6–2.0 s → 0.46 s, bit-identical
+    arrays (same positional order, so array_distinct keeps the same
+    first occurrences).
+
+    Guarded for <k-token docs: slice lengths descend through 0 there,
+    which would fabricate bogus shingles.
     """
     toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    win = n - (_SHINGLE_K - 1)
     return F.when(
-        F.size(toks) >= _SHINGLE_K,
+        n >= _SHINGLE_K,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - _SHINGLE_K),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _SHINGLE_K)),
+            F.zip_with(
+                F.slice(toks, 1, win),
+                F.zip_with(
+                    F.slice(toks, 2, win),
+                    F.slice(toks, 3, win),
+                    lambda y, z: F.concat_ws(" ", y, z),
+                ),
+                lambda x, yz: F.concat_ws(" ", x, yz),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))

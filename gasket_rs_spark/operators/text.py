@@ -175,8 +175,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the token array in place (no explode); bigrams explode once and
     hash-aggregate per (doc, bigram) then per doc — two partial-agg
     shuffles keyed by doc_id, no window, no UDF. Bigrams keep duplicates
-    (``transform(sequence)`` without distinct — counting repeats IS the
-    point, unlike the dedup module's shingle sets).
+    (``zip_with`` over shifted slices without distinct — counting
+    repeats IS the point, unlike the dedup module's shingle sets).
     """
     docs = load(spark, sf_dir, "documents")
     toks = _tokens()
@@ -186,14 +186,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
     ).where(F.col("n_tokens") >= 2)
+    # zip_with over two shifted slices, never element_at-in-lambda (the
+    # HOF-CSE trap): project-collapse inlines the split into the lambda,
+    # so the old transform(sequence) spelling re-split the text once per
+    # bigram — O(tokens²) per doc. Same positional order, duplicates
+    # kept (counting repeats IS the point).
     bigrams = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), (F.col("n_tokens") - 1).cast("int")),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-                ),
+            F.zip_with(
+                F.slice(F.col("toks"), 1, (F.col("n_tokens") - 1).cast("int")),
+                F.slice(F.col("toks"), 2, (F.col("n_tokens") - 1).cast("int")),
+                lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bigram"),
     )
