@@ -57,8 +57,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS) -> Data
     # dangling-mass probe is a FILTER (outdeg IS NULL), not a
     # per-iteration anti-join against deg. Per-edge terms are the same
     # IEEE divisions (pr/outdeg per node, replicated over its edges);
-    # oracle EXACT ×3 SFs after the restructure.
-    edges_c = edges.select("src", "dst").localCheckpoint(eager=True)
+    # oracle EXACT ×3 SFs after the restructure. Checkpoints are LAZY
+    # (r21 session 3): a fixed-iteration loop never inspects results
+    # mid-flight, so the single downstream action materializes (and
+    # caches) every frame exactly once — same per-frame compute, minus
+    # one driver job barrier per round (interleaved A/B min 4.058 →
+    # 3.664 s at sf0.1, identical rows).
+    edges_c = edges.select("src", "dst").localCheckpoint(eager=False)
     deg = edges_c.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
     ranks = (
         nodes.crossJoin(F.broadcast(n_frame))
@@ -69,7 +74,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS) -> Data
             "outdeg",
             F.round(F.lit(1.0) / F.col("nn"), _PR_SNAP).alias("pr"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         contrib = (
@@ -104,7 +109,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS) -> Data
                     _PR_SNAP,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "pr")
 
@@ -516,16 +521,24 @@ def kcore_peel(edges: DataFrame, kf: DataFrame, iters: int) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
+        # kept feeds THREE consumers (two semi-joins + the n_nodes
+        # count); unmaterialized, the degree aggregation re-ran per
+        # consumer. LAZY checkpoints throughout (r21 session 3): the
+        # fixed-round loop never inspects results mid-flight, so the
+        # single action materializes each frame once with no per-round
+        # driver barrier (interleaved A/B min 4.460 → 3.885 s at sf0.1,
+        # identical trajectory rows).
         kept = (
             deg.crossJoin(F.broadcast(kf))
             .where(F.col("deg") >= F.col("k"))
             .select("node")
+            .localCheckpoint(eager=False)
         )
         edges = (
             edges.join(kept.withColumnRenamed("node", "a"), "a", "semi")
             .join(kept.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         stat = (
             edges.agg(F.count("*").cast("bigint").alias("n_edges"))
@@ -731,7 +744,7 @@ def propagate_labels(raw_edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame
     localCheckpoint (see q_label_propagation for scale notes)."""
     edges = raw_edges.union(
         raw_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lab = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
@@ -751,12 +764,14 @@ def propagate_labels(raw_edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame
         # window needed hash(node) after cnts' hash(node,label)).
         # Interleaved A/B at sf0.1 (quiet box, 4 pairs): every pair
         # favors the agg shape, min 4.065 s vs 4.512 s, identical
-        # labels.
+        # labels. Checkpoints LAZY (r21 session 3): fixed-iteration
+        # loop, nothing inspected mid-flight — one materialization per
+        # action, no per-round job barrier (A/B min 5.006 → 3.807 s).
         lab = (
             cnts.groupBy("node")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
             .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return lab
 
@@ -841,7 +856,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").cast("bigint").alias("supp"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     auth = edges.select("supp").distinct().select(
         "supp", F.lit(1_000_000).cast("bigint").alias("a6")
@@ -853,11 +868,14 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # downstream of the crossJoin made the edge-join+agg subtree run
         # twice per half-step (once under the BroadcastExchange for mx,
         # once in the main branch — §2.4 pruning-defeats-reuse).
+        # Checkpoints LAZY (r21 session 3): fixed-iteration loop — one
+        # materialization per action, no per-half-step driver barrier
+        # (interleaved A/B min 3.540 → 3.045 s at sf0.1, identical rows).
         hraw = (
             edges.join(auth, "supp")
             .groupBy("cust")
             .agg(F.sum("a6").cast("bigint").alias("raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hmax = hraw.agg(F.max("raw").alias("mx"))
         hub = hraw.crossJoin(F.broadcast(hmax)).select(
@@ -867,7 +885,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(hub, "cust")
             .groupBy("supp")
             .agg(F.sum("h6").cast("bigint").alias("raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         amax = araw.agg(F.max("raw").alias("mx"))
         auth = araw.crossJoin(F.broadcast(amax)).select(
