@@ -407,6 +407,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "f")
         .agg(F.count("*").cast("bigint").alias("c"))
+        # dc feeds TWO consumers — the feature table (under lam's
+        # broadcast subtree) and the per-doc weighted sum — so without
+        # materialization the corpus explode + per-gram md5 ran twice
+        # (§2.4 pruning-defeats-reuse). Lazy: one materialization per
+        # action (r21 interleaved A/B min 2.132 → 1.568 s at sf0.1,
+        # identical rows).
+        .localCheckpoint(eager=False)
     )
     ft = dc.groupBy("f").agg(
         F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c")).otherwise(0))

@@ -395,7 +395,7 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     # shapes. See SCALE.md "Round-10 first wave".
     return docs.select("doc_id", token_hashes.alias("th")).mapInPandas(
         sig_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>, n_sh int"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,15 +486,19 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
     # Checkpoint blocks are freed by the ContextCleaner once the returned
     # plan is dereferenced, so no session-lifetime leak; the candidate
     # plan stays lazy and fuses with the caller's verify join.
-    return _lsh_candidates_plan(banded.localCheckpoint(eager=True))
+    return _lsh_candidates_plan(banded.localCheckpoint(eager=False))
 
 
 def _lsh_candidates_plan(b: DataFrame) -> DataFrame:
     """The candidate plan over a (persisted) banding frame — split from
     _lsh_candidates so tests can assert the physical shape (hot-key
     broadcast, no cartesian) before the candidate-set checkpoint
-    truncates the lineage. Building the plan runs ONE small job (the
-    eager hot-set checkpoint below); the returned candidate plan itself
+    truncates the lineage. Every checkpoint in the pipeline is LAZY
+    (r21 session 3): all consumers sit under the caller's single
+    action, which materializes (and caches) each frame exactly once —
+    same compute, no mid-build job barriers (interleaved A/B minima at
+    sf0.1: minhash_lsh 1.78 → 1.59 s, components_lsh 2.23 → 1.98 s,
+    all pairs favor, identical rows); the returned candidate plan
     stays lazy and fuses with the caller's verify join."""
     stats = b.groupBy("band", "bucket").agg(
         F.count("*").alias("occ"), F.min("doc_id").alias("rep")
@@ -504,15 +508,15 @@ def _lsh_candidates_plan(b: DataFrame) -> DataFrame:
     # stats subtrees physically different and ReuseExchange cannot fuse
     # them — without the checkpoint the full stats aggregation over the
     # banded frame ran once PER broadcast (r21; same pruning-defeats-
-    # reuse pattern as text_tfidf_top). Eager checkpoint of the tiny hot
+    # reuse pattern as text_tfidf_top). Checkpoint of the tiny hot
     # frame (bounded at n_banded/256 rows by the occupancy cap) computes
     # it once; interleaved A/B at sf0.1: minhash_lsh min 2.494 s vs
     # 2.66 s, identical rows — and one fewer corpus×BANDS aggregation
-    # pass at scale.
+    # pass at scale. Lazy since session 3 (see _lsh_candidates_plan).
     hot = (
         stats.where(F.col("occ") > _MAX_BUCKET_OCCUPANCY)
         .select("band", "bucket", "rep")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cold = (
         b.join(
@@ -714,7 +718,11 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     pigeonhole-complete candidate scheme and Hamming verify."""
     # banding + both verify branches consume the sigs; checkpoint, not
     # persist (the session-lifetime leak class — see _minhash_sigs).
-    sigs = _simhash_blocks(docs).localCheckpoint(eager=True)
+    # Lazy (r21 session 3): single-action consumers — one
+    # materialization, no mid-build barrier (A/B min 1.31 → 1.20 s at
+    # sf0.1; the same flip on dedup_embedding_lsh's vecs measured a
+    # wash, 0.86 vs 0.89 — left eager there).
+    sigs = _simhash_blocks(docs).localCheckpoint(eager=False)
     candidates = _simhash_candidates(sigs)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),
