@@ -1954,11 +1954,19 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % _NB_TEST_MOD != 0)
     test = docs.where(F.col("doc_id") % _NB_TEST_MOD == 0)
     tr_tok = train.select("lang", F.explode("toks").alias("tok"))
+    # counts has one row per (lang, token), so totals and vocab derive
+    # from IT (Σc per lang ≡ token count; distinct tok ≡ distinct tok)
+    # instead of re-exploding the train corpus once per aggregate — the
+    # df-from-tf trick (§2.4); counts itself is lazily checkpointed for
+    # its two consumers (totals/vocab subtree + the likelihood table).
+    # r21 interleaved A/B min 1.522 → 1.307 s at sf0.1, identical rows.
     counts = tr_tok.groupBy("lang", "tok").agg(
         F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    totals = counts.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+    vocab = counts.select("tok").distinct().agg(
+        F.count("*").cast("bigint").alias("v")
     )
-    totals = tr_tok.groupBy("lang").agg(F.count("*").cast("bigint").alias("t_l"))
-    vocab = tr_tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
     dtot = train.agg(F.count("*").cast("bigint").alias("d_all"))
     ln6 = lambda c: F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
     lang_consts = (
@@ -1978,7 +1986,7 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_l",
             "v",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ll = (
         counts.join(totals, "lang")
@@ -1991,7 +1999,7 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("t_l") + F.col("v")).cast("double")
             ).alias("ll6"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     te = test.select(
         "doc_id", F.col("lang").alias("true_lang"), F.explode("toks").alias("tok")
