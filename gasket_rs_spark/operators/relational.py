@@ -1017,7 +1017,15 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
-    eu_cost = pair_cost.join(broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    # eu_cost feeds the per-part minimum AND the final equality join;
+    # unmaterialized, column pruning made the two subtrees physically
+    # different (ReusedExchange: 0) and lineitem was scanned+aggregated
+    # twice (§2.4 pruning-defeats-reuse). Lazy checkpoint: one scan/agg
+    # per action — local delta small (A/B min 1.548 → 1.483 s at
+    # sf0.1), but at 100 TB this halves the query's lineitem I/O.
+    eu_cost = pair_cost.join(
+        broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).localCheckpoint(eager=False)
     part_min = eu_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("cost").alias("min_cost")
     )
