@@ -905,6 +905,116 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MS_SUBS = 8  # sub-vectors per embedding (64 dims -> 8 x 8)
 _MS_TOPK = 3
 
+# Vectors per bank for the blocked pair kernels below (r22, guide §4.2).
+# The brute-force pair witnesses (maxsim, bitext) used to evaluate their
+# cosine kernels as Catalyst higher-order folds on the pair-expanded
+# join output — ~10-150 µs of interpreted expression tree PER PAIR. The
+# blocked form groups each side into _PAIR_BANK-vector banks, cross-joins
+# the (tiny) bank tables and hands each bank pair to one Arrow/numpy
+# kernel call: every vector crosses the Python boundary n_other/_PAIR_BANK
+# times instead of n_other times (the r21 pair-expanded Arrow rewrite was
+# a wash for exactly that reason), and the per-pair kernel cost drops to
+# a vectorized multiply-add. The kernels replay the JVM fold's IEEE op
+# sequence exactly (see _np_fold_dot), so snapped outputs stay
+# bit-identical to the expression form — pinned by
+# tests/test_similarity_recall.py::test_blocked_pair_kernels_match_jvm_fold.
+_PAIR_BANK = 256
+
+
+def _np_fold_dot(A, B):
+    """Pairwise dot products of two row-banks as the SAME IEEE op
+    sequence as the JVM ``aggregate(zip_with(a, b, *), 0.0, +)`` fold:
+    per dim k a correctly-rounded multiply, then a correctly-rounded add
+    onto the accumulator, sequentially over k. Never a BLAS matmul —
+    dgemm reorders the summation and the low-order bits feed a
+    floor(x*1e6 + 0.5) snap."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        acc += np.multiply.outer(A[:, k], B[:, k])
+    return acc
+
+
+def _np_fold_norm(A):
+    """Row norms as the JVM ``sqrt(aggregate(v, 0.0, (a,x) -> a + x*x))``
+    fold — sequential per-dim multiply-add, one final sqrt."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for k in range(A.shape[1]):
+        acc += A[:, k] * A[:, k]
+    return np.sqrt(acc)
+
+
+def _np_bank(rows):
+    """(ids, matrix) from an Arrow bank of (vec_id, embedding) structs;
+    float32 parquet values widen exactly to float64."""
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, M
+
+
+def _maxsim_scored(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(query_id, vec_id, score6) for every query×corpus pair (self-pairs
+    included — callers filter) via the blocked-bank kernel; score6 is
+    bit-identical to the per-pair HOF expression form (pinned in
+    tests/test_similarity_recall.py::test_blocked_pair_kernels_match_jvm_fold).
+    """
+    import numpy as np
+    import pandas as pd
+
+    bank = F.collect_list(F.struct("vec_id", "embedding"))
+    d_banks = emb.groupBy(
+        F.expr(f"vec_id DIV {_PAIR_BANK}").alias("blk_d")
+    ).agg(bank.alias("bank_d"))
+    q_banks = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .groupBy(F.expr(f"vec_id DIV {100 * _PAIR_BANK}").alias("blk_q"))
+        .agg(bank.alias("bank_q"))
+    )
+
+    def _maxsim_blocks(it):
+        for pdf in it:
+            for bank_q, bank_d in zip(pdf["bank_q"], pdf["bank_d"]):
+                idq, Q = _np_bank(bank_q)
+                idd, D = _np_bank(bank_d)
+                qn = [_np_fold_norm(Q[:, i * 8 : i * 8 + 8]) for i in range(_MS_SUBS)]
+                dn = [_np_fold_norm(D[:, j * 8 : j * 8 + 8]) for j in range(_MS_SUBS)]
+                total = np.zeros((len(idq), len(idd)), dtype=np.int64)
+                for i in range(_MS_SUBS):
+                    best = None
+                    for j in range(_MS_SUBS):
+                        s6 = np.floor(
+                            _np_fold_dot(
+                                Q[:, i * 8 : i * 8 + 8], D[:, j * 8 : j * 8 + 8]
+                            )
+                            / np.maximum(
+                                np.multiply.outer(qn[i], dn[j]), 1e-12
+                            )
+                            * 1e6
+                            + 0.5
+                        ).astype(np.int64)
+                        best = s6 if best is None else np.maximum(best, s6)
+                    total += best
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(idq, len(idd)),
+                        "vec_id": np.tile(idd, len(idq)),
+                        "score6": total.ravel(),
+                    }
+                )
+
+    return (
+        q_banks.crossJoin(d_banks)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _maxsim_blocks, "query_id bigint, vec_id bigint, score6 bigint"
+        )
+    )
+
 
 def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATE-INTERACTION retrieval scoring (Khattab & Zaharia 2020,
@@ -918,47 +1028,27 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each of the 64 sub-vector cosines snaps to int64
     micro-units BEFORE the max/sum reductions, so MaxSim is pure integer
-    max + integer sum — reduction order cannot matter. Sub-vector norms
-    precompute ONCE per vector outside the pair join (never inside the
-    pair lambda — the HOF-CSE discipline).
+    max + integer sum — reduction order cannot matter.
 
-    Scale shape: query side is the 1%-sample broadcast against the
-    corpus (the similarity_topk brute shape — the oracle-checkable
-    witness); at 100 TB candidate generation swaps to the ANN paths
-    above and MaxSim re-scores candidates only, which is precisely
-    ColBERT's two-stage serving design. Per-pair cost is a fixed
-    8×8 kernel of 8-dim folds, JVM-side whole-stage codegen."""
+    Scale shape: query side is the 1%-sample crossed against the corpus
+    (the similarity_topk brute shape — the oracle-checkable witness); at
+    100 TB candidate generation swaps to the ANN paths above and MaxSim
+    re-scores candidates only, which is precisely ColBERT's two-stage
+    serving design. Per-pair cost (r22, guide §4.2 — see _PAIR_BANK):
+    the 8×8 sub-cosine kernel runs as a blocked Arrow/numpy pass over
+    bank pairs — the previous per-pair Catalyst HOF expression cost
+    ~150 µs/pair interpreted, and the r21 pair-expanded pandas rewrite
+    was a wash because both vectors crossed the Arrow boundary once PER
+    PAIR; banks ship each vector once per opposing bank instead. The
+    kernel replays the HOF fold's IEEE op order, so score6 is
+    bit-identical (pinned in tests/test_similarity_recall.py)."""
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings")
-    sub_norms = F.expr(
-        f"transform(sequence(0, {_MS_SUBS - 1}), i -> "
-        f" sqrt(aggregate(slice(vec, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),"
-        f"  (a, x) -> a + x * x)))"
-    )
-    v = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("vec")
-    ).withColumn("nrm8", sub_norms)
-    queries = v.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qv"),
-        F.col("nrm8").alias("qn"),
-    )
-    pairs = v.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    score6 = F.expr(
-        f"aggregate(transform(sequence(0, {_MS_SUBS - 1}), i -> "
-        f" array_max(transform(sequence(0, {_MS_SUBS - 1}), j -> "
-        f"  CAST(floor("
-        f"   aggregate(zip_with(slice(qv, i * 8 + 1, 8),"
-        f"                      slice(vec, j * 8 + 1, 8),"
-        f"                      (x, y) -> x * y),"
-        f"             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        f"   / greatest(element_at(qn, i + 1) * element_at(nrm8, j + 1), 1e-12)"
-        f"   * 1e6 + 0.5) AS BIGINT)))),"
-        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
-    )
-    scored = pairs.select(
-        "query_id", "vec_id", score6.alias("score6")
+    scored = (
+        _maxsim_scored(spark, load(spark, sf_dir, "embeddings"))
+        # the HOF form's join predicate excluded self-pairs; the kernel
+        # scores them (trivially) and this filter drops the same rows
+        .where(F.col("vec_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score6").desc(), F.col("vec_id")
@@ -977,6 +1067,60 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BITEXT_K = 4  # kNN pool per side for margin normalization
 _BITEXT_TAU = 1.0  # keep pairs whose margin beats the kNN mean
+
+
+def _bitext_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """All cross-side (src_id, tgt_id, c6) cosine pairs via the blocked
+    bank kernel (r22, guide §4.2 — see _PAIR_BANK): each side grouped
+    into ≤_PAIR_BANK-vector banks keyed by contiguous id range, bank
+    pairs crossed and scored in one numpy pass. The c6 snap is the exact
+    expression the HOF form computed —
+    floor(dot / greatest(na*nb, 1e-12) * 1e6 + 0.5) — with dot/norm
+    folds replayed in the JVM's IEEE op order (_np_fold_dot), so the
+    pair table is bit-identical to the expression form (pinned in
+    tests/test_similarity_recall.py::test_blocked_pair_kernels_match_jvm_fold).
+    """
+    import numpy as np
+    import pandas as pd
+
+    side = F.col("vec_id") % 2
+    blk = F.expr(f"vec_id DIV {2 * _PAIR_BANK}")
+    bank = F.collect_list(F.struct("vec_id", "embedding"))
+    a_banks = (
+        emb.where(side == 0).groupBy(blk.alias("blk_a")).agg(bank.alias("bank_a"))
+    )
+    b_banks = (
+        emb.where(side == 1).groupBy(blk.alias("blk_b")).agg(bank.alias("bank_b"))
+    )
+
+    def _c6_blocks(it):
+        for pdf in it:
+            for bank_a, bank_b in zip(pdf["bank_a"], pdf["bank_b"]):
+                ida, A = _np_bank(bank_a)
+                idb, B = _np_bank(bank_b)
+                na = _np_fold_norm(A)
+                nb = _np_fold_norm(B)
+                c6 = np.floor(
+                    _np_fold_dot(A, B)
+                    / np.maximum(np.multiply.outer(na, nb), 1e-12)
+                    * 1e6
+                    + 0.5
+                ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.repeat(ida, len(idb)),
+                        "tgt_id": np.tile(idb, len(ida)),
+                        "c6": c6.ravel(),
+                    }
+                )
+
+    return (
+        a_banks.crossJoin(b_banks)
+        # round-robin spread: bank-pair rows are few and uniform-cost;
+        # hash placement would be Poisson-unbalanced (the r21 minhash A/B)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_c6_blocks, "src_id bigint, tgt_id bigint, c6 bigint")
+    )
 
 
 def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,33 +1147,10 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     like q_dedup_embedding_cosine): at 100 TB candidate generation swaps
     to the hyperplane-LSH banding above (q_similarity_ann_lsh) with
     deg_k computed over the candidate pool — same margin arithmetic."""
-    emb = load(spark, sf_dir, "embeddings")
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
-    v = emb.select("vec_id", as_double.alias("vec"), norm.alias("norm"))
-    a = v.where(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("src_id"), F.col("vec").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = v.where(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("tgt_id"), F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     from pyspark.sql import Window
 
     pairs = (
-        a.crossJoin(b)
-        .select(
-            "src_id",
-            "tgt_id",
-            F.floor(dot / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)) * 1e6 + F.lit(0.5))
-            .cast("bigint")
-            .alias("c6"),
-        )
+        _bitext_pairs(spark, load(spark, sf_dir, "embeddings"))
         # THREE consumers (deg_k per side + the margin join) re-derived
         # this frame, re-running the all-pairs cosine kernel per branch;
         # the checkpoint computes it once and the branches read the

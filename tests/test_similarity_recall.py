@@ -289,3 +289,90 @@ def test_jl_projection_distortion_centers_on_one(spark, sf_dir):
         r for r in rows if r.min_r6 <= ratio6 <= r.max_r6 and r.bucket == ratio6 // _JL_BUCKET
     ]
     assert len(hits) == 1
+
+
+def test_blocked_pair_kernels_match_jvm_fold(spark, sf_dir):
+    """r22 §4.2 pin: the blocked Arrow/numpy pair kernels (_bitext_pairs,
+    _maxsim_scored) must be BIT-IDENTICAL to the Catalyst HOF expression
+    forms they replaced — the numpy code replays the JVM fold's IEEE op
+    sequence (sequential per-dim multiply-add, _np_fold_dot), so the
+    floor(x*1e6 + 0.5) snaps cannot diverge. exceptAll both ways over
+    the full intermediate frames (not just the top-k output, which could
+    mask sub-rank diffs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from gasket_rs_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    # --- bitext pair table: HOF expression form
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    v = emb.select("vec_id", as_double.alias("vec"), norm.alias("norm"))
+    a = v.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = v.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    hof_pairs = a.crossJoin(b).select(
+        "src_id",
+        "tgt_id",
+        F.floor(
+            dot / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    blocked = S._bitext_pairs(spark, emb)
+    assert blocked.exceptAll(hof_pairs).count() == 0
+    assert hof_pairs.exceptAll(blocked).count() == 0
+
+    # --- maxsim scored frame: HOF expression form (self-pairs excluded
+    # by the join predicate; filter the kernel frame the same way)
+    sub_norms = F.expr(
+        f"transform(sequence(0, {S._MS_SUBS - 1}), i -> "
+        f" sqrt(aggregate(slice(vec, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),"
+        f"  (a, x) -> a + x * x)))"
+    )
+    vv = emb.select("vec_id", as_double.alias("vec")).withColumn(
+        "nrm8", sub_norms
+    )
+    queries = vv.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("nrm8").alias("qn"),
+    )
+    pairs = vv.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    score6 = F.expr(
+        f"aggregate(transform(sequence(0, {S._MS_SUBS - 1}), i -> "
+        f" array_max(transform(sequence(0, {S._MS_SUBS - 1}), j -> "
+        f"  CAST(floor("
+        f"   aggregate(zip_with(slice(qv, i * 8 + 1, 8),"
+        f"                      slice(vec, j * 8 + 1, 8),"
+        f"                      (x, y) -> x * y),"
+        f"             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        f"   / greatest(element_at(qn, i + 1) * element_at(nrm8, j + 1),"
+        f"              1e-12)"
+        f"   * 1e6 + 0.5) AS BIGINT)))),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    hof_scored = pairs.select("query_id", "vec_id", score6.alias("score6"))
+    blocked_scored = S._maxsim_scored(spark, emb).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    assert blocked_scored.exceptAll(hof_scored).count() == 0
+    assert hof_scored.exceptAll(blocked_scored).count() == 0
