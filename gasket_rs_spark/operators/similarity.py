@@ -73,6 +73,14 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The (small) query side is broadcast against the corpus — one pass over
     the corpus per batch of queries, no shuffle of the big side.
+
+    r22 negative result: the blocked-bank Arrow/numpy kernel that won on
+    every other all-pairs witness (bitext/maxsim/dbscan/silhouette/ece —
+    see _PAIR_BANK) measured a WASH-to-slight-LOSS here (interleaved A/B
+    at sf0.1: HOF min 0.923 s vs blocked 1.014 s): the pair volume is
+    only queries×corpus with ONE 64-dim fold per pair, so the two bank
+    shuffles + Arrow round-trip exceed the interpreted-expression cost
+    they remove. Kept the codegen broadcast-join form on evidence.
     """
     emb = _with_vec(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
@@ -936,15 +944,22 @@ def _np_fold_dot(A, B):
     return acc
 
 
-def _np_fold_norm(A):
-    """Row norms as the JVM ``sqrt(aggregate(v, 0.0, (a,x) -> a + x*x))``
-    fold — sequential per-dim multiply-add, one final sqrt."""
+def _np_fold_sq(A):
+    """Row squared sums as the JVM ``aggregate(v, 0.0, (a,x) -> a + x*x)``
+    fold — sequential per-dim multiply-add."""
     import numpy as np
 
     acc = np.zeros(A.shape[0])
     for k in range(A.shape[1]):
         acc += A[:, k] * A[:, k]
-    return np.sqrt(acc)
+    return acc
+
+
+def _np_fold_norm(A):
+    """Row norms: one correctly-rounded sqrt over the _np_fold_sq fold."""
+    import numpy as np
+
+    return np.sqrt(_np_fold_sq(A))
 
 
 def _np_bank(rows):
@@ -955,6 +970,32 @@ def _np_bank(rows):
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     M = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     return ids, M
+
+
+def _np_labeled_bank(rows):
+    """(ids, labels, matrix) from an Arrow bank of
+    (vec_id, label, embedding) structs."""
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    M = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, labels, M
+
+
+def _cross_banks(spark, left_banks, right_banks, kernel, schema, cond=None):
+    """crossJoin the two (tiny) bank tables, spread bank pairs
+    round-robin over the session's cores (bank-pair rows are few and
+    uniform-cost; hash placement would be Poisson-unbalanced — the r21
+    minhash A/B), and run the numpy kernel per pair."""
+    joined = (
+        left_banks.join(right_banks, cond)
+        if cond is not None
+        else left_banks.crossJoin(right_banks)
+    )
+    return joined.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        kernel, schema
+    )
 
 
 def _maxsim_scored(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -1007,12 +1048,9 @@ def _maxsim_scored(spark: SparkSession, emb: DataFrame) -> DataFrame:
                     }
                 )
 
-    return (
-        q_banks.crossJoin(d_banks)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(
-            _maxsim_blocks, "query_id bigint, vec_id bigint, score6 bigint"
-        )
+    return _cross_banks(
+        spark, q_banks, d_banks, _maxsim_blocks,
+        "query_id bigint, vec_id bigint, score6 bigint",
     )
 
 
@@ -1114,12 +1152,9 @@ def _bitext_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
                     }
                 )
 
-    return (
-        a_banks.crossJoin(b_banks)
-        # round-robin spread: bank-pair rows are few and uniform-cost;
-        # hash placement would be Poisson-unbalanced (the r21 minhash A/B)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(_c6_blocks, "src_id bigint, tgt_id bigint, c6 bigint")
+    return _cross_banks(
+        spark, a_banks, b_banks, _c6_blocks,
+        "src_id bigint, tgt_id bigint, c6 bigint",
     )
 
 
@@ -1889,25 +1924,50 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is an 11-row aggregate. Production swaps the brute scorer for
     an ANN candidate generator, identical tail.
     """
-    emb = _with_vec(load(spark, sf_dir, "embeddings"))
-    queries = emb.where(F.col("vec_id") % _ECE_QMOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    # blocked-bank kernel (r22, guide §4.2 — see _PAIR_BANK); the c6
+    # snap replays the HOF fold's IEEE op order, bit-identical (pinned
+    # in tests/test_similarity_recall.py)
+    bank = F.collect_list(F.struct("vec_id", "label", "embedding"))
+    d_banks = emb.groupBy(
+        F.expr(f"vec_id DIV {_PAIR_BANK}").alias("blk_d")
+    ).agg(bank.alias("bank_d"))
+    q_banks = (
+        emb.where(F.col("vec_id") % _ECE_QMOD == 0)
+        .groupBy(F.expr(f"vec_id DIV {_ECE_QMOD * _PAIR_BANK}").alias("blk_q"))
+        .agg(bank.alias("bank_q"))
     )
-    scored = emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        "qlabel",
-        "label",
-        "vec_id",
-        F.floor(
-            _dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)) * 1e6
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("c6"),
-    )
+
+    def _ece_blocks(it):
+        for pdf in it:
+            for bank_q, bank_d in zip(pdf["bank_q"], pdf["bank_d"]):
+                idq, qlbl, Q = _np_labeled_bank(bank_q)
+                idd, lbl, D = _np_labeled_bank(bank_d)
+                qn = _np_fold_norm(Q)
+                dn = _np_fold_norm(D)
+                c6 = np.floor(
+                    _np_fold_dot(Q, D)
+                    / np.maximum(np.multiply.outer(qn, dn), 1e-12)
+                    * 1e6
+                    + 0.5
+                ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(idq, len(idd)),
+                        "qlabel": np.repeat(qlbl, len(idd)).astype(np.int32),
+                        "label": np.tile(lbl, len(idq)).astype(np.int32),
+                        "vec_id": np.tile(idd, len(idq)),
+                        "c6": c6.ravel(),
+                    }
+                )
+
+    scored = _cross_banks(
+        spark, q_banks, d_banks, _ece_blocks,
+        "query_id bigint, qlabel int, label int, vec_id bigint, c6 bigint",
+    ).where(F.col("vec_id") != F.col("query_id"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "vec_id")
@@ -2222,6 +2282,56 @@ _DBSCAN_EPS6 = 1_450_000  # squared-L2 radius on the 1e-6 grid
 _DBSCAN_MINPTS = 3  # neighbors (excluding self) to qualify as core
 
 
+def _dbscan_pairs(spark: SparkSession, emb3: DataFrame) -> DataFrame:
+    """Eps-surviving (ida, idb, d6) squared-L2 pairs (ida < idb) via the
+    blocked bank kernel (r22, guide §4.2 — see _PAIR_BANK). The d6 snap —
+    floor((sqa + sqb - 2*dot) * 1e6 + 0.5) — replays the HOF fold's IEEE
+    op order (pinned in tests/test_similarity_recall.py); the eps filter
+    is an integer compare, applied in-kernel so only surviving pairs
+    cross the Arrow boundary. blk_a <= blk_b halves the bank pairs
+    (banks are contiguous id ranges, so every ida < idb pair lives in
+    exactly one kept bank pair)."""
+    import numpy as np
+    import pandas as pd
+
+    bank = F.collect_list(F.struct("vec_id", "embedding"))
+    blk = F.expr(f"vec_id DIV {3 * _PAIR_BANK}")
+    # one scan+agg shared by both join sides (§2.4 — lazy: the single
+    # downstream action materializes it once)
+    banks = emb3.groupBy(blk.alias("blk")).agg(bank.alias("bank")).localCheckpoint(
+        eager=False
+    )
+    a_banks = banks.select(F.col("blk").alias("blk_a"), F.col("bank").alias("bank_a"))
+    b_banks = banks.select(F.col("blk").alias("blk_b"), F.col("bank").alias("bank_b"))
+
+    def _d6_blocks(it):
+        for pdf in it:
+            for bank_a, bank_b in zip(pdf["bank_a"], pdf["bank_b"]):
+                ida, A = _np_bank(bank_a)
+                idb, B = _np_bank(bank_b)
+                sqa = _np_fold_sq(A)
+                sqb = _np_fold_sq(B)
+                d6 = np.floor(
+                    (np.add.outer(sqa, sqb) - 2 * _np_fold_dot(A, B)) * 1e6
+                    + 0.5
+                ).astype(np.int64)
+                keep = (np.less.outer(ida, idb)) & (d6 <= _DBSCAN_EPS6)
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "ida": ida[ii],
+                        "idb": idb[jj],
+                        "d6": d6[ii, jj],
+                    }
+                )
+
+    return _cross_banks(
+        spark, a_banks, b_banks, _d6_blocks,
+        "ida bigint, idb bigint, d6 bigint",
+        cond=F.col("blk_a") <= F.col("blk_b"),
+    )
+
+
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN density clustering (Ester et al. 1996) over the embedding
     table: CORE points have ≥ minPts neighbors within eps (squared L2),
@@ -2244,39 +2354,8 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic."""
     from gasket_rs_spark.operators.dedup import _components
 
-    emb = (
-        _with_vec(load(spark, sf_dir, "embeddings"))
-        .where(F.col("vec_id") % 3 == 0)
-        .select(
-            "vec_id",
-            "vec",
-            F.aggregate(
-                F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
-            ).alias("sq"),
-        )
-    )
-    a = emb.select(
-        F.col("vec_id").alias("ida"), F.col("vec").alias("va"), F.col("sq").alias("sqa")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("idb"), F.col("vec").alias("vb"), F.col("sq").alias("sqb")
-    )
-    pairs = (
-        a.join(broadcast(b), F.col("ida") < F.col("idb"))
-        .select(
-            "ida",
-            "idb",
-            F.floor(
-                (F.col("sqa") + F.col("sqb") - 2 * _dot(F.col("va"), F.col("vb")))
-                * 1e6
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("d6"),
-        )
-        .where(F.col("d6") <= _DBSCAN_EPS6)
-        .localCheckpoint(eager=True)
-    )
+    emb3 = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0)
+    pairs = _dbscan_pairs(spark, emb3).localCheckpoint(eager=True)
     sym = pairs.select(F.col("ida").alias("u"), F.col("idb").alias("v")).unionAll(
         pairs.select(F.col("idb").alias("u"), F.col("ida").alias("v"))
     )
@@ -2305,7 +2384,7 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = core_out.unionAll(border)
     noise = (
-        emb.select("vec_id")
+        emb3.select("vec_id")
         .join(assigned.select("vec_id"), "vec_id", "left_anti")
         .select(
             "vec_id",
@@ -2466,6 +2545,52 @@ def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIL_MOD = 4  # deterministic sample: vec_id % 4 == 0 (pairs are O(n²))
 
 
+def _sil_pairs(spark: SparkSession, emb4: DataFrame) -> DataFrame:
+    """Labeled (ida, la, lb, d6) squared-L2 pairs (ida != idb) via the
+    blocked bank kernel (r22, guide §4.2 — see _PAIR_BANK): d6 is the
+    DBSCAN spelling replayed in the HOF fold's IEEE op order (pinned in
+    tests/test_similarity_recall.py); the ida != idb predicate becomes
+    an in-kernel mask."""
+    import numpy as np
+    import pandas as pd
+
+    bank = F.collect_list(F.struct("vec_id", "label", "embedding"))
+    blk = F.expr(f"vec_id DIV {_SIL_MOD * _PAIR_BANK}")
+    # one scan+agg shared by both join sides (§2.4 — lazy: the single
+    # downstream action materializes it once)
+    banks = emb4.groupBy(blk.alias("blk")).agg(bank.alias("bank")).localCheckpoint(
+        eager=False
+    )
+    a_banks = banks.select(F.col("blk").alias("blk_a"), F.col("bank").alias("bank_a"))
+    b_banks = banks.select(F.col("blk").alias("blk_b"), F.col("bank").alias("bank_b"))
+
+    def _sil_blocks(it):
+        for pdf in it:
+            for bank_a, bank_b in zip(pdf["bank_a"], pdf["bank_b"]):
+                ida, la, A = _np_labeled_bank(bank_a)
+                idb, lb, B = _np_labeled_bank(bank_b)
+                sqa = _np_fold_sq(A)
+                sqb = _np_fold_sq(B)
+                d6 = np.floor(
+                    (np.add.outer(sqa, sqb) - 2 * _np_fold_dot(A, B)) * 1e6
+                    + 0.5
+                ).astype(np.int64)
+                ii, jj = np.nonzero(np.not_equal.outer(ida, idb))
+                yield pd.DataFrame(
+                    {
+                        "ida": ida[ii],
+                        "la": la[ii],
+                        "lb": lb[jj],
+                        "d6": d6[ii, jj],
+                    }
+                )
+
+    return _cross_banks(
+        spark, a_banks, b_banks, _sil_blocks,
+        "ida bigint, la bigint, lb bigint, d6 bigint",
+    )
+
+
 def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SILHOUETTE coefficient per label cluster (Rousseeuw 1987) over a
     deterministic embedding sample — the standard "are these clusters
@@ -2482,43 +2607,10 @@ def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster mean is an integer division. Scale: quadratic by
     definition — bounded by the vec_id % 4 sample; the production path
     samples per cluster exactly like this."""
-    emb = (
-        _with_vec(load(spark, sf_dir, "embeddings"))
-        .where(F.col("vec_id") % _SIL_MOD == 0)
-        .select(
-            "vec_id",
-            F.col("label").cast("bigint").alias("label"),
-            "vec",
-            F.aggregate(
-                F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
-            ).alias("sq"),
-        )
-        .localCheckpoint(eager=True)
+    emb4 = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % _SIL_MOD == 0
     )
-    a = emb.select(
-        F.col("vec_id").alias("ida"),
-        F.col("label").alias("la"),
-        F.col("vec").alias("va"),
-        F.col("sq").alias("sqa"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("idb"),
-        F.col("label").alias("lb"),
-        F.col("vec").alias("vb"),
-        F.col("sq").alias("sqb"),
-    )
-    pairs = a.join(broadcast(b), F.col("ida") != F.col("idb")).select(
-        "ida",
-        "la",
-        "lb",
-        F.floor(
-            (F.col("sqa") + F.col("sqb") - 2 * _dot(F.col("va"), F.col("vb")))
-            * 1e6
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("d6"),
-    )
+    pairs = _sil_pairs(spark, emb4)
     per_cluster = pairs.groupBy("ida", "la", "lb").agg(
         F.sum("d6").cast("bigint").alias("sum6"),
         F.count("*").cast("bigint").alias("cnt"),

@@ -699,8 +699,14 @@ def test_round11_late_wave_plan_shapes(spark, sf_dir):
         assert_no_cartesian(fn(spark, sf_dir))
 
     # broadcast-query scorers: the bounded query side carries the hint
-    for fn in (q_rrf_fusion, q_retrieval_ndcg, q_calibration_ece):
+    for fn in (q_rrf_fusion, q_retrieval_ndcg):
         assert broadcast_hint_count(fn(spark, sf_dir)) >= 1
+    # calibration_ece scores via the r22 blocked-bank Arrow kernel (no
+    # broadcast pair join anymore): pin the kernel node instead, and
+    # that the pair expansion happens INSIDE the kernel (no cartesian)
+    ece = q_calibration_ece(spark, sf_dir)
+    assert_no_cartesian(ece)
+    assert "MapInPandas" in explain_formatted_for_test(ece)
 
     # assoc_rules: basket total + both per-brand stat joins broadcast
     assert broadcast_hint_count(q_assoc_rules(spark, sf_dir)) >= 3

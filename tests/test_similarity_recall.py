@@ -376,3 +376,64 @@ def test_blocked_pair_kernels_match_jvm_fold(spark, sf_dir):
     )
     assert blocked_scored.exceptAll(hof_scored).count() == 0
     assert hof_scored.exceptAll(blocked_scored).count() == 0
+
+
+def test_blocked_distance_kernels_match_jvm_fold(spark, sf_dir):
+    """r22 §4.2 pin, squared-L2 spelling: _dbscan_pairs / _sil_pairs
+    must be bit-identical to the HOF expression forms they replaced —
+    d6 = floor((sqa + sqb - 2*dot) * 1e6 + 0.5) with sq/dot folds in the
+    JVM's IEEE op order. exceptAll both ways over the full pair
+    frames."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from gasket_rs_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def hof_pairs(base, labeled, pred):
+        cols = ["vec_id"] + (["label"] if labeled else [])
+        v = base.select(
+            *cols, S._as_double(F.col("embedding")).alias("vec")
+        ).withColumn(
+            "sq",
+            F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x),
+        )
+        a = v.select(
+            F.col("vec_id").alias("ida"),
+            *([F.col("label").cast("bigint").alias("la")] if labeled else []),
+            F.col("vec").alias("va"),
+            F.col("sq").alias("sqa"),
+        )
+        b = v.select(
+            F.col("vec_id").alias("idb"),
+            *([F.col("label").cast("bigint").alias("lb")] if labeled else []),
+            F.col("vec").alias("vb"),
+            F.col("sq").alias("sqb"),
+        )
+        return a.join(broadcast(b), pred).select(
+            "ida",
+            *((["la", "lb"]) if labeled else ["idb"]),
+            F.floor(
+                (F.col("sqa") + F.col("sqb") - 2 * S._dot(F.col("va"), F.col("vb")))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("d6"),
+        )
+
+    emb3 = emb.where(F.col("vec_id") % 3 == 0)
+    hof_db = hof_pairs(
+        emb3, False, F.col("ida") < F.col("idb")
+    ).where(F.col("d6") <= S._DBSCAN_EPS6)
+    # re-select to the blocked column order for exceptAll
+    blocked_db = S._dbscan_pairs(spark, emb3).select("ida", "idb", "d6")
+    assert blocked_db.exceptAll(hof_db.select("ida", "idb", "d6")).count() == 0
+    assert hof_db.select("ida", "idb", "d6").exceptAll(blocked_db).count() == 0
+
+    emb4 = emb.where(F.col("vec_id") % S._SIL_MOD == 0)
+    hof_sil = hof_pairs(emb4, True, F.col("ida") != F.col("idb"))
+    blocked_sil = S._sil_pairs(spark, emb4).select("ida", "la", "lb", "d6")
+    assert blocked_sil.exceptAll(hof_sil).count() == 0
+    assert hof_sil.exceptAll(blocked_sil).count() == 0
