@@ -811,6 +811,15 @@ def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc_id"),
             F.col("ptext").alias("text"),
         )
+        # Lazy checkpoint (r22, §2.4): paras feeds THREE union branches
+        # (itself + the reorder/edit plant builders via `eligible`), so
+        # the documents scan + paragraph regexp/posexplode ran once per
+        # branch; now one materialization per action. Local wall-clock a
+        # WASH (interleaved A/B at sf0.1: min 1.643 vs 1.611 s,
+        # identical rows — the simhash kernel dominates at this SF);
+        # kept for the 3 -> 1 documents-scan reduction at corpus scale,
+        # the same argument as the asof_join/q2 single-scan entries.
+        .localCheckpoint(eager=False)
     )
     toks = F.split("text", " ")
     # token array hoisted into a named column before the transform

@@ -964,7 +964,18 @@ def span_dedup(docs: DataFrame) -> DataFrame:
     # (doc_id, pos) struct min: same collision-free first-occurrence key
     # as line_dedup (ADVICE r8 — the old doc_id*2^20+pos int64 encoding
     # broke ordering for documents past 2^20 tokens).
-    grams = toks.withColumn("gram", gram).where(F.col("gram").isNotNull())
+    # Lazy checkpoint (r22, §2.4): grams feeds TWO consumers — the
+    # first-occurrence aggregation and the probe side of the join —
+    # and column pruning makes the two subtree copies physically
+    # different, so the explode + doc-window (7 leads over a sorted
+    # partition) ran once per consumer. One materialization per action
+    # instead (the tf/df pattern from text_tfidf_top). Interleaved A/B
+    # at sf0.1: min 2.511 -> 2.054 s (-18%), identical rows.
+    grams = (
+        toks.withColumn("gram", gram)
+        .where(F.col("gram").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     firsts = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first_k")
     )
@@ -991,7 +1002,15 @@ def span_dedup(docs: DataFrame) -> DataFrame:
             F.sum("n_w").alias("n_dup_windows"),
         )
     )
-    counts = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    # n_tokens = split-array length — identical to counting the
+    # posexplode rows (posexplode emits one row per element, empties
+    # included, and drops NULL-text docs — hence the isNotNull filter,
+    # pinned by test_text_ops_survive_degenerate_documents) without
+    # re-exploding the corpus (r22, §2.3: the count rides the
+    # un-exploded row)
+    counts = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
     keep = (F.col("n_tokens") - F.col("n_removed")) / F.col("n_tokens")
     return (
         counts.join(removed, "doc_id", "left")
