@@ -981,6 +981,31 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q2_eu_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's (part, supplier) EUROPE cost table BEFORE the checkpoint —
+    factored out so tests/test_plans.py can pin the below-checkpoint
+    plan (VERDICT r21 #2: the checkpoint hides this subtree from
+    broadcast_hint_count, so the part/lineitem-stay-unhinted pin must
+    walk the pre-checkpoint frame explicitly)."""
+    eu_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pair_cost = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    return pair_cost.join(
+        broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+
+
 def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped: minimum-cost supplier (the correlated-MIN subquery).
 
@@ -1003,29 +1028,13 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").where(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
     )
-    eu_supp = (
-        load(spark, sf_dir, "supplier")
-        .join(broadcast(load(spark, sf_dir, "nation")),
-              F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(broadcast(load(spark, sf_dir, "region")),
-              F.col("n_regionkey") == F.col("r_regionkey"))
-        .where(F.col("r_name") == "EUROPE")
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    pair_cost = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
-    )
     # eu_cost feeds the per-part minimum AND the final equality join;
     # unmaterialized, column pruning made the two subtrees physically
     # different (ReusedExchange: 0) and lineitem was scanned+aggregated
     # twice (§2.4 pruning-defeats-reuse). Lazy checkpoint: one scan/agg
     # per action — local delta small (A/B min 1.548 → 1.483 s at
     # sf0.1), but at 100 TB this halves the query's lineitem I/O.
-    eu_cost = pair_cost.join(
-        broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
-    ).localCheckpoint(eager=False)
+    eu_cost = _q2_eu_cost(spark, sf_dir).localCheckpoint(eager=False)
     part_min = eu_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("cost").alias("min_cost")
     )

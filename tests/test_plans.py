@@ -780,14 +780,13 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     # forced-broadcast budget: q2 = 0 VISIBLE hints since the r21
     # lineitem-scanned-once fix — its nation+region+eu_supp hints live
     # below the lazily-checkpointed eu_cost frame (the logical plan the
-    # counter walks starts at the checkpoint scan; the dims' broadcast
-    # is exercised when the frame materializes and pinned by the
-    # committed plans/r21/tpch_q2_* capture). The load-bearing half of
-    # the pin — part/lineitem stay UNHINTED — still holds: a forced
-    # broadcast of an SF-scaled table above the checkpoint would push
-    # the count above 0. q11 = supplier+nation hints count twice (v +
-    # totals branch) + 1 for the 1-row totals broadcast, q12 = none,
-    # q20 = qualifying (≤|supplier| keys).
+    # counter walks starts at the checkpoint scan). A forced broadcast
+    # of an SF-scaled table ABOVE the checkpoint would push the count
+    # above 0; the BELOW-checkpoint half of the pin is restored by the
+    # explicit _q2_eu_cost assertion further down (VERDICT r21 #2).
+    # q11 = supplier+nation hints count twice (v + totals branch) + 1
+    # for the 1-row totals broadcast, q12 = none, q20 = qualifying
+    # (≤|supplier| keys).
     expected = {
         "q2": (q_tpch_q2_min_cost_supplier, 0),
         # v's supplier+nation hints count twice (v + totals branch) + 1
@@ -801,6 +800,15 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
         got = broadcast_hint_count(df)
         assert got == want, f"{name}: {got} broadcast hints, expected {want}"
         assert_no_cartesian(df) if name != "q11" else None
+
+    # q2 BELOW the checkpoint (VERDICT r21 #2): the pre-checkpoint
+    # eu_cost frame carries EXACTLY the three dim-side hints (nation,
+    # region, eu_supp) — part does not appear in it, and a forced
+    # broadcast of lineitem (or a fourth hint anywhere in the subtree)
+    # flips this count
+    from gasket_rs_spark.operators.relational import _q2_eu_cost
+
+    assert broadcast_hint_count(_q2_eu_cost(spark, sf_dir)) == 3
 
     # the two top-100s must be TakeOrdered, never a global sort
     for fn in (q_tpch_q2_min_cost_supplier, q_tpch_q11_important_stock):
