@@ -88,6 +88,10 @@ def _shingles(col: str = "text"):
     Guarded for <k-token docs: slice lengths descend through 0 there,
     which would fabricate bogus shingles.
     """
+    # The zip_with chain below hardcodes exactly three shifted slices
+    # (starts 1..3); changing _SHINGLE_K must fail loudly here instead of
+    # silently emitting truncated shingles (ADVICE r21).
+    assert _SHINGLE_K == 3, "zip_with chain is written for K=3"
     toks = F.split(F.col(col), " ")
     n = F.size(toks)
     win = n - (_SHINGLE_K - 1)

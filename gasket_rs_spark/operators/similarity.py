@@ -88,8 +88,19 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
+    # Scale-adaptive parallelism for the pair explosion (r22, guide §2):
+    # the broadcast join multiplies each corpus row by |queries|, but the
+    # stage inherits the SCAN's split count — at sf1 the corpus arrived
+    # as one row group and the whole n_q x n pair scoring ran on ONE task
+    # (35.3 s of a 3.5 s query). Round-robin repartition to
+    # defaultParallelism before the join spreads the explosion over the
+    # cluster's cores regardless of input file layout; the 2000-row
+    # exchange at sf0.1 is noise next to the scoring it parallelizes
+    # (interleaved A/B min: sf0.1 0.814 -> 0.624 s, sf1 with 10-file
+    # layout 4.154 -> 2.300 s; scripts/ab_topk_repart_r22.py).
     scored = (
-        emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(_dot(F.col("qvec"), F.col("vec")) / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)), 6),
